@@ -1,0 +1,69 @@
+"""Longstaff-Schwartz (LSM) American option pricer.
+
+TPU-native equivalent of src/models/LSMPricer.cpp.  The reference's backward
+induction gathers in-the-money rows into a dense Eigen matrix and runs a
+bdcSvd per step (LSMPricer.cpp:51-76); under jit the ITM set must stay
+shape-static, so the rebuild runs a `lax.scan` backward over steps with a
+*masked* weighted regression (ops.regression) — zero-weight OTM rows leave
+the least-squares solution unchanged, and the tiny Gram/moment block psums
+across a sharded paths axis.
+
+Behavioral parity notes (SURVEY.md section 7 "Exact-parity semantics"):
+  * The reference regresses *realized carried values* (the Values matrix
+    propagates max(immediate, continuation) backward, LSMPricer.cpp:69-85),
+    not pure cashflows — a known LSM variant with upward bias.  We match it.
+  * Steps with t > maturity only discount (:44-49).
+  * ITM threshold is payoff > 1e-14 (:55); with an empty ITM set the
+    regression is skipped and everything discounts (:60, :89-94).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.payoff import payoff
+from ..ops.reductions import global_mean, psum_if
+from ..ops.regression import eval_poly, fit_poly_masked
+from ..ops.timegrid import step_mask
+
+ITM_EPS = 1e-14
+
+
+def lsm_price(paths, r, strike, maturity, dt, is_call: bool,
+              poly_order: int = 2, axis_name: Optional[str] = None):
+    """American option price by Longstaff-Schwartz regression
+    (LSMPricer.cpp:19-102).
+
+    Args:
+      paths: [n_paths, n_steps + 1] price paths.
+      poly_order: monomial basis order (PredictionGen.cpp:790 passes 2).
+      axis_name: mesh axis name when paths are sharded; the per-step
+        regression then pools moments across shards via psum.
+    """
+    n_paths, m = paths.shape
+    disc = jnp.exp(-r * dt)
+
+    v_init = payoff(is_call, paths[:, m - 1], strike)  # :37-40
+
+    # Scan backward j = M-2 .. 0 over (price column, time).
+    s_cols = paths[:, : m - 1][:, ::-1].T              # [m-1, n_paths]
+    live = step_mask(m - 1, dt, maturity)[::-1]        # j*dt <= maturity
+
+    def step(v, xs):
+        s, is_live = xs
+        vd = v * disc                                   # :46, :69, :92
+        p = payoff(is_call, s, strike)
+        itm = (p > ITM_EPS).astype(paths.dtype)         # :51-58
+        fit = fit_poly_masked(s, vd, itm, poly_order, axis_name)
+        cont = eval_poly(fit, s)
+        v_exercised = jnp.where(itm > 0, jnp.maximum(p, cont), vd)  # :78-94
+        any_itm = psum_if(jnp.sum(itm), axis_name) > 0
+        v_reg = jnp.where(any_itm, v_exercised, vd)     # :60 empty-ITM skip
+        v_new = jnp.where(is_live, v_reg, vd)           # :44-49
+        return v_new, None
+
+    v_final, _ = jax.lax.scan(step, v_init, (s_cols, live))
+    return global_mean(v_final, axis_name)              # :97-101

@@ -1,0 +1,83 @@
+"""Rough-Bergomi stock-price path generation — TPU-native equivalent of
+src/models/RoughVolatility.cpp:312-368 (GenerateStockPricePaths).
+
+Where the reference loops serially over paths, re-seeding an mt19937 from
+``random_device`` per call and running a hand-rolled radix-2 FFT per path
+(RoughVolatility.cpp:346-365), this module generates the whole [paths, steps]
+block at once:
+
+  * counter-based threefry keys -> reproducible by construction;
+  * one batched spectral transform for the fGN (XLA FFT, or an MXU matmul
+    via ops.fgn.fgn_matrices — the TPU-first form);
+  * the Euler log-price recursion S_j = S_{j-1} exp((r - v/2) dt + sqrt(v) dW)
+    collapses to a cumulative sum in log space — no scan, no sequential
+    dependency, pure VPU work.
+
+Everything is shape-static and jit/vmap/shard_map-ready: `paths` is the axis
+to shard across the TPU mesh (SURVEY.md section 5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import fgn as fgn_ops
+from ..ops import rng as rng_ops
+from ..ops.estimators import RBergomiParams, estimate_params
+
+
+def variance_curve(key: jax.Array, xi, h, eta, n_steps: int, n_paths: int,
+                   dt: float, dtype=jnp.float32):
+    """Per-path forward-variance curves v[paths, steps] via spectral fGN
+    (RoughVolatility.cpp:337-349)."""
+    time_grid = jnp.arange(n_steps + 1, dtype=dtype) * dt
+    lam = fgn_ops.rbergomi_lambda(time_grid, h)
+    phi = fgn_ops.rbergomi_phi(lam)
+    z = rng_ops.complex_normal(key, (n_paths, n_steps), dtype)
+    x = fgn_ops.fractional_gaussian(phi, z, h, eta)
+    return fgn_ops.forward_variance(x, time_grid, xi, h, eta)
+
+
+def euler_log_paths(key: jax.Array, s0, r, rho, v, dt: float,
+                    dtype=jnp.float32):
+    """Correlated Euler log-price recursion given variance curves v
+    (RoughVolatility.cpp:351-365), as a cumsum: returns [paths, steps+1]
+    with column 0 == s0."""
+    n_paths, n_steps = v.shape
+    w1, w2 = rng_ops.normal_pairs(key, (n_paths, n_steps), dtype)
+    sqrt_dt = jnp.sqrt(jnp.asarray(dt, dtype))
+    dw = (rho * w1 + jnp.sqrt(jnp.maximum(0.0, 1.0 - rho * rho)) * w2) * sqrt_dt
+    increments = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
+    log_s = jnp.log(jnp.asarray(s0, dtype)) + jnp.cumsum(increments, axis=-1)
+    s = jnp.exp(log_s)
+    s0_col = jnp.full((n_paths, 1), s0, dtype)
+    return jnp.concatenate([s0_col, s], axis=-1)
+
+
+def generate_paths(key: jax.Array, s0, xi, h, eta, rho, r,
+                   n_steps: int, n_paths: int, dt: float = 1.0 / 252.0,
+                   dtype=jnp.float32) -> jax.Array:
+    """rBergomi price paths [n_paths, n_steps + 1], paths[.., 0] == s0.
+
+    The parameter block mirrors GenerateStockPricePaths
+    (RoughVolatility.cpp:312-344); parameters may be Python floats or traced
+    scalars (so the pipeline can vmap rows over per-row estimates).
+    """
+    k_var, k_euler = jax.random.split(key)
+    v = variance_curve(k_var, xi, h, eta, n_steps, n_paths, dt, dtype)
+    return euler_log_paths(k_euler, s0, r, rho, v, dt, dtype)
+
+
+def generate_paths_from_history(key: jax.Array, historical_prices,
+                                forward_steps: int, path_num: int,
+                                r: float = 0.04, dt: float = 1.0 / 252.0,
+                                dtype=jnp.float32) -> jax.Array:
+    """Drop-in equivalent of RoughVolatility::GenerateStockPricePaths
+    (RoughVolatility.cpp:312-368): estimates (xi, H, eta, rho) from the
+    history on host, then generates paths on device."""
+    p: RBergomiParams = estimate_params(historical_prices, r=r, dt_yr=dt)
+    return generate_paths(key, p.s0, p.xi, p.h, p.eta, p.rho, p.r,
+                          forward_steps, path_num, dt, dtype)

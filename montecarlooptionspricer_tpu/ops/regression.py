@@ -1,0 +1,99 @@
+"""Masked polynomial least squares — the regression workhorse of the LSM and
+martingale pricers.
+
+TPU-native equivalent of the Eigen ``bdcSvd(...).solve`` calls in
+src/models/LSMPricer.cpp:61-76 and MartingaleOptimizationPricer.cpp:156-170.
+The reference gathers the in-the-money rows into a dense [n_itm, order+1]
+matrix and runs an SVD; under jit the ITM set is data-dependent, so the
+rebuild keeps static shapes and uses *weighted* normal equations instead:
+OTM rows get weight 0, which leaves the least-squares solution unchanged.
+
+Conditioning: the reference regresses on raw monomials 1, S, S^2 with
+S ~ O(100), whose Gram matrix is hopeless in float32.  We therefore fit in a
+standardized variable z = (x - mu) / sd — the same polynomial space, so the
+*fitted values* agree with the reference's within MC error (exactly, in exact
+arithmetic, when the design is full rank) — and the Gram matrix stays O(1)
+conditioned.  The Gram/moment accumulation is a plain sum over the sample
+axis, so under `shard_map` it reduces with one tiny `psum` of a
+[(order+1)^2 + (order+1)] block per step — the clean TPU idiom for
+distributed LSM (SURVEY.md section 5.8).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class PolyFit(NamedTuple):
+    """A polynomial fit in standardized coordinates."""
+
+    coeffs: jax.Array  # [order+1] coefficients in z = (x - mu) / sd
+    mu: jax.Array      # scalar center
+    sd: jax.Array      # scalar scale
+
+
+def poly_basis(z, order: int):
+    """[..., order+1] monomial basis 1, z, ..., z^order
+    (LSMPricer.cpp:9-17)."""
+    return jnp.stack([z ** k for k in range(order + 1)], axis=-1)
+
+
+def _psum_if(x, axis_name: Optional[str]):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def fit_poly_masked(x, y, w, order: int, axis_name: Optional[str] = None,
+                    ridge: float = 1e-7) -> PolyFit:
+    """Weighted polynomial least squares min_c sum_i w_i (P_c(x_i) - y_i)^2.
+
+    Args:
+      x: [n] regressor (e.g. stock prices).
+      y: [n] targets (e.g. discounted continuation values).
+      w: [n] weights; {0,1} masks reproduce the reference's ITM row
+        selection (LSMPricer.cpp:51-58).
+      order: polynomial order (PredictionGen.cpp:790 uses 2).
+      axis_name: if set, moments are psum-reduced over this mesh axis so the
+        fit pools samples across shards.
+      ridge: tiny Tikhonov term standing in for the SVD's implicit
+        regularization of rank-deficient designs.
+
+    Returns:
+      PolyFit evaluable with `eval_poly`.  With zero total weight the
+      coefficients are all zero (fitted values 0) — callers must mask that
+      case, mirroring the reference's empty-ITM skip (LSMPricer.cpp:60).
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    w = w.astype(jnp.float32)
+
+    wsum = _psum_if(jnp.sum(w), axis_name)
+    safe_wsum = jnp.maximum(wsum, 1.0)
+    mu = _psum_if(jnp.sum(w * x), axis_name) / safe_wsum
+    var = _psum_if(jnp.sum(w * (x - mu) ** 2), axis_name) / safe_wsum
+    sd = jnp.sqrt(jnp.maximum(var, 1e-12))
+
+    z = (x - mu) / sd
+    basis = poly_basis(z, order)                     # [n, p+1]
+    wb = basis * w[..., None]
+    gram = _psum_if(wb.T @ basis, axis_name)         # [p+1, p+1]
+    rhs = _psum_if(wb.T @ y, axis_name)              # [p+1]
+
+    eye = jnp.eye(order + 1, dtype=gram.dtype)
+    coeffs = jnp.linalg.solve(gram + ridge * eye, rhs)
+    coeffs = jnp.where(wsum > 0, coeffs, jnp.zeros_like(coeffs))
+    return PolyFit(coeffs, mu, sd)
+
+
+def eval_poly(fit: PolyFit, x):
+    """Evaluate the fitted polynomial at x (Horner in z), matching
+    LSMPricer.cpp:78-84 / MartingaleOptimizationPricer.cpp:180-189 up to the
+    internal reparameterization."""
+    z = (x - fit.mu) / fit.sd
+    order = fit.coeffs.shape[-1] - 1
+    val = fit.coeffs[..., order]
+    for k in range(order - 1, -1, -1):
+        val = val * z + fit.coeffs[..., k]
+    return val

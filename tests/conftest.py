@@ -1,0 +1,32 @@
+"""Test harness configuration.
+
+Tests run on a *virtual 8-device CPU mesh* — the standard JAX trick for
+exercising multi-chip sharding without hardware (SURVEY.md section 4) — and
+must be hermetic even when the ambient session points JAX_PLATFORMS at a
+tunneled TPU.  Plugins (jaxtyping) import jax before this conftest runs, so
+the platform override must go through jax.config, not os.environ.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except AttributeError:  # older jax: XLA_FLAGS path above covers it
+    pass
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

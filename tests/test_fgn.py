@@ -1,0 +1,63 @@
+"""Parity tests of the spectral fGN synthesis against an O(n^2) DFT oracle
+that mirrors the C++ FFT conventions (RoughVolatility.cpp:171-292)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from montecarlooptionspricer_tpu.ops import fgn
+
+import oracles
+
+
+def _setup(n_steps, h=0.1, dt=1.0 / 252.0):
+    t = np.arange(n_steps + 1) * dt
+    lam = oracles.rbergomi_lambda(t, h)
+    phi = oracles.rbergomi_phi(lam)
+    return t, lam, phi
+
+
+def test_phi_matches_cpp_forward_fft():
+    for n_steps in [5, 37, 63, 252, 255]:
+        t, lam, phi_ref = _setup(n_steps)
+        phi = fgn.rbergomi_phi(jnp.asarray(lam))
+        assert phi.shape[0] == oracles.next_pow2(n_steps + 1)
+        np.testing.assert_allclose(np.asarray(phi), phi_ref, rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_fractional_gaussian_matches_oracle(rng):
+    h, eta = 0.12, 1.7
+    for n_steps in [37, 64, 200]:
+        t, lam, phi = _setup(n_steps, h)
+        z = rng.normal(size=(4, n_steps)) + 1j * rng.normal(size=(4, n_steps))
+        ours = fgn.fractional_gaussian(jnp.asarray(phi, jnp.complex64),
+                                       jnp.asarray(z, jnp.complex64), h, eta)
+        for i in range(4):
+            ref = oracles.fractional_gaussian(phi, z[i], h, eta)
+            np.testing.assert_allclose(np.asarray(ours[i]), ref, rtol=1e-3,
+                                       atol=1e-4)
+
+
+def test_fgn_matmul_matches_fft(rng):
+    h, eta = 0.2, 1.1
+    n_steps = 100
+    t, lam, phi = _setup(n_steps, h)
+    z = rng.normal(size=(8, n_steps)) + 1j * rng.normal(size=(8, n_steps))
+    phi_j = jnp.asarray(phi, jnp.complex64)
+    ref = fgn.fractional_gaussian(phi_j, jnp.asarray(z, jnp.complex64), h, eta)
+    cr, ci = fgn.fgn_matrices(jnp.asarray(phi, jnp.complex128), n_steps, h, eta)
+    out = fgn.fractional_gaussian_matmul(
+        cr, ci, jnp.asarray(z.real, jnp.float32), jnp.asarray(z.imag, jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_forward_variance_matches_oracle(rng):
+    h, eta, xi = 0.1, 1.5, 0.04
+    n_steps = 50
+    t = np.arange(n_steps + 1) / 252.0
+    x = rng.normal(0, 0.1, n_steps)
+    ref = oracles.forward_variance(x, t, xi, h, eta)
+    ours = fgn.forward_variance(jnp.asarray(x, jnp.float32),
+                                jnp.asarray(t, jnp.float32), xi, h, eta)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5)
