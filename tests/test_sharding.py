@@ -1,0 +1,78 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md section 4: the standard JAX fake-multi-node trick)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from montecarlooptionspricer_tpu.models import gbm
+from montecarlooptionspricer_tpu.models.closed_form import black_scholes
+from montecarlooptionspricer_tpu.models.pricing import PricerSpec, price_all
+from montecarlooptionspricer_tpu.parallel import (
+    make_mesh, sharded_mean_payoff, sharded_price_rbergomi)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_mean_payoff_european_call():
+    s0, k, r, sigma, t = 100.0, 100.0, 0.04, 0.2, 0.5
+    n_steps = 32
+    dt = t / n_steps
+    mesh = make_mesh(8)
+    run = sharded_mean_payoff(
+        mesh,
+        payoff_fn=lambda p: jnp.maximum(p[:, -1] - k, 0.0) * np.exp(-r * t),
+        generate_fn=lambda key, n: gbm.generate_paths(key, s0, sigma, r,
+                                                      n_steps, n, dt),
+        n_paths=64_000)
+    price = float(run(jax.random.key(0)))
+    ref = black_scholes(s0, k, r, sigma, t, True)
+    assert abs(price - ref) < 0.15, (price, ref)
+
+
+def test_sharded_prices_match_unsharded_distribution():
+    # 8-way sharded pricing must agree with single-device pricing within MC
+    # error at equal path counts (different RNG streams by construction).
+    spec = PricerSpec(r=0.04, strike=100.0, maturity=64 / 252.0,
+                      dt=1.0 / 252.0, is_call=False, sigma=0.25)
+    s0, xi, h, eta, rho = 100.0, 0.05, 0.2, 1.0, -0.4
+    n_steps, n_paths = 64, 16_384
+
+    mesh = make_mesh(8)
+    run = sharded_price_rbergomi(mesh, spec, s0, xi, h, eta, rho, n_steps,
+                                 n_paths)
+    sharded = {k: float(v) for k, v in run(jax.random.key(0)).items()}
+
+    from montecarlooptionspricer_tpu.models import rough_volatility
+    paths = rough_volatility.generate_paths(
+        jax.random.key(123), s0, xi, h, eta, rho, spec.r, n_steps, n_paths,
+        spec.dt)
+    single = {k: float(v) for k, v in
+              price_all(paths, spec, jax.random.key(7)).items()}
+
+    for name in ("asymptotic", "branching", "lsm", "martingale"):
+        a, b = sharded[name], single[name]
+        assert np.isfinite(a) and np.isfinite(b)
+        # ~1e4 paths => MC stderr well under 2% of a ~5-10$ price.
+        assert abs(a - b) < 0.05 * max(1.0, abs(b)), (name, a, b)
+
+
+def test_sharded_deterministic():
+    spec = PricerSpec(maturity=32 / 252.0, is_call=False, sigma=0.3)
+    mesh = make_mesh(8)
+    run = sharded_price_rbergomi(mesh, spec, 100.0, 0.04, 0.15, 1.5, -0.3,
+                                 32, 4096)
+    a = run(jax.random.key(9))
+    b = run(jax.random.key(9))
+    for k in a:
+        assert float(a[k]) == float(b[k])
+
+
+def test_sharded_rejects_indivisible_paths():
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError):
+        sharded_price_rbergomi(mesh, PricerSpec(), 100.0, 0.04, 0.1, 1.0,
+                               -0.3, 16, 1001)
