@@ -1,0 +1,68 @@
+"""PredictionGen CLI — equivalent of the PredictionGen executable
+(src/core/PredictionGen.cpp main).
+
+The reference takes zero arguments and hard-codes every knob
+(SURVEY.md section 5.6); here the reference constants are argparse
+defaults, so `mcop-prediction-gen` with no flags is the parity
+configuration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..config import MarketDefaults, PipelineConfig, PricingConfig
+from ..utils import setup_logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mcop-prediction-gen",
+        description="Augment an options CSV with four Monte Carlo price "
+                    "estimates + realized vol/momentum features.")
+    d_pipe, d_price, d_mkt = PipelineConfig(), PricingConfig(), MarketDefaults()
+    p.add_argument("--option-csv", default=d_pipe.option_csv)
+    p.add_argument("--spot-csv", default=d_pipe.spot_csv)
+    p.add_argument("--output-csv", default=d_pipe.output_csv)
+    p.add_argument("--error-log", default=d_pipe.error_log)
+    p.add_argument("--num-paths", type=int, default=d_price.num_paths,
+                   help="MC paths per row (reference: 250)")
+    p.add_argument("--num-branches", type=int, default=d_price.num_branches)
+    p.add_argument("--poly-order", type=int, default=d_price.poly_order)
+    p.add_argument("--max-iterations", type=int, default=d_price.max_iterations)
+    p.add_argument("--rows-per-batch", type=int, default=d_price.rows_per_batch,
+                   help="rows vmapped into one device program")
+    p.add_argument("--seed", type=int, default=d_price.seed)
+    p.add_argument("--r", type=float, default=d_mkt.r)
+    p.add_argument("--dividend", type=float, default=d_mkt.dividend)
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="shard row batches over this many devices (0 = no mesh)")
+    return p
+
+
+def main(argv=None) -> int:
+    setup_logging()
+    args = build_parser().parse_args(argv)
+    config = PipelineConfig(option_csv=args.option_csv, spot_csv=args.spot_csv,
+                            output_csv=args.output_csv,
+                            error_log=args.error_log)
+    pricing = PricingConfig(num_paths=args.num_paths,
+                            num_branches=args.num_branches,
+                            poly_order=args.poly_order,
+                            max_iterations=args.max_iterations,
+                            rows_per_batch=args.rows_per_batch,
+                            seed=args.seed)
+    market = MarketDefaults(r=args.r, dividend=args.dividend)
+
+    mesh = None
+    if args.mesh_devices:
+        from ..parallel import make_mesh
+        mesh = make_mesh(args.mesh_devices)
+
+    from ..pipeline.driver import run_pipeline
+    return run_pipeline(config, pricing, market, mesh)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -73,7 +73,12 @@ def fit_poly_masked(x, y, w, order: int, axis_name: Optional[str] = None,
     safe_wsum = jnp.maximum(wsum, 1.0)
     mu = _psum_if(jnp.sum(w * x), axis_name) / safe_wsum
     var = _psum_if(jnp.sum(w * (x - mu) ** 2), axis_name) / safe_wsum
-    sd = jnp.sqrt(jnp.maximum(var, 1e-12))
+    # Relative floor: a (near-)constant regressor (e.g. the S0 column at
+    # step 0, where every path holds the same price) must behave as a pure
+    # intercept fit, like the reference SVD's min-norm solution on a rank-1
+    # design — not blow up z to float32 roundoff ratios.
+    sd_floor = 1e-6 * (jnp.abs(mu) + 1.0)
+    sd = jnp.maximum(jnp.sqrt(jnp.maximum(var, 0.0)), sd_floor)
 
     z = (x - mu) / sd
     basis = poly_basis(z, order)                     # [n, p+1]
@@ -81,8 +86,13 @@ def fit_poly_masked(x, y, w, order: int, axis_name: Optional[str] = None,
     gram = _psum_if(wb.T @ basis, axis_name)         # [p+1, p+1]
     rhs = _psum_if(wb.T @ y, axis_name)              # [p+1]
 
+    # Trace-scaled Tikhonov + Cholesky: gram is PSD by construction, so
+    # gram + lam*I is SPD and the solve cannot produce NaN in float32 even
+    # for rank-deficient designs (constant or all-masked regressors).
     eye = jnp.eye(order + 1, dtype=gram.dtype)
-    coeffs = jnp.linalg.solve(gram + ridge * eye, rhs)
+    lam = ridge * (jnp.trace(gram) / (order + 1) + 1.0)
+    chol = jax.scipy.linalg.cho_factor(gram + lam * eye, lower=True)
+    coeffs = jax.scipy.linalg.cho_solve(chol, rhs)
     coeffs = jnp.where(wsum > 0, coeffs, jnp.zeros_like(coeffs))
     return PolyFit(coeffs, mu, sd)
 

@@ -1,0 +1,375 @@
+"""PredictionGen pipeline driver — TPU-native equivalent of
+src/core/PredictionGen.cpp:364-932.
+
+The reference processes CSV rows on an OpenMP team, each row serially
+generating 250 paths and running four pricers (PredictionGen.cpp:542-791).
+Rebuilt TPU-first:
+
+  host:   parse + validate rows, fetch spot history, 20-day vol/momentum,
+          rough-vol parameter estimation (scalar work, float64);
+  device: rows are *bucketed by (step count, option type)* — the two
+          compile-shape axes — and priced in vmapped batches under one jit:
+          each row generates its own [num_paths, steps+1] rBergomi block and
+          runs all four estimators, so a batch of B rows is a single
+          [B x 250 x steps] program with no host round-trips.  Across a
+          multi-chip mesh the batch axis is sharded (data parallelism over
+          rows, the OpenMP-team equivalent; SURVEY.md section 2).
+
+Failure containment mirrors the reference exactly (SURVEY.md section 5.3):
+per-row sentinel ",0,0,0,0,0,0" lines on any validation/pricing failure
+(PredictionGen.cpp:585-651, 825-847), error-count tracking, health watchdog
++ heartbeat, signal handlers, output backup, ordered incremental writes, and
+the spot-data diagnostic dump.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+import os
+import shutil
+import time
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import AUGMENTED_COLUMNS, MarketDefaults, PipelineConfig, PricingConfig
+from ..ops import estimators
+from . import csv_io, spot as spot_mod
+from .watchdog import ProcessStats, Watchdog, install_signal_handlers
+from .writer import OrderedResultWriter, SafeFileWriter
+
+log = logging.getLogger(__name__)
+
+SENTINEL = ",0,0,0,0,0,0"
+
+
+@dataclasses.dataclass
+class RowTask:
+    """A validated row ready for device pricing."""
+
+    index: int
+    line: str
+    n_steps: int
+    is_call: bool
+    s0: float
+    xi: float
+    h: float
+    eta: float
+    rho: float
+    strike: float
+    maturity: float
+    sigma: float
+    dividend: float
+    twenty_day_vol: float
+    twenty_day_momentum: float
+
+
+@dataclasses.dataclass
+class RowResult:
+    index: int
+    line: str
+    values: Tuple[float, float, float, float, float, float]
+
+    def format(self) -> str:
+        return self.line + "," + ",".join(_fmt(v) for v in self.values)
+
+
+def _fmt(v: float) -> str:
+    """Compact float formatting comparable to C++ operator<< defaults."""
+    if v == 0.0:
+        return "0"
+    return f"{v:.6g}"
+
+
+def _parse_row(index: int, line: str, tokens: List[str],
+               spot_data: spot_mod.SpotData, market: MarketDefaults,
+               error) -> Tuple[Optional[RowTask], Optional[str]]:
+    """Validation chain of PredictionGen.cpp:572-777.  Returns
+    (task, None) on success, (None, reason) for a sentinel row, and
+    (None, "") for the no-history case (zeros appended, *not* an error)."""
+    if len(tokens) < 15:
+        return None, "Insufficient columns"
+    try:
+        underlying_last = float(tokens[3])
+        dte_val = float(tokens[4])
+        strike_dist_pct = float(tokens[5])
+    except (ValueError, TypeError) as e:
+        return None, f"Number parsing error: {e}"
+    if (not np.isfinite(underlying_last) or not np.isfinite(dte_val)
+            or not np.isfinite(strike_dist_pct) or underlying_last <= 0.0
+            or dte_val <= 0.0 or not -1.0 <= strike_dist_pct <= 1.0):
+        return None, "Invalid numeric input(s)."
+    ticker = tokens[0]
+    try:
+        option_type = int(tokens[1])
+    except (ValueError, TypeError):
+        return None, "optionType parse error."
+    quote_date = spot_mod.parse_date_mmddyyyy(tokens[2])
+
+    idte = int(dte_val)
+    hist = (spot_mod.fetch_spot_history(spot_data, ticker, quote_date, idte)
+            if quote_date is not None else [])
+    if not hist:
+        # Reference: zeros appended without error count
+        # (PredictionGen.cpp:667, 806-820 with the if-block skipped).
+        return None, ""
+    if len(hist) < 2:
+        hist.append(underlying_last)                    # :669-671
+    if not all(np.isfinite(h) for h in hist):
+        return None, "Non-finite values in spotHist. Skipping."
+
+    vol, momentum = spot_mod.twenty_day_vol_and_momentum(hist)
+
+    maturity = dte_val / market.calendar_days           # :701
+    is_call = option_type == 1
+    strike = underlying_last * (1.0 - strike_dist_pct)  # :704
+    sigma = vol
+    dividend = market.dividend
+    try:
+        dividend = float(tokens[14])                    # :706-715
+    except (ValueError, TypeError):
+        error(f"Row {index}: 'dividend' parse error. Using default "
+              f"{market.dividend}")
+
+    n_steps = int(math.floor(maturity * market.trading_days))  # :718
+    if n_steps < 1:
+        return None, "No time steps => skipping pricer to avoid error."
+    if sigma <= 0.0:
+        # AsymptoticAnalysisPricer.cpp:51-53 throws; the catch in
+        # PredictionGen.cpp:792-805 zeroes the whole row.
+        return None, "Exception inside pricer calls: Volatility must be positive."
+
+    try:
+        rets = estimators.log_returns(np.asarray(hist))
+        params = estimators.RBergomiParams(
+            s0=float(hist[-1]), xi=estimators.estimate_xi(rets),
+            h=estimators.estimate_h(rets), eta=estimators.estimate_eta(rets),
+            rho=estimators.estimate_rho(rets), r=market.r)
+    except (ValueError, FloatingPointError) as e:
+        return None, f"Exception inside pricer calls: {e}"
+
+    return RowTask(index=index, line=line, n_steps=n_steps, is_call=is_call,
+                   s0=params.s0, xi=params.xi, h=params.h, eta=params.eta,
+                   rho=params.rho, strike=strike, maturity=maturity,
+                   sigma=sigma, dividend=dividend, twenty_day_vol=vol,
+                   twenty_day_momentum=momentum), None
+
+
+class BatchedPricer:
+    """Compile-cached vmapped pricing: one program per (n_steps, is_call,
+    batch_size) bucket shape."""
+
+    def __init__(self, pricing: PricingConfig, market: MarketDefaults,
+                 mesh=None):
+        self.pricing = pricing
+        self.market = market
+        self.mesh = mesh
+        self._cache: Dict[Tuple[int, bool, int], object] = {}
+
+    def _build(self, n_steps: int, is_call: bool, batch: int):
+        import jax
+        import jax.numpy as jnp
+        from ..models import rough_volatility
+        from ..models.pricing import PricerSpec, price_all
+
+        p = self.pricing
+        r, dt = self.market.r, self.market.dt
+
+        def one(key, s0, xi, h, eta, rho, strike, maturity, sigma, dividend):
+            kp, kr = jax.random.split(key)
+            paths = rough_volatility.generate_paths(
+                kp, s0, xi, h, eta, rho, r, n_steps, p.num_paths, dt)
+            spec = PricerSpec(r=r, strike=strike, maturity=maturity, dt=dt,
+                              is_call=is_call, sigma=sigma, dividend=dividend,
+                              num_branches=p.num_branches,
+                              poly_order=p.poly_order,
+                              max_iterations=p.max_iterations)
+            out = price_all(paths, spec, kr)
+            return jnp.stack([out["asymptotic"], out["branching"],
+                              out["lsm"], out["martingale"]])
+
+        fn = jax.jit(jax.vmap(one))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+
+            def sharded(keys, *args):
+                args = tuple(jax.device_put(a, sharding) for a in args)
+                return fn(jax.device_put(keys, sharding), *args)
+
+            return sharded
+        return fn
+
+    def price(self, tasks: List[RowTask], base_seed: int) -> np.ndarray:
+        """[len(tasks), 4] prices; rows padded internally to the bucket's
+        batch size so shapes stay compile-stable."""
+        import jax
+        import jax.numpy as jnp
+
+        assert tasks
+        n_steps, is_call = tasks[0].n_steps, tasks[0].is_call
+        batch = self.pricing.rows_per_batch
+        key_sig = (n_steps, is_call, batch)
+        if key_sig not in self._cache:
+            self._cache[key_sig] = self._build(n_steps, is_call, batch)
+        fn = self._cache[key_sig]
+
+        n = len(tasks)
+        pad = batch - n
+        padded = tasks + [tasks[0]] * pad
+
+        base = jax.random.key(base_seed)
+        keys = jnp.stack([jax.random.fold_in(base, t.index) for t in padded])
+        cols = lambda name: jnp.asarray(
+            [getattr(t, name) for t in padded], jnp.float32)
+        out = fn(keys, cols("s0"), cols("xi"), cols("h"), cols("eta"),
+                 cols("rho"), cols("strike"), cols("maturity"), cols("sigma"),
+                 cols("dividend"))
+        return np.asarray(out)[:n]
+
+
+def run_pipeline(config: Optional[PipelineConfig] = None,
+                 pricing: Optional[PricingConfig] = None,
+                 market: Optional[MarketDefaults] = None,
+                 mesh=None) -> int:
+    """main() of PredictionGen (PredictionGen.cpp:364-932).  Returns the
+    process exit code."""
+    config = config or PipelineConfig()
+    pricing = pricing or PricingConfig()
+    market = market or MarketDefaults()
+
+    stats = ProcessStats(config)
+    error_log = SafeFileWriter(config.error_log)
+    install_signal_handlers(stats, error_log.write)
+
+    # Backup any previous output (PredictionGen.cpp:403-413):
+    # foo.csv -> foo.backup.csv.
+    if os.path.exists(config.output_csv):
+        try:
+            base, _ = os.path.splitext(config.output_csv)
+            shutil.copyfile(config.output_csv, base + config.backup_suffix)
+        except OSError:
+            pass
+
+    spot_data = spot_mod.load_spot_prices(config.spot_csv)
+
+    # Diagnostic dump (PredictionGen.cpp:420-437).
+    try:
+        with open(config.diagnostic_csv, "w") as diag:
+            diag.write("Ticker,Date,Price\n")
+            for ticker, daily in spot_data.items():
+                for ymd, px in daily.items():
+                    diag.write(f"{ticker},{ymd},{px:g}\n")
+    except OSError as e:
+        log.error("Failed to open %s: %s", config.diagnostic_csv, e)
+
+    try:
+        header, raw_rows = csv_io.read_table(config.option_csv)
+    except (OSError, ValueError) as e:
+        log.error("Failed to open %s: %s", config.option_csv, e)
+        error_log.close()
+        return 1
+    if not raw_rows:
+        log.error("No data lines found in %s.", config.option_csv)
+        error_log.close()
+        return 1
+    total_rows = len(raw_rows)
+
+    result_file = SafeFileWriter(config.output_csv)
+    result_file.write(",".join(header) + ","
+                      + ",".join(AUGMENTED_COLUMNS) + "\n")
+    writer = OrderedResultWriter(result_file, total_rows)
+
+    watchdog = Watchdog(stats, error_log.write,
+                        progress=lambda: writer.next_row_to_write)
+    watchdog.start()
+
+    def log_row_error(index: int, msg: str) -> None:
+        error_log.write_line(f"Row {index}: {msg}")
+
+    # Host pass: validate + feature-engineer every row, bucket the priceable
+    # ones by compile shape.
+    buckets: Dict[Tuple[int, bool], List[RowTask]] = {}
+    lines: List[str] = []
+    start_time = time.time()
+    for idx, tokens in enumerate(raw_rows):
+        line = ",".join(tokens)
+        lines.append(line)
+        if stats.should_terminate.is_set() or stats.catastrophic_failure:
+            writer.put(idx, line + SENTINEL)
+            continue
+        error_log.write_line(f"Starting row {idx}")
+        try:
+            task, reason = _parse_row(idx, line, tokens, spot_data, market,
+                                      lambda m: error_log.write_line(m))
+        except Exception as e:  # noqa: BLE001 — :825-847 catch-all
+            log_row_error(idx, f"Unexpected error: {e}")
+            writer.put(idx, line + SENTINEL)
+            stats.add_error()
+            continue
+        if task is None:
+            if reason:  # validation failure -> sentinel + error count
+                log_row_error(idx, reason)
+                stats.add_error()
+            writer.put(idx, line + SENTINEL)
+            continue
+        buckets.setdefault((task.n_steps, task.is_call), []).append(task)
+
+    # Device pass: price buckets in batches.
+    pricer = BatchedPricer(pricing, market, mesh)
+    done = writer.next_row_to_write
+    n_priceable = sum(len(v) for v in buckets.values())
+    processed = 0
+    for (n_steps, is_call), tasks in sorted(buckets.items()):
+        b = pricing.rows_per_batch
+        for i in range(0, len(tasks), b):
+            chunk = tasks[i:i + b]
+            if stats.should_terminate.is_set() or stats.catastrophic_failure:
+                for t in chunk:
+                    writer.put(t.index, t.line + SENTINEL)
+                continue
+            try:
+                values = pricer.price(chunk, pricing.seed)
+            except Exception as e:  # noqa: BLE001 — thread-error path :867-881
+                stats.fail(f"Thread error: {e}")
+                error_log.write_line(f"Thread error: {e}")
+                for t in chunk:
+                    writer.put(t.index, t.line + SENTINEL)
+                continue
+            for t, row_vals in zip(chunk, values):
+                if not np.all(np.isfinite(row_vals)):
+                    # Invalid paths / pricer blow-up (:753-777, :792-805).
+                    log_row_error(t.index,
+                                  "Invalid path dimension or inf/nan found.")
+                    writer.put(t.index, t.line + SENTINEL)
+                    stats.add_error()
+                    continue
+                writer.put(t.index, RowResult(
+                    t.index, t.line,
+                    (float(row_vals[0]), float(row_vals[1]),
+                     float(row_vals[2]), float(row_vals[3]),
+                     t.twenty_day_vol, t.twenty_day_momentum)).format())
+            processed += len(chunk)
+            elapsed = time.time() - start_time
+            avg = elapsed / max(processed, 1)
+            remain = avg * (n_priceable - processed)
+            log.info("Progress: %d/%d priceable (%.2f%%), elapsed %.1fs, "
+                     "remain %.1fs, avg/row %.3fs", processed, n_priceable,
+                     100.0 * processed / max(n_priceable, 1), elapsed, remain,
+                     avg)
+
+    writer.flush_remaining()
+    watchdog.stop()
+    if stats.error_count > 0:
+        log.warning("Completed with %d errors. Check %s", stats.error_count,
+                    config.error_log)
+    result_file.close()
+    error_log.close()
+    if stats.catastrophic_failure:
+        log.error("Process failed: %s", stats.failure_reason)
+        return 1
+    log.info("Done. Wrote %s with new columns.", config.output_csv)
+    return 0

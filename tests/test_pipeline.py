@@ -1,0 +1,176 @@
+"""End-to-end pipeline tests on synthetic CSVs: schema, sentinel semantics,
+ordering, error containment (SURVEY.md C10-C13)."""
+
+import datetime
+import os
+
+import numpy as np
+import pytest
+
+from montecarlooptionspricer_tpu.config import (AUGMENTED_COLUMNS,
+                                                MarketDefaults,
+                                                PipelineConfig, PricingConfig)
+from montecarlooptionspricer_tpu.pipeline import csv_io, spot
+from montecarlooptionspricer_tpu.pipeline.driver import run_pipeline
+from montecarlooptionspricer_tpu.pipeline.writer import (OrderedResultWriter,
+                                                         SafeFileWriter)
+
+OPTION_HEADER = ("ticker,option_type,quote_date,underlying_last,dte,"
+                 "strike_distance_pct,delta,gamma,vega,theta,rho,iv,volume,"
+                 "last,dividend")
+
+
+def make_spot_csv(path, rng, tickers=("aapl", "msft"), days=400,
+                  end=datetime.date(2023, 6, 30)):
+    header = ["Date"] + [t.upper() for t in tickers]
+    rows = []
+    prices = {t: 100.0 for t in tickers}
+    for back in range(days, -1, -1):
+        d = end - datetime.timedelta(days=back)
+        row = [f"{d.month}/{d.day}/{d.year}"]
+        for t in tickers:
+            prices[t] *= float(np.exp(rng.normal(0.0003, 0.012)))
+            row.append(f"{prices[t]:.4f}")
+        rows.append(row)
+    csv_io.write_csv(path, header, rows)
+    return {t: prices[t] for t in tickers}
+
+
+def make_option_csv(path, rows):
+    with open(path, "w") as f:
+        f.write(OPTION_HEADER + "\n")
+        for r in rows:
+            f.write(r + "\n")
+
+
+@pytest.fixture
+def workdir(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    finals = make_spot_csv("nasdaq_stock_data.csv", rng)
+    return finals
+
+
+def opt_row(ticker="AAPL", option_type=0, date="6/30/2023", s=100.0, dte=30.0,
+            sdp=0.02, dividend="0.01"):
+    # ticker is lowercased by the spot loader; option rows use the raw token.
+    return (f"{ticker.lower()},{option_type},{date},{s},{dte},{sdp},"
+            f"0.5,0.01,0.2,-0.05,0.03,0.25,100,2.5,{dividend}")
+
+
+def read_output(path="option_data_augmented.csv"):
+    header, rows = csv_io.read_table(path)
+    return header, rows
+
+
+def test_pipeline_end_to_end(workdir):
+    # Anchor underlying_last at the simulated final spot so the strike
+    # (underlying_last * (1 - sdp), PredictionGen.cpp:704) tracks the path
+    # start S0 = hist[-1] and the options are near-the-money.
+    s = round(workdir["aapl"], 4)
+    make_option_csv("option_data.csv", [
+        opt_row(option_type=0, dte=30.0, s=s, sdp=-0.02),
+        opt_row(option_type=1, dte=30.0, s=s, sdp=0.02),
+        opt_row(option_type=0, dte=45.0, s=s, sdp=-0.02),
+    ])
+    rc = run_pipeline(PipelineConfig(), PricingConfig(rows_per_batch=4),
+                      MarketDefaults())
+    assert rc == 0
+    header, rows = read_output()
+    assert header[-6:] == list(AUGMENTED_COLUMNS)
+    assert len(rows) == 3
+    for row in rows:
+        vals = [float(v) for v in row[-6:]]
+        assert all(np.isfinite(vals))
+        # vol/momentum computed from 400-day history must be nonzero
+        assert vals[4] > 0.0
+        # at least one pricer produced a nonzero price
+        assert any(abs(v) > 0 for v in vals[:4])
+    assert os.path.exists("error_log.txt")
+    assert os.path.exists("spot_data_diagnostic.csv")
+
+
+def test_pipeline_sentinel_rows(workdir):
+    make_option_csv("option_data.csv", [
+        "too,short,row",                                   # <15 cols
+        opt_row(s="-5.0"),                                 # invalid numeric
+        opt_row(ticker="ZZZZ"),                            # no spot history
+        opt_row(dte=0.5),                                  # 0 steps
+        opt_row(),                                         # good row
+    ])
+    rc = run_pipeline(PipelineConfig(), PricingConfig(rows_per_batch=4),
+                      MarketDefaults())
+    assert rc == 0
+    _, rows = read_output()
+    assert len(rows) == 5
+    for i in (0, 1, 2, 3):
+        assert rows[i][-6:] == ["0"] * 6, rows[i]
+    assert any(float(v) != 0.0 for v in rows[4][-6:])
+    # order preserved: first token of each output row matches input order
+    assert rows[0][0] == "too"
+
+
+def test_pipeline_backup_of_existing_output(workdir):
+    make_option_csv("option_data.csv", [opt_row()])
+    with open("option_data_augmented.csv", "w") as f:
+        f.write("old contents\n")
+    run_pipeline(PipelineConfig(), PricingConfig(rows_per_batch=2),
+                 MarketDefaults())
+    assert open("option_data_augmented.backup.csv").read() == "old contents\n"
+
+
+def test_pipeline_deterministic(workdir):
+    make_option_csv("option_data.csv", [opt_row(), opt_row(dte=60.0)])
+    run_pipeline(PipelineConfig(), PricingConfig(rows_per_batch=2, seed=5),
+                 MarketDefaults())
+    first = open("option_data_augmented.csv").read()
+    run_pipeline(PipelineConfig(), PricingConfig(rows_per_batch=2, seed=5),
+                 MarketDefaults())
+    assert open("option_data_augmented.csv").read() == first
+
+
+def test_spot_helpers(rng):
+    assert spot.compute_max_days(30) == 300
+    assert spot.compute_max_days(100) == 600
+    assert spot.compute_max_days(365) == 1460
+    assert spot.compute_max_days(1000) == 1825
+    d = spot.parse_date_mmddyyyy("3/7/2021")
+    assert (d.year, d.month, d.day) == (2021, 3, 7)
+    assert spot.parse_date_mmddyyyy("garbage") is None
+
+    prices = list(100.0 * np.exp(np.cumsum(rng.normal(0, 0.01, 30))))
+    vol, mom = spot.twenty_day_vol_and_momentum(prices)
+    assert vol > 0
+    expected_mom = float(np.sum(np.log(np.asarray(prices[-21:])[1:]
+                                       / np.asarray(prices[-21:])[:-1])))
+    assert mom == pytest.approx(expected_mom, rel=1e-9)
+    assert spot.twenty_day_vol_and_momentum(prices[:10]) == (0.0, 0.0)
+
+
+def test_fetch_spot_history_window():
+    data = {"abc": {20230101 + i: 100.0 + i for i in range(0, 28)}}
+    hist = spot.fetch_spot_history(data, "abc", datetime.date(2023, 1, 28),
+                                   dte=1)
+    # 10*1 = 10 days back + quote day, all present
+    assert len(hist) == 11
+    assert hist[-1] == 127.0
+    assert spot.fetch_spot_history(data, "zzz", datetime.date(2023, 1, 5), 1) == []
+
+
+def test_ordered_writer(tmp_path):
+    path = str(tmp_path / "out.csv")
+    with SafeFileWriter(path) as w:
+        ow = OrderedResultWriter(w, 4)
+        ow.put(2, "c")
+        ow.put(0, "a")
+        assert ow.next_row_to_write == 1
+        ow.put(1, "b")
+        assert ow.next_row_to_write == 3
+        ow.put(3, "d")
+    assert open(path).read() == "a\nb\nc\nd\n"
+
+
+def test_csv_split_semantics():
+    assert csv_io.split_line("a,b,c\n") == ["a", "b", "c"]
+    assert csv_io.split_line("a,b,\n") == ["a", "b"]
+    assert csv_io.split_line("a,,b") == ["a", "", "b"]
+    assert csv_io.split_line("\n") == []
