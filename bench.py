@@ -1,0 +1,133 @@
+"""Headline benchmark: rBergomi path generation + LSM American-put pricing
+throughput (paths/sec/chip) at ~1e7 paths x 365 steps on one TPU chip.
+
+This is the BASELINE.md target workload ("paths/sec/chip at 1e7 paths x 365
+steps ... priced with LSM").  The reference publishes no numbers
+(BASELINE.json published: {}), so ``vs_baseline`` is measured here against a
+*batched NumPy float64* implementation of the same algorithm on the host —
+a deliberately strong stand-in for the reference's single-node C++ (batched
+MKL-backed FFT beats the reference's serial per-path hand-rolled radix-2
+loop, RoughVolatility.cpp:346-348).
+
+Prints exactly ONE JSON line to stdout; all telemetry goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+# Workload (overridable for smoke runs).
+N_STEPS = int(os.environ.get("BENCH_STEPS", 365))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 1 << 17))
+N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", 76))      # ~1e7 paths
+PILOT = int(os.environ.get("BENCH_PILOT", 1 << 17))
+BASELINE_PATHS = int(os.environ.get("BENCH_BASELINE_PATHS", 4096))
+
+S0, XI, H, ETA, RHO, R = 100.0, 0.04, 0.1, 1.5, -0.4, 0.04
+STRIKE, DT = 105.0, 1.0 / 252.0
+MATURITY = N_STEPS * DT
+IS_CALL = False
+POLY_ORDER = 2
+
+
+def numpy_baseline(n_paths: int) -> float:
+    """Reference-equivalent single-host pipeline in float64 NumPy: spectral
+    fGN via batched FFT, Euler log-recursion, value-carrying LSM backward
+    induction with per-step lstsq.  Returns paths/sec."""
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+
+    t = np.arange(N_STEPS + 1) * DT
+    lam = 0.5 * t ** (2 * H)
+    m1 = 1 << (N_STEPS + 1 - 1).bit_length()
+    phi = np.conj(np.fft.fft(lam, n=m1))
+    z = rng.standard_normal((n_paths, N_STEPS)) + 1j * rng.standard_normal(
+        (n_paths, N_STEPS))
+    m2 = 1 << (N_STEPS - 1).bit_length()
+    x = np.real(np.fft.fft(phi[:N_STEPS] * z, n=m2, axis=1))[:, :N_STEPS] / m2
+    x *= np.sqrt(2 * H) * ETA
+    v = XI * np.exp(x - 0.5 * ETA**2 * t[:N_STEPS] ** (2 * H))
+    w1 = rng.standard_normal((n_paths, N_STEPS))
+    w2 = rng.standard_normal((n_paths, N_STEPS))
+    dw = (RHO * w1 + np.sqrt(1 - RHO**2) * w2) * np.sqrt(DT)
+    inc = (R - 0.5 * v) * DT + np.sqrt(np.maximum(v, 0.0)) * dw
+    s = S0 * np.exp(np.cumsum(inc, axis=1))
+    paths = np.concatenate([np.full((n_paths, 1), S0), s], axis=1)
+
+    disc = np.exp(-R * DT)
+    values = np.maximum(STRIKE - paths[:, -1], 0.0)
+    for j in range(N_STEPS - 1, -1, -1):
+        vd = values * disc
+        p = np.maximum(STRIKE - paths[:, j], 0.0)
+        itm = p > 1e-14
+        if itm.any():
+            a = np.vander(paths[itm, j], POLY_ORDER + 1, increasing=True)
+            c, *_ = np.linalg.lstsq(a, vd[itm], rcond=None)
+            cont = a @ c
+            values = np.where(itm, np.maximum(p, np.where(
+                itm, np.vander(paths[:, j], POLY_ORDER + 1,
+                               increasing=True) @ c, 0.0)), vd)
+        else:
+            values = vd
+    _ = values.mean()
+    return n_paths / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    import jax
+
+    from montecarlooptionspricer_tpu.models import engine
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} platform={dev.platform}")
+
+    n_paths = CHUNK * N_CHUNKS
+    cfg = engine.StreamConfig(n_paths=n_paths, n_steps=N_STEPS,
+                              chunk_paths=CHUNK, pilot_paths=PILOT, dt=DT,
+                              poly_order=POLY_ORDER)
+
+    def run(key):
+        return engine.price_rbergomi_lsm_streaming(
+            key, S0, XI, H, ETA, RHO, R, STRIKE, MATURITY, IS_CALL, cfg)
+
+    # Warmup/compile with a 1-chunk config.
+    warm_cfg = engine.StreamConfig(n_paths=CHUNK, n_steps=N_STEPS,
+                                   chunk_paths=CHUNK, pilot_paths=PILOT,
+                                   dt=DT, poly_order=POLY_ORDER)
+    t0 = time.perf_counter()
+    engine.price_rbergomi_lsm_streaming(
+        jax.random.key(0), S0, XI, H, ETA, RHO, R, STRIKE, MATURITY, IS_CALL,
+        warm_cfg)
+    log(f"warmup (compile + 1 chunk): {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    price = run(jax.random.key(42))
+    elapsed = time.perf_counter() - t0
+    throughput = (n_paths + PILOT) / elapsed
+    log(f"price={price:.6f} paths={n_paths + PILOT} elapsed={elapsed:.3f}s "
+        f"throughput={throughput:,.0f} paths/s/chip")
+
+    log(f"measuring NumPy float64 baseline on {BASELINE_PATHS} paths...")
+    base = numpy_baseline(BASELINE_PATHS)
+    log(f"baseline: {base:,.0f} paths/s (batched NumPy, single host)")
+
+    print(json.dumps({
+        "metric": "rbergomi_lsm_paths_per_sec_per_chip_1e7x365",
+        "value": round(throughput, 1),
+        "unit": "paths/s/chip",
+        "vs_baseline": round(throughput / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,17 +32,10 @@ from ..ops.timegrid import step_mask
 ITM_EPS = 1e-14
 
 
-def lsm_price(paths, r, strike, maturity, dt, is_call: bool,
-              poly_order: int = 2, axis_name: Optional[str] = None):
-    """American option price by Longstaff-Schwartz regression
-    (LSMPricer.cpp:19-102).
-
-    Args:
-      paths: [n_paths, n_steps + 1] price paths.
-      poly_order: monomial basis order (PredictionGen.cpp:790 passes 2).
-      axis_name: mesh axis name when paths are sharded; the per-step
-        regression then pools moments across shards via psum.
-    """
+def _lsm_backward(paths, r, strike, maturity, dt, is_call: bool,
+                  poly_order: int = 2, axis_name: Optional[str] = None):
+    """Backward induction core: returns (price, per-step fits in reverse
+    time order)."""
     n_paths, m = paths.shape
     disc = jnp.exp(-r * dt)
 
@@ -63,7 +56,38 @@ def lsm_price(paths, r, strike, maturity, dt, is_call: bool,
         any_itm = psum_if(jnp.sum(itm), axis_name) > 0
         v_reg = jnp.where(any_itm, v_exercised, vd)     # :60 empty-ITM skip
         v_new = jnp.where(is_live, v_reg, vd)           # :44-49
-        return v_new, None
+        return v_new, fit
 
-    v_final, _ = jax.lax.scan(step, v_init, (s_cols, live))
-    return global_mean(v_final, axis_name)              # :97-101
+    v_final, fits_rev = jax.lax.scan(step, v_init, (s_cols, live))
+    price = global_mean(v_final, axis_name)             # :97-101
+    return price, fits_rev
+
+
+def lsm_price(paths, r, strike, maturity, dt, is_call: bool,
+              poly_order: int = 2, axis_name: Optional[str] = None):
+    """American option price by Longstaff-Schwartz regression
+    (LSMPricer.cpp:19-102).
+
+    Args:
+      paths: [n_paths, n_steps + 1] price paths.
+      poly_order: monomial basis order (PredictionGen.cpp:790 passes 2).
+      axis_name: mesh axis name when paths are sharded; the per-step
+        regression then pools moments across shards via psum.
+    """
+    price, _ = lsm_fit(paths, r, strike, maturity, dt, is_call, poly_order,
+                       axis_name)
+    return price
+
+
+def lsm_fit(paths, r, strike, maturity, dt, is_call: bool,
+            poly_order: int = 2, axis_name: Optional[str] = None):
+    """LSM price plus the per-step regression fits, for use as an exercise
+    *policy* on an independent (and arbitrarily large) path set — the
+    scale path of this framework (see models/engine.py).
+
+    Returns (price, fits) where fits is a PolyFit pytree with leading axis
+    of length n_steps in *forward* time order (index j covers step j)."""
+    price, fits_rev = _lsm_backward(paths, r, strike, maturity, dt, is_call,
+                                    poly_order, axis_name)
+    fits = jax.tree.map(lambda a: jnp.flip(a, axis=0), fits_rev)
+    return price, fits

@@ -1,0 +1,90 @@
+"""Streaming large-scale LSM engine tests (models/engine.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from montecarlooptionspricer_tpu.models import engine, lsm
+from montecarlooptionspricer_tpu.models.closed_form import (
+    binomial_american, black_scholes)
+
+
+def test_chunk_pathgen_matches_reference_generator_statistics():
+    # The matmul-fGN chunk generator must produce the same distribution as
+    # rough_volatility.generate_paths: compare mean/std of terminal prices.
+    from montecarlooptionspricer_tpu.models import rough_volatility
+
+    kwargs = dict(s0=100.0, xi=0.05, h=0.15, eta=1.4, rho=-0.5, r=0.04)
+    n_steps, n = 64, 1 << 14
+    gen = engine.make_chunk_pathgen(**kwargs, n_steps=n_steps,
+                                    dt=1 / 252, chunk_paths=n)
+    a = gen(jax.random.key(0))
+    b = rough_volatility.generate_paths(jax.random.key(1), **kwargs,
+                                        n_steps=n_steps, n_paths=n,
+                                        dt=1 / 252)
+    assert a.shape == b.shape == (n, n_steps + 1)
+    ma, mb = float(a[:, -1].mean()), float(b[:, -1].mean())
+    sa, sb = float(a[:, -1].std()), float(b[:, -1].std())
+    se = sb / np.sqrt(n)
+    assert abs(ma - mb) < 5 * se, (ma, mb, se)
+    assert abs(sa - sb) / sb < 0.1
+
+
+def test_policy_value_consistent_with_lsm_fit():
+    # On GBM (eta ~ 0), the streamed policy estimate must agree with the
+    # in-memory LSM price within MC error (policy estimator is a lower
+    # bound of a slightly upward-biased estimator -> allow one-sided slack).
+    s0, strike, r, sigma, t = 100.0, 105.0, 0.04, 0.25, 0.25
+    n_steps = 63
+    dt = t / n_steps
+    cfg = engine.StreamConfig(n_paths=1 << 15, n_steps=n_steps,
+                              chunk_paths=1 << 13, pilot_paths=1 << 13,
+                              dt=dt)
+    price = engine.price_rbergomi_lsm_streaming(
+        jax.random.key(0), s0, xi=sigma * sigma, h=0.5, eta=1e-6, rho=-0.3,
+        r=r, strike=strike, maturity=t, is_call=False, config=cfg)
+
+    from montecarlooptionspricer_tpu.models import gbm
+    paths = gbm.generate_paths(jax.random.key(5), s0, sigma, r, n_steps,
+                               1 << 15, dt)
+    ref = float(lsm.lsm_price(paths, r, strike, t, dt, False, 2))
+    amer = binomial_american(s0, strike, r, sigma, t, False, steps=1000)
+    euro = black_scholes(s0, strike, r, sigma, t, False)
+    # Sanity triangle: policy price near the binomial American value.
+    assert euro - 0.2 < price < amer * 1.05, (price, euro, amer)
+    assert abs(price - amer) / amer < 0.05, (price, amer)
+    assert abs(price - ref) / ref < 0.08, (price, ref)
+
+
+def test_streaming_deterministic_and_chunk_invariant():
+    cfg1 = engine.StreamConfig(n_paths=1 << 13, n_steps=32,
+                               chunk_paths=1 << 12, pilot_paths=1 << 11)
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    a = engine.price_rbergomi_lsm_streaming(jax.random.key(3), **kwargs,
+                                            config=cfg1)
+    b = engine.price_rbergomi_lsm_streaming(jax.random.key(3), **kwargs,
+                                            config=cfg1)
+    assert a == b
+
+
+def test_streaming_rejects_indivisible():
+    cfg = engine.StreamConfig(n_paths=1000, n_steps=16, chunk_paths=512)
+    with pytest.raises(ValueError):
+        engine.price_rbergomi_lsm_streaming(
+            jax.random.key(0), 100.0, 0.04, 0.2, 1.0, -0.3, 0.04, 100.0,
+            16 / 252.0, False, cfg)
+
+
+def test_lsm_fit_shapes():
+    from montecarlooptionspricer_tpu.models import gbm
+    paths = gbm.generate_paths(jax.random.key(0), 100.0, 0.2, 0.04, 20,
+                               256, 1 / 252)
+    price, fits = lsm.lsm_fit(paths, 0.04, 110.0, 21 / 252, 1 / 252, False, 2)
+    assert fits.coeffs.shape == (20, 3)
+    assert fits.mu.shape == (20,) and fits.sd.shape == (20,)
+    assert np.isfinite(float(price))
+    # Forward-time ordering: at step 0 every path is ITM (strike 110 put,
+    # S0 = 100), so the regressor center is exactly S0.
+    assert abs(float(fits.mu[0]) - 100.0) < 1e-3

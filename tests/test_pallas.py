@@ -1,0 +1,70 @@
+"""Pallas fused path-generation kernel tests.
+
+The math path (fGN matmul + variance + Euler cumsum) is validated
+elementwise against the XLA generator using the noise-injection variant —
+runnable on CPU via the TPU interpreter.  The in-kernel RNG variant needs a
+real TPU (the interpreter stubs prng_random_bits to zeros in this JAX
+version); its distribution is exercised by scripts/verify_tpu.py and
+bench.py on hardware.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from montecarlooptionspricer_tpu.models import engine, pathgen_pallas
+
+KW = dict(s0=100.0, xi=0.05, h=0.15, eta=1.4, rho=-0.5, r=0.04)
+
+
+def xla_paths_from_noise(noise, n_steps, dt=1 / 252):
+    """The engine generator's math, fed with explicit noise planes."""
+    zr, zi, w1, w2 = noise[:, :, :n_steps]
+    cr, ci = engine._fgn_matrices_host(n_steps, KW["h"], KW["eta"], dt,
+                                       jnp.float32)
+    x = zr @ cr - zi @ ci
+    t = np.arange(n_steps + 1) * dt
+    v = KW["xi"] * np.exp(np.asarray(x)
+                          - 0.5 * KW["eta"] ** 2 * t[:n_steps] ** (2 * KW["h"]))
+    rho = KW["rho"]
+    dw = (rho * w1 + np.sqrt(1 - rho**2) * w2) * np.sqrt(dt)
+    inc = (KW["r"] - 0.5 * v) * dt + np.sqrt(np.maximum(v, 0)) * dw
+    s = KW["s0"] * np.exp(np.cumsum(np.asarray(inc), axis=1))
+    return np.concatenate([np.full((noise.shape[1], 1), KW["s0"]), s], axis=1)
+
+
+def test_pallas_math_path_matches_xla_elementwise(rng):
+    n_steps, chunk = 96, 512
+    gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
+        **KW, n_steps=n_steps, dt=1 / 252, chunk_paths=chunk,
+        block_paths=256, interpret=True)
+    noise = np.zeros((4, chunk, s_pad), np.float32)
+    noise[:, :, :n_steps] = rng.normal(size=(4, chunk, n_steps))
+    ours = np.asarray(gen(jnp.asarray(noise)))
+    ref = xla_paths_from_noise(noise, n_steps)
+    assert ours.shape == (chunk, n_steps + 1)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4)
+
+
+def test_pallas_math_path_nonaligned_steps(rng):
+    # 365 steps pads to 384 lanes; padded tail must not leak into output.
+    n_steps, chunk = 37, 256
+    gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
+        **KW, n_steps=n_steps, dt=1 / 252, chunk_paths=chunk,
+        block_paths=256, interpret=True)
+    noise = np.zeros((4, chunk, s_pad), np.float32)
+    noise[:, :, :n_steps] = rng.normal(size=(4, chunk, n_steps))
+    # garbage in the padded tail should be ignored (C matrices zero there,
+    # increments masked)
+    noise[:, :, n_steps:] = 99.0
+    ours = np.asarray(gen(jnp.asarray(noise)))
+    ref = xla_paths_from_noise(noise, n_steps)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4)
+    assert np.all(np.isfinite(ours))
+
+
+def test_pallas_rejects_bad_block():
+    with pytest.raises(ValueError):
+        pathgen_pallas.make_pallas_pathgen(
+            **KW, n_steps=32, dt=1 / 252, chunk_paths=1000, block_paths=256)
