@@ -84,6 +84,11 @@ def numpy_baseline(n_paths: int) -> float:
 
 
 def main() -> None:
+    from montecarlooptionspricer_tpu.utils import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    log(f"compilation cache: {cache_dir}")
+
     import jax
 
     from montecarlooptionspricer_tpu.models import engine
@@ -94,24 +99,19 @@ def main() -> None:
     n_paths = CHUNK * N_CHUNKS
     cfg = engine.StreamConfig(n_paths=n_paths, n_steps=N_STEPS,
                               chunk_paths=CHUNK, pilot_paths=PILOT, dt=DT,
-                              poly_order=POLY_ORDER)
+                              poly_order=POLY_ORDER,
+                              chunks_per_call=N_CHUNKS)
+    pricer = engine.StreamingPricer(S0, XI, H, ETA, RHO, R, STRIKE,
+                                    MATURITY, IS_CALL, cfg)
 
-    def run(key):
-        return engine.price_rbergomi_lsm_streaming(
-            key, S0, XI, H, ETA, RHO, R, STRIKE, MATURITY, IS_CALL, cfg)
-
-    # Warmup/compile with a 1-chunk config.
-    warm_cfg = engine.StreamConfig(n_paths=CHUNK, n_steps=N_STEPS,
-                                   chunk_paths=CHUNK, pilot_paths=PILOT,
-                                   dt=DT, poly_order=POLY_ORDER)
+    # Warmup: same compiled programs (chunk count is a traced argument),
+    # one chunk of work.
     t0 = time.perf_counter()
-    engine.price_rbergomi_lsm_streaming(
-        jax.random.key(0), S0, XI, H, ETA, RHO, R, STRIKE, MATURITY, IS_CALL,
-        warm_cfg)
+    pricer.price(jax.random.key(0), n_paths=CHUNK)
     log(f"warmup (compile + 1 chunk): {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    price = run(jax.random.key(42))
+    price = pricer.price(jax.random.key(42))
     elapsed = time.perf_counter() - t0
     throughput = (n_paths + PILOT) / elapsed
     log(f"price={price:.6f} paths={n_paths + PILOT} elapsed={elapsed:.3f}s "

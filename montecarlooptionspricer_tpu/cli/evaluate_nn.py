@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 from ..config import EvalConfig, INPUT_COLUMNS, TARGET_COLUMN, TrainConfig
-from ..utils import setup_logging
+from ..utils import enable_persistent_cache, setup_logging
 
 log = logging.getLogger(__name__)
 
@@ -37,6 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     setup_logging()
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
 
     from ..nn.data import read_csv

@@ -13,7 +13,7 @@ import argparse
 import sys
 
 from ..config import MarketDefaults, PipelineConfig, PricingConfig
-from ..utils import setup_logging
+from ..utils import enable_persistent_cache, setup_logging
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -43,6 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     setup_logging()
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     config = PipelineConfig(option_csv=args.option_csv, spot_csv=args.spot_csv,
                             output_csv=args.output_csv,

@@ -30,7 +30,7 @@ FLOPs on the systolic array.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+import functools
 from typing import Optional
 
 import numpy as np
@@ -147,6 +147,96 @@ def lsm_policy_value(paths, fits: PolyFit, r, strike, maturity, dt,
     return jnp.sum(value), n
 
 
+class StreamingPricer:
+    """Reusable fit-then-stream pricer: builds its two jitted programs ONCE
+    per (market params, contract, config) and reuses them across ``price``
+    calls.
+
+    Two compile units total, regardless of path count or call pattern:
+      * ``_fit``   — pilot path block + LSM backward induction -> PolyFit;
+      * ``_stream``— on-device ``lax.fori_loop`` over chunks with the chunk
+        *count as a traced argument* (a dynamic while-loop bound), so the
+        final partial call reuses the same executable instead of triggering
+        a recompile.  One host dispatch covers ``chunks_per_call`` chunks;
+        no path data ever crosses the host boundary, only the accumulated
+        payoff sum.
+    """
+
+    def __init__(self, s0, xi, h, eta, rho, r, strike, maturity,
+                 is_call: bool, config: StreamConfig):
+        dtype = jnp.dtype(config.dtype)
+        fgn_dtype = jnp.dtype(config.fgn_matmul_dtype)
+        n_steps, dt = config.n_steps, config.dt
+        self.config = config
+
+        pilot_gen = make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                       config.pilot_paths, dtype, fgn_dtype)
+        chunk_gen = make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                       config.chunk_paths, dtype, fgn_dtype)
+
+        def fit_fn(k):
+            pilot = pilot_gen(k)
+            _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call,
+                              config.poly_order)
+            return fits
+
+        def stream_fn(k, fits, start, count):
+            def body(i, total):
+                paths = chunk_gen(jax.random.fold_in(k, start + i))
+                s, _ = lsm_policy_value(paths, fits, r, strike, maturity,
+                                        dt, is_call)
+                return total + s.astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, count, body,
+                                     jnp.zeros((), jnp.float32))
+
+        self._fit = jax.jit(fit_fn)
+        self._stream = jax.jit(stream_fn)
+
+    def _keys(self, key):
+        if self.config.rng_impl != "threefry":
+            # Re-seed into the requested PRNG family (e.g. "rbg", which maps
+            # to XLA's hardware-accelerated rng_bit_generator on TPU).
+            seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+            key = jax.random.key(seed, impl=self.config.rng_impl)
+        return jax.random.split(key)
+
+    def price(self, key, progress=None, n_paths: Optional[int] = None) -> float:
+        """Price on ``n_paths`` (default ``config.n_paths``) fresh paths
+        derived from ``key``.  Any multiple of ``chunk_paths`` reuses the
+        same compiled programs."""
+        config = self.config
+        if n_paths is None:
+            n_paths = config.n_paths
+        n_chunks, rem = divmod(n_paths, config.chunk_paths)
+        if rem:
+            raise ValueError(
+                f"n_paths={n_paths} not divisible by chunk_paths="
+                f"{config.chunk_paths}")
+        k_pilot, k_stream = self._keys(key)
+        fits = self._fit(k_pilot)
+
+        # Host accumulation in float64: each on-device call sums at most
+        # chunks_per_call chunks in float32 (bounded magnitude); the
+        # cross-call reduction happens here at full precision.
+        total = 0.0
+        done = 0
+        while done < n_chunks:
+            count = min(config.chunks_per_call, n_chunks - done)
+            total += float(self._stream(k_stream, fits, done, count))
+            done += count
+            if progress is not None:
+                progress(done, n_chunks)
+        return total / n_paths
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_pricer(s0, xi, h, eta, rho, r, strike, maturity, is_call,
+                   config) -> StreamingPricer:
+    return StreamingPricer(s0, xi, h, eta, rho, r, strike, maturity,
+                           is_call, config)
+
+
 def price_rbergomi_lsm_streaming(key, s0, xi, h, eta, rho, r, strike,
                                  maturity, is_call: bool,
                                  config: StreamConfig,
@@ -154,61 +244,12 @@ def price_rbergomi_lsm_streaming(key, s0, xi, h, eta, rho, r, strike,
     """North-star workload: price one American option on ``config.n_paths``
     rBergomi paths with LSM, never holding more than one chunk in memory.
 
-    The chunk loop runs *on device* (`lax.fori_loop`): one host dispatch
-    covers ``chunks_per_call`` chunks, each regenerated from
-    ``fold_in(key, chunk_index)`` — no path data ever crosses the host
-    boundary, only the accumulated payoff sum."""
-    dtype = jnp.dtype(config.dtype)
-    fgn_dtype = jnp.dtype(config.fgn_matmul_dtype)
-    n_steps, dt = config.n_steps, config.dt
-
-    if config.rng_impl != "threefry":
-        # Re-seed into the requested PRNG family (e.g. "rbg", which maps to
-        # XLA's hardware-accelerated rng_bit_generator on TPU).
-        seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
-        key = jax.random.key(seed, impl=config.rng_impl)
-    k_pilot, k_stream = jax.random.split(key)
-
-    # Phase 1: pilot fit.
-    pilot_gen = make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
-                                   config.pilot_paths, dtype, fgn_dtype)
-
-    @jax.jit
-    def fit_fn(k):
-        pilot = pilot_gen(k)
-        _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call,
-                          config.poly_order)
-        return fits
-
-    fits = fit_fn(k_pilot)
-
-    # Phase 2: streamed policy evaluation, fori_loop over chunks on device.
-    chunk_gen = make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
-                                   config.chunk_paths, dtype, fgn_dtype)
-
-    n_chunks, rem = divmod(config.n_paths, config.chunk_paths)
-    if rem:
-        raise ValueError(
-            f"n_paths={config.n_paths} not divisible by chunk_paths="
-            f"{config.chunk_paths}")
-
-    @partial(jax.jit, static_argnames=("count",))
-    def stream_fn(k, fits, start, count):
-        def body(i, total):
-            paths = chunk_gen(jax.random.fold_in(k, start + i))
-            s, _ = lsm_policy_value(paths, fits, r, strike, maturity, dt,
-                                    is_call)
-            return total + s.astype(jnp.float64 if total.dtype ==
-                                    jnp.float64 else jnp.float32)
-
-        return jax.lax.fori_loop(0, count, body, jnp.zeros((), jnp.float32))
-
-    total = 0.0
-    done = 0
-    while done < n_chunks:
-        count = min(config.chunks_per_call, n_chunks - done)
-        total += float(stream_fn(k_stream, fits, done, count))
-        done += count
-        if progress is not None:
-            progress(done, n_chunks)
-    return total / config.n_paths
+    Thin wrapper over :class:`StreamingPricer`; pricers are memoized on the
+    full (market, contract, config) signature so repeated calls — including
+    calls at different ``n_paths`` with the same chunk size — reuse the same
+    two compiled programs."""
+    base = dataclasses.replace(config, n_paths=config.chunk_paths)
+    pricer = _cached_pricer(float(s0), float(xi), float(h), float(eta),
+                            float(rho), float(r), float(strike),
+                            float(maturity), bool(is_call), base)
+    return pricer.price(key, progress=progress, n_paths=config.n_paths)

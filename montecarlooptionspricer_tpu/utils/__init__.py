@@ -1,1 +1,2 @@
+from .jit_cache import enable_persistent_cache  # noqa: F401
 from .logging_utils import setup_logging  # noqa: F401
