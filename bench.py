@@ -97,10 +97,20 @@ def main() -> None:
     log(f"device: {dev} platform={dev.platform}")
 
     n_paths = CHUNK * N_CHUNKS
+    # Measured-fastest v5e configuration (see models/engine.StreamConfig):
+    # fused Pallas path kernel (in-kernel hardware PRNG, MXU fGN + MXU
+    # triangular-matmul accumulation).  BENCH_PATHGEN=xla selects the
+    # portable generator (rbg RNG, MXU cumsum, bf16 fGN inputs).
     cfg = engine.StreamConfig(n_paths=n_paths, n_steps=N_STEPS,
                               chunk_paths=CHUNK, pilot_paths=PILOT, dt=DT,
                               poly_order=POLY_ORDER,
-                              chunks_per_call=N_CHUNKS)
+                              chunks_per_call=N_CHUNKS,
+                              pathgen_impl=os.environ.get(
+                                  "BENCH_PATHGEN", "pallas"),
+                              rng_impl=os.environ.get("BENCH_RNG", "rbg"),
+                              cumsum_impl="matmul",
+                              fgn_matmul_dtype=os.environ.get(
+                                  "BENCH_FGN_DTYPE", "bfloat16"))
     pricer = engine.StreamingPricer(S0, XI, H, ETA, RHO, R, STRIKE,
                                     MATURITY, IS_CALL, cfg)
 

@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dividend", type=float, default=d_mkt.dividend)
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="shard row batches over this many devices (0 = no mesh)")
+    p.add_argument("--resume", action="store_true",
+                   help="append to an existing output CSV, continuing from "
+                        "the first unwritten row (the reference restarts "
+                        "from scratch)")
+    p.add_argument("--trace-dir", default="",
+                   help="capture a jax.profiler trace of the run here")
     return p
 
 
@@ -62,7 +68,10 @@ def main(argv=None) -> int:
         mesh = make_mesh(args.mesh_devices)
 
     from ..pipeline.driver import run_pipeline
-    return run_pipeline(config, pricing, market, mesh)
+    from ..utils import device_trace
+    with device_trace(args.trace_dir):
+        return run_pipeline(config, pricing, market, mesh,
+                            resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,89 @@
+"""Pathwise Greeks by automatic differentiation — a TPU-native capability
+with no reference equivalent (the C++ pricers return only prices,
+LSMPricer.h:8-14 etc.; Greeks there would need finite-difference re-runs).
+
+Because every estimator here is a pure jit-compiled function of its market
+inputs, one ``jax.grad`` gives smooth pathwise sensitivities from the SAME
+Monte Carlo draws as the price — no finite-difference bias, no extra
+variance from re-simulation, and one compiled program for (price, greeks).
+
+Semantics: the derivative flows through path generation (s0, xi, eta, rho,
+r enter the Euler recursion and variance curve) and through the pricer's
+smooth operations; kinks (payoff max, exercise indicator) are almost-surely
+differentiable, so the estimator is the standard pathwise-derivative method
+(unbiased for Lipschitz payoffs; for LSM it is the value-function envelope
+derivative with the regression policy fixed at the optimum).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import rough_volatility
+from .lsm import lsm_price
+from .pricing import PricerSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class Greeks:
+    """First-order sensitivities of one Monte Carlo price."""
+
+    price: float
+    delta: float      # d price / d s0
+    vega_xi: float    # d price / d xi (forward-variance level)
+    rho_rate: float   # d price / d r  (interest-rate rho)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_paths", "is_call",
+                                   "poly_order"))
+def _lsm_value_and_grads(key, s0, xi, h, eta, rho, r, strike, maturity, dt,
+                         *, n_steps: int, n_paths: int, is_call: bool,
+                         poly_order: int):
+    def value(s0_, xi_, r_):
+        paths = rough_volatility.generate_paths(
+            key, s0_, xi_, h, eta, rho, r_, n_steps, n_paths, dt)
+        return lsm_price(paths, r_, strike, maturity, dt, is_call, poly_order)
+
+    price, grads = jax.value_and_grad(value, argnums=(0, 1, 2))(s0, xi, r)
+    return price, grads
+
+
+def lsm_greeks(key, s0, xi, h, eta, rho, r, strike, maturity,
+               n_steps: int, n_paths: int, dt: float = 1.0 / 252.0,
+               is_call: bool = False, poly_order: int = 2) -> Greeks:
+    """Price + pathwise (delta, vega_xi, rho) for an American option priced
+    with LSM on rBergomi paths, all from one reverse-mode pass."""
+    price, (d_s0, d_xi, d_r) = _lsm_value_and_grads(
+        key, s0, xi, h, eta, rho, r, strike, maturity, dt,
+        n_steps=n_steps, n_paths=n_paths, is_call=is_call,
+        poly_order=poly_order)
+    return Greeks(price=float(price), delta=float(d_s0),
+                  vega_xi=float(d_xi), rho_rate=float(d_r))
+
+
+def european_greeks(key, s0, sigma, r, strike, maturity, n_steps: int,
+                    n_paths: int, dt: Optional[float] = None,
+                    is_call: bool = True) -> Greeks:
+    """European GBM control case (validatable against Black-Scholes):
+    pathwise delta/vega/rho of the discounted terminal payoff."""
+    dt = maturity / n_steps if dt is None else dt
+
+    @partial(jax.jit, static_argnames=())
+    def run(s0_, sigma_, r_):
+        z = jax.random.normal(key, (n_paths, n_steps), jnp.float32)
+        inc = (r_ - 0.5 * sigma_**2) * dt + sigma_ * jnp.sqrt(dt) * z
+        st = s0_ * jnp.exp(jnp.sum(inc, axis=-1))
+        pay = jnp.maximum(st - strike, 0.0) if is_call else jnp.maximum(
+            strike - st, 0.0)
+        return jnp.exp(-r_ * maturity) * jnp.mean(pay)
+
+    price, (d_s0, d_sig, d_r) = jax.value_and_grad(
+        run, argnums=(0, 1, 2))(jnp.float32(s0), jnp.float32(sigma),
+                                jnp.float32(r))
+    return Greeks(price=float(price), delta=float(d_s0),
+                  vega_xi=float(d_sig), rho_rate=float(d_r))

@@ -44,8 +44,9 @@ def _round_up(x: int, m: int) -> int:
 
 def _uniform_open(bits):
     """uint32 -> float32 uniform in (0, 1]: (bits >> 8) * 2^-24, shifted
-    away from zero so log() is safe."""
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    away from zero so log() is safe.  Mosaic has no uint32->f32 cast, so
+    route through int32 (after >> 8 the value fits in 24 bits, positive)."""
+    u = (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
     return u + (0.5 / (1 << 24))
 
 
@@ -60,10 +61,10 @@ def _normals(shape):
     return rad * jnp.cos(ang), rad * jnp.sin(ang)
 
 
-def _euler_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, out_ref, *,
-                      n_steps: int, s_pad: int, xi: float, r: float,
-                      rho: float, dt: float, log_s0: float):
-    """Shared math path: fGN matmul + variance curve + Euler cumsum."""
+def _euler_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
+                      out_ref, *, n_steps: int, s_pad: int, xi: float,
+                      r: float, rho: float, dt: float, log_s0: float):
+    """Shared math path: fGN matmul + variance curve + Euler accumulation."""
     block = out_ref.shape[0]
     # fGN via MXU: X = Zr @ Cr - Zi @ Ci (padded cols of C are zero, so the
     # padded tail of Z is annihilated in the products' valid columns).
@@ -75,33 +76,39 @@ def _euler_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, out_ref, *,
     dw = (rho * w1 + rho_c * w2) * math.sqrt(dt)
     inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(v, 0.0)) * dw
 
-    # Zero the padded step columns so the cumsum stays flat past n_steps.
+    # Zero the padded step columns so the accumulation stays flat past
+    # n_steps (belt and braces: tri's padded rows are zero too).
     col = jax.lax.broadcasted_iota(jnp.int32, (block, s_pad), 1)
     inc = jnp.where(col < n_steps, inc, 0.0)
 
-    log_s = log_s0 + jnp.cumsum(inc, axis=1)
+    # Cumulative sum as an MXU product with the upper-triangular ones
+    # matrix (Pallas TPU has no cumsum lowering; the matmul is also the
+    # faster form at these step counts).
+    log_s = log_s0 + jnp.dot(inc, tri_ref[:],
+                             preferred_element_type=jnp.float32)
     s = jnp.exp(log_s)
     # out[:, 0] = S0; out[:, 1:n_steps+1] = S.
     out_ref[:, 0] = jnp.full((block,), math.exp(log_s0), jnp.float32)
     out_ref[:, 1:] = s[:, : out_ref.shape[1] - 1]
 
 
-def _pathgen_kernel(seed_ref, cr_ref, ci_ref, vd_ref, out_ref, **kw):
+def _pathgen_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, out_ref, **kw):
     """Production kernel: in-kernel hardware PRNG (zero HBM noise traffic)."""
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     block, s_pad = out_ref.shape[0], kw["s_pad"]
     zr, zi = _normals((block, s_pad))
     w1, w2 = _normals((block, s_pad))
-    _euler_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, out_ref, **kw)
+    _euler_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
+                      out_ref, **kw)
 
 
-def _pathgen_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, out_ref,
-                             **kw):
+def _pathgen_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
+                             out_ref, **kw):
     """Test kernel: noise supplied as input — lets the math path be checked
     bit-for-bit against the XLA generator on any backend (the TPU
     interpreter stubs prng_random_bits to zeros in this JAX version)."""
     _euler_from_noise(noise_ref[0], noise_ref[1], noise_ref[2], noise_ref[3],
-                      cr_ref, ci_ref, vd_ref, out_ref, **kw)
+                      cr_ref, ci_ref, vd_ref, tri_ref, out_ref, **kw)
 
 
 def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
@@ -121,6 +128,10 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     vd = -0.5 * (eta * eta) * t ** (2.0 * h)
     vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
         jnp.asarray(vd, jnp.float32))
+    # Upper-triangular ones, rows past n_steps zeroed (annihilates padding).
+    tri = np.triu(np.ones((s_pad, s_pad), np.float32))
+    tri[n_steps:, :] = 0.0
+    tri_p = jnp.asarray(tri)
 
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
               rho=float(rho), dt=float(dt), log_s0=float(math.log(s0)))
@@ -143,13 +154,15 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                          memory_space=pltpu.VMEM),          # Ci
             pl.BlockSpec((1, s_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),          # var drift
+            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # cumsum tri
         ],
         out_specs=pl.BlockSpec((block_paths, out_cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((chunk_paths, out_cols), jnp.float32),
         interpret=pltpu.InterpretParams() if interpret else False,
     )
-    return call, (cr_p, ci_p, vd_p), s_pad
+    return call, (cr_p, ci_p, vd_p, tri_p), s_pad
 
 
 def make_pallas_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,

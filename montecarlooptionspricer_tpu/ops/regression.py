@@ -78,7 +78,11 @@ def fit_poly_masked(x, y, w, order: int, axis_name: Optional[str] = None,
     # intercept fit, like the reference SVD's min-norm solution on a rank-1
     # design — not blow up z to float32 roundoff ratios.
     sd_floor = 1e-6 * (jnp.abs(mu) + 1.0)
-    sd = jnp.maximum(jnp.sqrt(jnp.maximum(var, 0.0)), sd_floor)
+    # max(sqrt(var), floor) == sqrt(max(var, floor^2)) for monotone sqrt,
+    # but only the latter is grad-safe: the former hits 0 * sqrt'(0) = NaN
+    # in reverse mode whenever var == 0 (e.g. the constant S0 column), which
+    # would poison the AD Greeks (models/greeks.py).
+    sd = jnp.sqrt(jnp.maximum(var, sd_floor * sd_floor))
 
     z = (x - mu) / sd
     basis = poly_basis(z, order)                     # [n, p+1]

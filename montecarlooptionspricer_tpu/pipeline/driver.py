@@ -231,10 +231,27 @@ class BatchedPricer:
         return np.asarray(out)[:n]
 
 
+def _resume_row_count(output_csv: str, expected_header: str) -> int:
+    """Completed data rows in a previous run's output, or 0 when the file is
+    absent/foreign (header mismatch).  The reference has no pipeline resume
+    at all (SURVEY.md section 5.4) — this is a deliberate upgrade: re-running
+    after an interruption appends from the first unwritten row."""
+    if not os.path.exists(output_csv):
+        return 0
+    try:
+        with open(output_csv) as f:
+            header = f.readline().rstrip("\n")
+            if header != expected_header:
+                return 0
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
 def run_pipeline(config: Optional[PipelineConfig] = None,
                  pricing: Optional[PricingConfig] = None,
                  market: Optional[MarketDefaults] = None,
-                 mesh=None) -> int:
+                 mesh=None, resume: bool = False) -> int:
     """main() of PredictionGen (PredictionGen.cpp:364-932).  Returns the
     process exit code."""
     config = config or PipelineConfig()
@@ -246,8 +263,8 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
     install_signal_handlers(stats, error_log.write)
 
     # Backup any previous output (PredictionGen.cpp:403-413):
-    # foo.csv -> foo.backup.csv.
-    if os.path.exists(config.output_csv):
+    # foo.csv -> foo.backup.csv.  Skipped when resuming into that output.
+    if os.path.exists(config.output_csv) and not resume:
         try:
             base, _ = os.path.splitext(config.output_csv)
             shutil.copyfile(config.output_csv, base + config.backup_suffix)
@@ -278,10 +295,18 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
         return 1
     total_rows = len(raw_rows)
 
-    result_file = SafeFileWriter(config.output_csv)
-    result_file.write(",".join(header) + ","
-                      + ",".join(AUGMENTED_COLUMNS) + "\n")
-    writer = OrderedResultWriter(result_file, total_rows)
+    out_header = ",".join(header) + "," + ",".join(AUGMENTED_COLUMNS)
+    done_rows = _resume_row_count(config.output_csv, out_header) if resume \
+        else 0
+    if done_rows:
+        log.info("Resuming: %d/%d rows already in %s", done_rows, total_rows,
+                 config.output_csv)
+        result_file = SafeFileWriter(config.output_csv, mode="a")
+    else:
+        result_file = SafeFileWriter(config.output_csv)
+        result_file.write(out_header + "\n")
+    writer = OrderedResultWriter(result_file, total_rows,
+                                 start_index=done_rows)
 
     watchdog = Watchdog(stats, error_log.write,
                         progress=lambda: writer.next_row_to_write)
@@ -298,6 +323,8 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
     for idx, tokens in enumerate(raw_rows):
         line = ",".join(tokens)
         lines.append(line)
+        if idx < done_rows:
+            continue  # already written by the interrupted run
         if stats.should_terminate.is_set() or stats.catastrophic_failure:
             writer.put(idx, line + SENTINEL)
             continue

@@ -20,10 +20,10 @@ class SafeFileWriter:
 
     FLUSH_INTERVAL = 100
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, mode: str = "w"):
         self.path = path
         self._lock = threading.Lock()
-        self._file = open(path, "w")
+        self._file = open(path, mode)
         self._count = 0
 
     def write(self, data: str) -> None:
@@ -55,11 +55,12 @@ class OrderedResultWriter:
     """Buffers per-row result lines and writes the contiguous ready prefix
     in input order (PredictionGen.cpp:497-503)."""
 
-    def __init__(self, writer: SafeFileWriter, total_rows: int):
+    def __init__(self, writer: SafeFileWriter, total_rows: int,
+                 start_index: int = 0):
         self._writer = writer
         self._total = total_rows
         self._pending: Dict[int, str] = {}
-        self._next = 0
+        self._next = start_index       # rows < start_index already on disk
         self._lock = threading.Lock()
 
     @property

@@ -88,3 +88,75 @@ def test_lsm_fit_shapes():
     # Forward-time ordering: at step 0 every path is ITM (strike 110 put,
     # S0 = 100), so the regressor center is exactly S0.
     assert abs(float(fits.mu[0]) - 100.0) < 1e-3
+
+
+def test_matmul_cumsum_matches_cumsum():
+    """The MXU triangular-matmul log-price accumulation is the same math as
+    jnp.cumsum (different summation order only)."""
+    kwargs = dict(s0=100.0, xi=0.04, h=0.15, eta=1.2, rho=-0.5, r=0.04,
+                  n_steps=48, dt=1 / 252.0, chunk_paths=512)
+    gen_scan = engine.make_chunk_pathgen(**kwargs, cumsum_impl="cumsum")
+    gen_mm = engine.make_chunk_pathgen(**kwargs, cumsum_impl="matmul")
+    key = jax.random.key(11)
+    a = np.asarray(gen_scan(key))
+    b = np.asarray(gen_mm(key))
+    np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-4)
+
+
+def test_bf16_fgn_price_within_mc_stderr():
+    """bf16 fGN matmul inputs shift the price by far less than MC noise."""
+    base = dict(n_paths=1 << 14, n_steps=32, chunk_paths=1 << 12,
+                pilot_paths=1 << 11)
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    p32 = engine.price_rbergomi_lsm_streaming(
+        jax.random.key(5), **kwargs,
+        config=engine.StreamConfig(**base))
+    p16 = engine.price_rbergomi_lsm_streaming(
+        jax.random.key(5), **kwargs,
+        config=engine.StreamConfig(**base, fgn_matmul_dtype="bfloat16",
+                                   cumsum_impl="matmul"))
+    # Same threefry draws, so the only differences are rounding; bound by
+    # a fraction of the MC stderr at this path count (~0.03).
+    assert abs(p32 - p16) < 0.05
+
+
+def test_pallas_streaming_price_matches_xla():
+    """Full fit-then-stream with the fused Pallas generator agrees with the
+    XLA generator within MC error (real TPU only: the CPU interpreter stubs
+    the in-kernel PRNG)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("requires a real TPU for in-kernel PRNG")
+    base = dict(n_paths=1 << 15, n_steps=32, chunk_paths=1 << 13,
+                pilot_paths=1 << 12)
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    p_xla = engine.price_rbergomi_lsm_streaming(
+        jax.random.key(5), **kwargs, config=engine.StreamConfig(**base))
+    p_pal = engine.price_rbergomi_lsm_streaming(
+        jax.random.key(5), **kwargs,
+        config=engine.StreamConfig(**base, pathgen_impl="pallas"))
+    assert abs(p_xla - p_pal) < 0.15  # ~3 MC stderr at 32k paths
+
+
+def test_streaming_pricer_sharded_matches_single_chip():
+    """Mesh-sharded fit-then-stream (8 virtual devices): every device
+    generates/prices its own chunks, pilot moments psum across shards.
+    Statistically equivalent to the single-chip run."""
+    from montecarlooptionspricer_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    cfg = engine.StreamConfig(n_paths=1 << 15, n_steps=32,
+                              chunk_paths=1 << 10, pilot_paths=1 << 9)
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    sharded = engine.StreamingPricer(**kwargs, config=cfg, mesh=mesh)
+    p_mesh = sharded.price(jax.random.key(5))
+    single = engine.StreamingPricer(**kwargs, config=cfg)
+    p_one = single.price(jax.random.key(5))
+    assert np.isfinite(p_mesh) and p_mesh > 0
+    assert abs(p_mesh - p_one) < 0.2     # ~3 MC stderr at 32k paths
+    # sharded runs are deterministic per seed too
+    assert sharded.price(jax.random.key(5)) == p_mesh
+    with pytest.raises(ValueError):
+        sharded.price(jax.random.key(0), n_paths=(1 << 10) * 8 + 8)

@@ -174,3 +174,41 @@ def test_csv_split_semantics():
     assert csv_io.split_line("a,b,\n") == ["a", "b"]
     assert csv_io.split_line("a,,b") == ["a", "", "b"]
     assert csv_io.split_line("\n") == []
+
+
+def test_pipeline_resume_appends_remaining_rows(workdir):
+    s = round(workdir["aapl"], 4)
+    make_option_csv("option_data.csv", [
+        opt_row(option_type=0, dte=30.0, s=s, sdp=-0.02),
+        opt_row(option_type=1, dte=30.0, s=s, sdp=0.02),
+        opt_row(option_type=0, dte=45.0, s=s, sdp=-0.02),
+    ])
+    run_pipeline(PipelineConfig(), PricingConfig(rows_per_batch=4, seed=5),
+                 MarketDefaults())
+    full = open("option_data_augmented.csv").read()
+
+    # Simulate an interrupted run: keep header + first row only.
+    lines = full.splitlines(keepends=True)
+    with open("option_data_augmented.csv", "w") as f:
+        f.writelines(lines[:2])
+
+    rc = run_pipeline(PipelineConfig(), PricingConfig(rows_per_batch=4,
+                                                      seed=5),
+                      MarketDefaults(), resume=True)
+    assert rc == 0
+    resumed = open("option_data_augmented.csv").read()
+    assert resumed == full                 # identical to the one-shot run
+    # resume must not clobber the backup path with partial output
+    assert not os.path.exists("option_data_augmented.backup.csv")
+
+
+def test_pipeline_resume_ignores_foreign_output(workdir):
+    make_option_csv("option_data.csv", [opt_row()])
+    with open("option_data_augmented.csv", "w") as f:
+        f.write("some,other,header\njunk,row,1\n")
+    rc = run_pipeline(PipelineConfig(), PricingConfig(rows_per_batch=2),
+                      MarketDefaults(), resume=True)
+    assert rc == 0
+    header, rows = read_output()
+    assert header[-6:] == list(AUGMENTED_COLUMNS)
+    assert len(rows) == 1
