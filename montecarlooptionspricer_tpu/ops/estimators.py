@@ -17,6 +17,19 @@ import dataclasses
 
 import numpy as np
 
+_native = None
+try:  # pragma: no cover - exercised when the extension is built
+    from montecarlooptionspricer_tpu import _features as _native  # type: ignore
+except ImportError:
+    try:
+        import _features as _native  # type: ignore
+    except ImportError:
+        _native = None
+
+
+def native_available() -> bool:
+    return _native is not None
+
 
 def log_returns(prices: np.ndarray) -> np.ndarray:
     """log(p_i / p_{i-1})  (RoughVolatility.cpp:126-133)."""
@@ -145,8 +158,17 @@ def estimate_params(historical_prices: np.ndarray, r: float = 0.04,
                     dt_yr: float = 1.0 / 252.0) -> RBergomiParams:
     """Full parameter estimation from a price history
     (RoughVolatility.cpp:317-331).  Raises on a <2-point history like the
-    reference."""
-    historical_prices = np.asarray(historical_prices, dtype=np.float64)
+    reference.
+
+    Uses the native C++ feature engine (native/features.cpp) when built —
+    this is the pipeline's host-side hot loop, one call per option row —
+    with this NumPy implementation as the bit-compatible fallback."""
+    historical_prices = np.ascontiguousarray(historical_prices,
+                                             dtype=np.float64)
+    if _native is not None:
+        s0, xi, h, eta, rho = _native.estimate_params(historical_prices,
+                                                      dt_yr)
+        return RBergomiParams(s0=s0, xi=xi, h=h, eta=eta, rho=rho, r=r)
     if historical_prices.size < 2:
         raise ValueError("Historical prices vector too small.")
     rets = log_returns(historical_prices)

@@ -112,7 +112,13 @@ def fetch_spot_history(spot_data: SpotData, ticker: str,
 def twenty_day_vol_and_momentum(hist: List[float]) -> Tuple[float, float]:
     """(annualized 20-day realized vol, 20-day momentum)
     (PredictionGen.cpp:313-347): needs >= 21 points, non-positive or
-    non-finite returns zeroed, biased variance, sqrt(252) annualization."""
+    non-finite returns zeroed, biased variance, sqrt(252) annualization.
+    Native fast path: native/features.cpp (same math, tested equal)."""
+    from ..ops.estimators import _native
+
+    if _native is not None:
+        return _native.vol_momentum(np.ascontiguousarray(hist,
+                                                         dtype=np.float64))
     if len(hist) < 21:
         return 0.0, 0.0
     window = np.asarray(hist[-21:], dtype=np.float64)
