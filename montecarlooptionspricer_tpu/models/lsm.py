@@ -58,7 +58,10 @@ def _lsm_backward(paths, r, strike, maturity, dt, is_call: bool,
         v_new = jnp.where(is_live, v_reg, vd)           # :44-49
         return v_new, fit
 
-    v_final, fits_rev = jax.lax.scan(step, v_init, (s_cols, live))
+    # unroll: the body is many small fused kernels; unrolling amortizes the
+    # per-step launch overhead that dominates the latency-bound per-row
+    # pipeline batches (250-path rows).
+    v_final, fits_rev = jax.lax.scan(step, v_init, (s_cols, live), unroll=8)
     price = global_mean(v_final, axis_name)             # :97-101
     return price, fits_rev
 

@@ -90,15 +90,51 @@ def fit_poly_masked(x, y, w, order: int, axis_name: Optional[str] = None,
     gram = _psum_if(wb.T @ basis, axis_name)         # [p+1, p+1]
     rhs = _psum_if(wb.T @ y, axis_name)              # [p+1]
 
-    # Trace-scaled Tikhonov + Cholesky: gram is PSD by construction, so
-    # gram + lam*I is SPD and the solve cannot produce NaN in float32 even
-    # for rank-deficient designs (constant or all-masked regressors).
+    # Trace-scaled Tikhonov: gram is PSD by construction, so gram + lam*I is
+    # SPD and the solve cannot produce NaN in float32 even for
+    # rank-deficient designs (constant or all-masked regressors).
     eye = jnp.eye(order + 1, dtype=gram.dtype)
     lam = ridge * (jnp.trace(gram) / (order + 1) + 1.0)
-    chol = jax.scipy.linalg.cho_factor(gram + lam * eye, lower=True)
-    coeffs = jax.scipy.linalg.cho_solve(chol, rhs)
+    a = gram + lam * eye
+    if order + 1 <= 3:
+        # Closed-form adjugate solve: pure elementwise ops that XLA fuses
+        # into the surrounding scan body — the factored LAPACK-style solve
+        # costs several extra kernel launches per LSM backward step, which
+        # dominates the latency-bound per-row pipeline workload.
+        coeffs = _solve_spd_small(a, rhs)
+    else:
+        chol = jax.scipy.linalg.cho_factor(a, lower=True)
+        coeffs = jax.scipy.linalg.cho_solve(chol, rhs)
     coeffs = jnp.where(wsum > 0, coeffs, jnp.zeros_like(coeffs))
     return PolyFit(coeffs, mu, sd)
+
+
+def _solve_spd_small(a, b):
+    """Solve a x = b for symmetric positive-definite a of size 1..3 via the
+    explicit adjugate — branch-free, fully fusible."""
+    n = a.shape[-1]
+    if n == 1:
+        return b / a[..., 0, 0:1]
+    if n == 2:
+        a00, a01, a11 = a[..., 0, 0], a[..., 0, 1], a[..., 1, 1]
+        det = a00 * a11 - a01 * a01
+        x0 = (a11 * b[..., 0] - a01 * b[..., 1]) / det
+        x1 = (a00 * b[..., 1] - a01 * b[..., 0]) / det
+        return jnp.stack([x0, x1], axis=-1)
+    a00, a01, a02 = a[..., 0, 0], a[..., 0, 1], a[..., 0, 2]
+    a11, a12, a22 = a[..., 1, 1], a[..., 1, 2], a[..., 2, 2]
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    x0 = (c00 * b0 + c01 * b1 + c02 * b2) / det
+    x1 = (c01 * b0 + c11 * b1 + c12 * b2) / det
+    x2 = (c02 * b0 + c12 * b1 + c22 * b2) / det
+    return jnp.stack([x0, x1, x2], axis=-1)
 
 
 def eval_poly(fit: PolyFit, x):

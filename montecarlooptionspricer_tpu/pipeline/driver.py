@@ -221,8 +221,14 @@ class BatchedPricer:
         pad = batch - n
         padded = tasks + [tasks[0]] * pad
 
-        base = jax.random.key(base_seed)
-        keys = jnp.stack([jax.random.fold_in(base, t.index) for t in padded])
+        # One device program for all row keys (a per-row fold_in loop would
+        # pay one host->device dispatch per row through a remote tunnel).
+        if not hasattr(self, "_fold_keys"):
+            self._fold_keys = jax.jit(
+                lambda base, idx: jax.vmap(jax.random.fold_in,
+                                           (None, 0))(base, idx))
+        keys = self._fold_keys(jax.random.key(base_seed),
+                               jnp.asarray([t.index for t in padded]))
         cols = lambda name: jnp.asarray(
             [getattr(t, name) for t in padded], jnp.float32)
         out = fn(keys, cols("s0"), cols("xi"), cols("h"), cols("eta"),
