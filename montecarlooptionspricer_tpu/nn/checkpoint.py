@@ -44,9 +44,14 @@ def _normalize(path: str) -> str:
 def save_checkpoint(path: str, params: Any, opt_state: Any, epoch: int,
                     loss: float) -> None:
     """Archive model + optimizer + epoch + loss (BayesianNN.cpp:324-342);
-    overwrites in place like the reference's per-epoch checkpoint."""
-    tree = {"params": params, "opt_state": opt_state,
-            "epoch": np.int64(epoch), "loss": np.float64(loss)}
+    overwrites in place like the reference's per-epoch checkpoint.
+
+    device_get first: it issues all device->host copies concurrently,
+    where serializing device arrays leaf-by-leaf pays one transfer round
+    trip per tensor (~18 s/epoch through a remote TPU tunnel)."""
+    tree = jax.device_get({"params": params, "opt_state": opt_state})
+    tree["epoch"] = np.int64(epoch)
+    tree["loss"] = np.float64(loss)
     _atomic_write(_normalize(path), serialization.to_bytes(tree))
 
 
@@ -74,7 +79,8 @@ def load_checkpoint(path: str, params_template: Any, opt_state_template: Any
 
 def save_params(path: str, params: Any) -> None:
     """Final model file (BayesianNN.cpp:566-572)."""
-    _atomic_write(_normalize(path), serialization.to_bytes({"params": params}))
+    _atomic_write(_normalize(path),
+                  serialization.to_bytes(jax.device_get({"params": params})))
 
 
 def load_params(path: str, params_template: Any) -> Any:

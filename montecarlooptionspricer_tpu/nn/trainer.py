@@ -56,7 +56,16 @@ class TrainState:
     last_loss: float
 
 
-def mdn_nll(outputs, targets, num_mixtures: int = 5):
+def _wmean(per_row, w):
+    """Mean over rows, or a weighted mean when ``w`` masks padded rows (the
+    on-device epoch scan pads the final partial batch with zero-weight
+    rows so every batch has one compile shape)."""
+    if w is None:
+        return jnp.mean(per_row)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def mdn_nll(outputs, targets, num_mixtures: int = 5, w=None):
     """MDN negative log-likelihood (BayesianNN.cpp:456-472), including the
     double softmax of the mixture weights."""
     means, logvars, mix_sm = split_mdn(outputs, num_mixtures)
@@ -66,14 +75,14 @@ def mdn_nll(outputs, targets, num_mixtures: int = 5):
     diff2 = (means - targets) ** 2                   # :465
     log_probs = -0.5 * (diff2 / var + logvars + LOG_2PI)
     joint = log_probs + jnp.log(mix + 1e-6)          # :467-468
-    return -jnp.mean(jax.scipy.special.logsumexp(joint, axis=-1))  # :471-472
+    return _wmean(-jax.scipy.special.logsumexp(joint, axis=-1), w)  # :471-472
 
 
-def warmup_mse(outputs, targets, num_mixtures: int = 5):
+def warmup_mse(outputs, targets, num_mixtures: int = 5, w=None):
     """Warm-up loss: MSE of the mean of means (BayesianNN.cpp:450-454)."""
     means, _, _ = split_mdn(outputs, num_mixtures)
     pred = jnp.mean(means, axis=-1, keepdims=True)
-    return jnp.mean((pred - targets) ** 2)
+    return _wmean(jnp.mean((pred - targets) ** 2, axis=-1), w)
 
 
 def l2_penalty(params):
@@ -138,6 +147,62 @@ class BayesianTrainer:
 
         return train_step
 
+    def _build_epoch_fn(self):
+        """One jitted program per loss phase covering a FULL epoch: a
+        lax.scan over batches.  The reference's per-batch host loop
+        (BayesianNN.cpp:431-534) would pay one host->device round trip per
+        batch (plus a blocking loss readback); here only the per-epoch
+        checkpoint crosses the host boundary.  Returns epoch_fn(params,
+        opt_state, xb, yb, wb, key, warmup) -> (params, opt_state,
+        mean_finite_loss)."""
+        model, tx, l2 = self.model, self.tx, self.config.l2_lambda
+
+        @partial(jax.jit, static_argnames=("warmup",))
+        def epoch_fn(params, opt_state, xb, yb, wb, key, *, warmup):
+            def step(carry, batch):
+                params, opt_state, key = carry
+                x, y, w = batch
+                key, sub = jax.random.split(key)
+
+                def loss_fn(p):
+                    out = model.apply({"params": p}, x, train=True,
+                                      rngs={"dropout": sub})
+                    data_loss = (warmup_mse(out, y, w=w) if warmup
+                                 else mdn_nll(out, y, w=w))
+                    return data_loss + l2 * l2_penalty(p)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                # NaN-loss batches contribute neither loss nor count
+                # (BayesianNN.cpp:491-494); apply_if_finite already made the
+                # optimizer step a no-op for them.
+                ok = jnp.isfinite(loss)
+                stats = (jnp.where(ok, loss, 0.0), ok.astype(jnp.float32))
+                return (params, opt_state, key), stats
+
+            (params, opt_state, _), (losses, counts) = jax.lax.scan(
+                step, (params, opt_state, key), (xb, yb, wb))
+            mean_loss = jnp.sum(losses) / jnp.maximum(jnp.sum(counts), 1.0)
+            return params, opt_state, mean_loss
+
+        return epoch_fn
+
+    @staticmethod
+    def _batched(x, y, batch_size: int):
+        """Pad to a whole number of batches and reshape to [n_batches,
+        batch_size, ...] plus a {0,1} row-weight mask for the padding."""
+        n = x.shape[0]
+        n_batches = (n + batch_size - 1) // batch_size
+        pad = n_batches * batch_size - n
+        w = jnp.concatenate([jnp.ones(n, jnp.float32),
+                             jnp.zeros(pad, jnp.float32)])
+        xp = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)])
+        yp = jnp.concatenate([y, jnp.zeros((pad, y.shape[1]), y.dtype)])
+        shape = (n_batches, batch_size)
+        return (xp.reshape(shape + x.shape[1:]),
+                yp.reshape(shape + y.shape[1:]), w.reshape(shape))
+
     def _forward(self, params, x, train: bool = False, dropout_key=None):
         if self._fwd is None:
             model = self.model
@@ -167,12 +232,11 @@ class BayesianTrainer:
         self.tx = self._make_tx(lr)
         if self.opt_state is None:
             self.opt_state = self.tx.init(self.params)
-        train_step = self._build_train_step()
+        epoch_fn = self._build_epoch_fn()
 
         x = jnp.asarray(x, jnp.float32)
         y = jnp.asarray(y, jnp.float32).reshape(-1, 1)
-        n = x.shape[0]
-        n_batches = (n + batch_size - 1) // batch_size
+        xb, yb, wb = self._batched(x, y, batch_size)
 
         start_epoch = 1
         restored = ckpt_lib.load_checkpoint(checkpoint_path, self.params,
@@ -209,18 +273,11 @@ class BayesianTrainer:
                     return
                 t0 = time.time()
                 warmup = epoch <= cfg.warmup_epochs     # :450
-                epoch_loss, count = 0.0, 0
-                for b in range(n_batches):
-                    lo, hi = b * batch_size, min((b + 1) * batch_size, n)
-                    self.dropout_key, sub = jax.random.split(self.dropout_key)
-                    self.params, self.opt_state, loss = train_step(
-                        self.params, self.opt_state, (x[lo:hi], y[lo:hi]),
-                        sub, warmup=warmup)
-                    lv = float(loss)
-                    if np.isfinite(lv):                  # NaN skip :491-494
-                        epoch_loss += lv
-                        count += 1
-                epoch_loss = epoch_loss / max(count, 1)
+                self.dropout_key, sub = jax.random.split(self.dropout_key)
+                self.params, self.opt_state, loss = epoch_fn(
+                    self.params, self.opt_state, xb, yb, wb, sub,
+                    warmup=warmup)
+                epoch_loss = float(loss)                # one sync per epoch
                 last_epoch_loss = epoch_loss
                 self.current_epoch = epoch
                 ckpt_lib.save_checkpoint(checkpoint_path, self.params,
