@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dividend", type=float, default=d_mkt.dividend)
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="shard row batches over this many devices (0 = no mesh)")
+    p.add_argument("--qmc", action="store_true",
+                   help="drive path generation with randomized quasi-Monte "
+                        "Carlo (scrambled Sobol): several-fold lower price "
+                        "RMSE at the 250-path default budget")
     p.add_argument("--resume", action="store_true",
                    help="append to an existing output CSV, continuing from "
                         "the first unwritten row (the reference restarts "
@@ -59,7 +63,7 @@ def main(argv=None) -> int:
                             poly_order=args.poly_order,
                             max_iterations=args.max_iterations,
                             rows_per_batch=args.rows_per_batch,
-                            seed=args.seed)
+                            seed=args.seed, qmc=args.qmc)
     market = MarketDefaults(r=args.r, dividend=args.dividend)
 
     mesh = None

@@ -59,6 +59,10 @@ class PricingConfig:
     # single-process OpenMP).
     rows_per_batch: int = 64
     dtype: str = "float32"
+    # Randomized quasi-Monte Carlo driver noise (ops.qmc): several-fold
+    # lower price RMSE at the 250-path budget.  Off by default — the parity
+    # configuration is plain pseudo-random MC like the reference.
+    qmc: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

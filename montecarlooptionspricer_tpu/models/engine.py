@@ -201,9 +201,16 @@ class StreamingPricer:
         self.mesh = mesh
         self.n_dev = 1 if mesh is None else mesh.shape[axis_name]
 
-        if config.pathgen_impl == "pallas":
+        pathgen_impl = config.pathgen_impl
+        if pathgen_impl == "pallas":
             from . import pathgen_pallas
 
+            if not pathgen_pallas.supports(n_steps):
+                # The fused kernel's VMEM-resident spectral matrices don't
+                # fit past ~512 padded steps; the XLA generator handles any
+                # length (HBM-resident matrices).
+                pathgen_impl = "xla"
+        if pathgen_impl == "pallas":
             pilot_gen = pathgen_pallas.make_pallas_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
                 block_paths=config.pallas_block_paths)
@@ -213,7 +220,7 @@ class StreamingPricer:
             # Carriers are int32 seeds; the kernel folds the grid block id
             # into the PRNG seed, and chunk i re-seeds with carrier + i.
             next_carrier = lambda seed, i: seed + i
-        elif config.pathgen_impl == "xla":
+        elif pathgen_impl == "xla":
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
                 dtype, fgn_dtype, config.cumsum_impl)
@@ -223,11 +230,12 @@ class StreamingPricer:
             next_carrier = jax.random.fold_in
         else:
             raise ValueError(f"unknown pathgen_impl: {config.pathgen_impl!r}")
+        self._pathgen_impl = pathgen_impl
 
         ax = axis_name if mesh is not None else None
         if mesh is None:
             shard_mix = lambda c: c
-        elif config.pathgen_impl == "pallas":
+        elif pathgen_impl == "pallas":
             # Distinct int32 seed block per shard (counts stay < 2^20).
             shard_mix = lambda c: c + (jax.lax.axis_index(axis_name)
                                        + jnp.int32(1)) * jnp.int32(1 << 20)
@@ -284,7 +292,7 @@ class StreamingPricer:
                     stream_sm(k, fits, start, count)))
 
     def _keys(self, key):
-        if self.config.pathgen_impl == "pallas":
+        if self._pathgen_impl == "pallas":
             # Two independent int32 seed carriers (pilot / stream) derived
             # from the threefry key; the stream carrier advances by +i per
             # chunk, shards offset by (index+1) << 20, and the kernel mixes

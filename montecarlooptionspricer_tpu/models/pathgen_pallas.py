@@ -111,11 +111,27 @@ def _pathgen_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
                       cr_ref, ci_ref, vd_ref, tri_ref, out_ref, **kw)
 
 
+MAX_KERNEL_STEPS = 512
+
+
+def supports(n_steps: int) -> bool:
+    """Whether the fused kernel fits VMEM: the three [s_pad, s_pad]
+    constants (Cr, Ci, tri) plus four noise planes per block must stay
+    well under the ~16 MiB/core budget; past ~512 padded steps they don't
+    (the streaming engine falls back to the XLA generator there)."""
+    return _round_up(n_steps, LANE) <= MAX_KERNEL_STEPS
+
+
 def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
            chunk_paths: int, block_paths: int, interpret: bool,
            noise_input: bool):
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
+    if not supports(n_steps):
+        raise ValueError(
+            f"n_steps={n_steps} pads past {MAX_KERNEL_STEPS} lanes; the "
+            "fused kernel's VMEM-resident spectral matrices do not fit — "
+            "use the XLA generator (pathgen_impl='xla')")
     s_pad = _round_up(n_steps, LANE)
     out_cols = _round_up(n_steps + 1, LANE)
 

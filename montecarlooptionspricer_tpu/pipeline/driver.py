@@ -178,10 +178,19 @@ class BatchedPricer:
         p = self.pricing
         r, dt = self.market.r, self.market.dt
 
+        if p.qmc:
+            from ..ops import qmc
+            base_u = qmc.sobol_base(p.num_paths, 3 * n_steps)
+
         def one(key, s0, xi, h, eta, rho, strike, maturity, sigma, dividend):
             kp, kr = jax.random.split(key)
-            paths = rough_volatility.generate_paths(
-                kp, s0, xi, h, eta, rho, r, n_steps, p.num_paths, dt)
+            if p.qmc:
+                paths = rough_volatility.generate_paths_qmc(
+                    kp, s0, xi, h, eta, rho, r, n_steps, p.num_paths, dt,
+                    base_u=base_u)
+            else:
+                paths = rough_volatility.generate_paths(
+                    kp, s0, xi, h, eta, rho, r, n_steps, p.num_paths, dt)
             spec = PricerSpec(r=r, strike=strike, maturity=maturity, dt=dt,
                               is_call=is_call, sigma=sigma, dividend=dividend,
                               num_branches=p.num_branches,

@@ -160,3 +160,16 @@ def test_streaming_pricer_sharded_matches_single_chip():
     assert sharded.price(jax.random.key(5)) == p_mesh
     with pytest.raises(ValueError):
         sharded.price(jax.random.key(0), n_paths=(1 << 10) * 8 + 8)
+
+
+def test_pallas_falls_back_for_long_horizons():
+    """Past the kernel's VMEM limit the engine silently uses the XLA
+    generator — same API, any horizon."""
+    cfg = engine.StreamConfig(n_paths=1 << 11, n_steps=600,
+                              chunk_paths=1 << 10, pilot_paths=1 << 9,
+                              pathgen_impl="pallas")
+    p = engine.StreamingPricer(100.0, 0.04, 0.2, 1.0, -0.4, 0.04, 102.0,
+                               600 / 252.0, False, cfg)
+    assert p._pathgen_impl == "xla"
+    price = p.price(jax.random.key(0))
+    assert np.isfinite(price) and price > 0
