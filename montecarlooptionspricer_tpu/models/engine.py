@@ -112,7 +112,6 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     var_drift = -0.5 * (eta * eta) * jnp.power(t[:n_steps], 2.0 * h)
     sqrt_dt = float(np.sqrt(dt))
     rho_c = float(np.sqrt(max(0.0, 1.0 - rho * rho)))
-    log_s0 = float(np.log(s0))
     if cumsum_impl == "matmul":
         tri = jnp.triu(jnp.ones((n_steps, n_steps), dtype))
         cumsum = lambda inc: jnp.matmul(
@@ -122,20 +121,27 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     else:
         raise ValueError(f"unknown cumsum_impl: {cumsum_impl!r}")
 
-    def gen(key):
+    def gen_with_params(key, s0_, xi_, r_):
+        """(s0, xi, r) as call-time (possibly traced) scalars — the AD
+        surface for streaming Greeks; h/eta/rho stay baked into the host-
+        precomputed spectral matrices."""
         kz, kw = jax.random.split(key)
         z = jax.random.normal(kz, (2, chunk_paths, n_steps), fgn_dtype)
         w = jax.random.normal(kw, (2, chunk_paths, n_steps), dtype)
         x = (jnp.matmul(z[0], cr, preferred_element_type=jnp.float32)
              - jnp.matmul(z[1], ci, preferred_element_type=jnp.float32))
-        v = xi * jnp.exp(x + var_drift)
+        v = xi_ * jnp.exp(x + var_drift)
         dw = (rho * w[0] + rho_c * w[1]) * sqrt_dt
-        inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
-        log_s = log_s0 + cumsum(inc)
+        inc = (r_ - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
+        log_s = jnp.log(s0_) + cumsum(inc)
         s = jnp.exp(log_s).astype(dtype)
-        s0_col = jnp.full((chunk_paths, 1), s0, dtype)
+        s0_col = jnp.full((chunk_paths, 1), 1.0, dtype) * s0_
         return jnp.concatenate([s0_col, s], axis=-1)
 
+    def gen(key):
+        return gen_with_params(key, s0, xi, r)
+
+    gen.with_params = gen_with_params
     return gen
 
 
@@ -265,6 +271,50 @@ class StreamingPricer:
                 init = jax.lax.pvary(init, ax)
             return jax.lax.fori_loop(0, count, body, init)
 
+        # --- streaming Greeks machinery (single-mesh, XLA generator) ------
+        # Forward-mode AD through the chunk loop: one tangent per market
+        # input, O(chunk) memory at any path count (reverse mode would have
+        # to checkpoint every chunk).  The exercise policy (pilot fits) is
+        # held fixed — the envelope derivative, standard for LSM Greeks.
+        xla_gen = (chunk_gen if pathgen_impl == "xla" else
+                   make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                      config.chunk_paths, dtype, fgn_dtype,
+                                      config.cumsum_impl))
+        xla_pilot = (pilot_gen if pathgen_impl == "xla" else
+                     make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                        config.pilot_paths, dtype, fgn_dtype,
+                                        config.cumsum_impl))
+        self._market = (float(s0), float(xi), float(r))
+
+        def greek_fit_fn(k):
+            _, fits = lsm_fit(xla_pilot(k), r, strike, maturity, dt,
+                              is_call, config.poly_order)
+            return fits
+
+        def greek_stream_fn(k, fits, start, count, market):
+            def value(params):
+                s0_, xi_, r_ = params
+
+                def body(i, total):
+                    paths = xla_gen.with_params(
+                        jax.random.fold_in(k, start + i), s0_, xi_, r_)
+                    s, _ = lsm_policy_value(paths, fits, r_, strike,
+                                            maturity, dt, is_call)
+                    return total + s.astype(jnp.float32)
+
+                return jax.lax.fori_loop(0, count, body,
+                                         jnp.zeros((), jnp.float32))
+
+            e = lambda j: tuple(jnp.float32(1.0 if i == j else 0.0)
+                                for i in range(3))
+            val, d_s0 = jax.jvp(value, (market,), (e(0),))
+            _, d_xi = jax.jvp(value, (market,), (e(1),))
+            _, d_r = jax.jvp(value, (market,), (e(2),))
+            return val, d_s0, d_xi, d_r
+
+        self._greek_fit = jax.jit(greek_fit_fn)
+        self._greek_stream = jax.jit(greek_stream_fn)
+
         if mesh is None:
             self._fit = jax.jit(fit_fn)
             self._stream = jax.jit(stream_fn)
@@ -336,6 +386,37 @@ class StreamingPricer:
             if progress is not None:
                 progress(done, n_chunks)
         return total / n_paths
+
+    def price_and_greeks(self, key, n_paths: Optional[int] = None):
+        """(price, delta, vega_xi, rho_rate) at streaming scale: forward-
+        mode pathwise derivatives w.r.t. (s0, xi, r) accumulated chunk by
+        chunk — Greeks on 1e8+ paths in O(chunk) memory, with the exercise
+        policy fixed from the pilot fit.  Uses the XLA generator (threefry
+        keys) regardless of ``pathgen_impl``; no reference equivalent."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "streaming Greeks are single-mesh for now")
+        config = self.config
+        if n_paths is None:
+            n_paths = config.n_paths
+        n_chunks, rem = divmod(n_paths, config.chunk_paths)
+        if rem:
+            raise ValueError(
+                f"n_paths={n_paths} not divisible by chunk_paths="
+                f"{config.chunk_paths}")
+        k_pilot, k_stream = jax.random.split(key)
+        fits = self._greek_fit(k_pilot)
+        market = tuple(jnp.float32(v) for v in self._market)
+
+        totals = np.zeros(4, np.float64)
+        done = 0
+        while done < n_chunks:
+            count = min(config.chunks_per_call, n_chunks - done)
+            out = self._greek_stream(k_stream, fits, done, count, market)
+            totals += np.asarray(jax.device_get(out), np.float64)
+            done += count
+        price, delta, vega_xi, rho_rate = totals / n_paths
+        return float(price), float(delta), float(vega_xi), float(rho_rate)
 
 
 @functools.lru_cache(maxsize=16)

@@ -173,3 +173,27 @@ def test_pallas_falls_back_for_long_horizons():
     assert p._pathgen_impl == "xla"
     price = p.price(jax.random.key(0))
     assert np.isfinite(price) and price > 0
+
+
+def test_streaming_greeks_match_in_memory_ad():
+    """Streaming forward-mode Greeks agree with the in-memory reverse-mode
+    estimator (models/greeks.py) within MC error, and obey put bounds."""
+    from montecarlooptionspricer_tpu.models import greeks as greeks_mod
+
+    cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=32,
+                              chunk_paths=1 << 12, pilot_paths=1 << 11)
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    p = engine.StreamingPricer(**kwargs, config=cfg)
+    price, delta, vega_xi, rho_rate = p.price_and_greeks(jax.random.key(7))
+    assert price > 0 and -1.0 <= delta <= 0.0 and vega_xi > 0.0
+    g = greeks_mod.lsm_greeks(jax.random.key(7), s0=100.0, xi=0.04, h=0.2,
+                              eta=1.0, rho=-0.4, r=0.04, strike=102.0,
+                              maturity=32 / 252.0, n_steps=32,
+                              n_paths=1 << 14, is_call=False)
+    assert abs(price - g.price) < 0.15
+    assert abs(delta - g.delta) < 0.1
+    assert abs(vega_xi - g.vega_xi) < 0.2 * max(1.0, abs(g.vega_xi))
+    # deterministic per seed
+    assert p.price_and_greeks(jax.random.key(7)) == (price, delta, vega_xi,
+                                                     rho_rate)
