@@ -419,6 +419,90 @@ class StreamingPricer:
         return float(price), float(delta), float(vega_xi), float(rho_rate)
 
 
+class StreamingChainPricer:
+    """Price a whole strike strip on SHARED paths — the serving shape of a
+    production pricer (one underlying, one expiry, K strikes).
+
+    Path generation is the dominant cost; sharing it across the chain makes
+    K strikes cost barely more than one.  The pilot fit vmaps the LSM
+    backward induction over strikes (one PolyFit per strike), and each
+    streamed chunk evaluates all K exercise policies on the same path
+    block.  Estimates across strikes are positively correlated (same
+    draws), which is exactly what a smooth implied-vol smile wants.
+
+    No reference equivalent (the reference prices each CSV row with its own
+    fresh 250-path simulation, PredictionGen.cpp:718-737).
+    """
+
+    def __init__(self, s0, xi, h, eta, rho, r, strikes, maturity,
+                 is_call: bool, config: StreamConfig):
+        dtype = jnp.dtype(config.dtype)
+        fgn_dtype = jnp.dtype(config.fgn_matmul_dtype)
+        n_steps, dt = config.n_steps, config.dt
+        self.config = config
+        self.strikes = jnp.asarray(strikes, dtype)
+
+        pilot_gen = make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                       config.pilot_paths, dtype, fgn_dtype,
+                                       config.cumsum_impl)
+        chunk_gen = make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                       config.chunk_paths, dtype, fgn_dtype,
+                                       config.cumsum_impl)
+
+        def fit_fn(k, strikes_):
+            pilot = pilot_gen(k)
+
+            def one(strike):
+                _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call,
+                                  config.poly_order)
+                return fits
+
+            return jax.vmap(one)(strikes_)
+
+        def stream_fn(k, fits, strikes_, start, count):
+            def body(i, totals):
+                paths = chunk_gen(jax.random.fold_in(k, start + i))
+
+                def one(strike, fit):
+                    s, _ = lsm_policy_value(paths, fit, r, strike, maturity,
+                                            dt, is_call)
+                    return s.astype(jnp.float32)
+
+                return totals + jax.vmap(one)(strikes_, fits)
+
+            return jax.lax.fori_loop(
+                0, count, body,
+                jnp.zeros(strikes_.shape[0], jnp.float32))
+
+        self._fit = jax.jit(fit_fn)
+        self._stream = jax.jit(stream_fn)
+
+    def price(self, key, progress=None, n_paths: Optional[int] = None):
+        """[K] prices for the strike strip on ``n_paths`` shared paths."""
+        config = self.config
+        if n_paths is None:
+            n_paths = config.n_paths
+        n_chunks, rem = divmod(n_paths, config.chunk_paths)
+        if rem:
+            raise ValueError(
+                f"n_paths={n_paths} not divisible by chunk_paths="
+                f"{config.chunk_paths}")
+        k_pilot, k_stream = jax.random.split(key)
+        fits = self._fit(k_pilot, self.strikes)
+
+        totals = np.zeros(self.strikes.shape[0], np.float64)
+        done = 0
+        while done < n_chunks:
+            count = min(config.chunks_per_call, n_chunks - done)
+            totals += np.asarray(
+                jax.device_get(self._stream(k_stream, fits, self.strikes,
+                                            done, count)), np.float64)
+            done += count
+            if progress is not None:
+                progress(done, n_chunks)
+        return totals / n_paths
+
+
 @functools.lru_cache(maxsize=16)
 def _cached_pricer(s0, xi, h, eta, rho, r, strike, maturity, is_call,
                    config) -> StreamingPricer:

@@ -197,3 +197,28 @@ def test_streaming_greeks_match_in_memory_ad():
     # deterministic per seed
     assert p.price_and_greeks(jax.random.key(7)) == (price, delta, vega_xi,
                                                      rho_rate)
+
+
+def test_chain_pricer_matches_single_strike_runs():
+    """The chain pricer's per-strike estimates equal the single-strike
+    streaming estimator within MC error, and are monotone in strike for
+    puts (same draws => smooth smile)."""
+    cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=32,
+                              chunk_paths=1 << 12, pilot_paths=1 << 11)
+    market = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04)
+    strikes = [92.0, 96.0, 100.0, 104.0, 108.0]
+    chain = engine.StreamingChainPricer(**market, strikes=strikes,
+                                        maturity=32 / 252.0, is_call=False,
+                                        config=cfg)
+    prices = chain.price(jax.random.key(9))
+    assert prices.shape == (5,)
+    # American put value increases with strike, strictly here.
+    assert np.all(np.diff(prices) > 0)
+    # middle strike agrees with the single-contract pricer within MC error
+    single = engine.StreamingPricer(**market, strike=100.0,
+                                    maturity=32 / 252.0, is_call=False,
+                                    config=cfg)
+    p_one = single.price(jax.random.key(9))
+    assert abs(prices[2] - p_one) < 0.2
+    # deterministic
+    assert np.array_equal(chain.price(jax.random.key(9)), prices)
