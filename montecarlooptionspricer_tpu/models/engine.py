@@ -68,6 +68,10 @@ class StreamConfig:
     # different RNG streams.
     pathgen_impl: str = "xla"
     pallas_block_paths: int = 256
+    # With pathgen_impl="pallas" and poly_order=2, fuse the LSM policy
+    # evaluation into the kernel too: each grid block emits one partial
+    # payoff sum and path data never leaves VMEM.
+    fuse_policy: bool = True
     # Chunks per device program: the chunk loop runs as an on-device
     # fori_loop, so host<->device round-trips happen once per
     # `chunks_per_call` chunks, not per chunk (the axon-tunnel dispatch
@@ -270,6 +274,36 @@ class StreamingPricer:
                 # body output under shard_map's replication tracking.
                 init = jax.lax.pvary(init, ax)
             return jax.lax.fori_loop(0, count, body, init)
+
+        if (pathgen_impl == "pallas" and config.fuse_policy
+                and config.poly_order == 2):
+            from . import pathgen_pallas
+
+            priced_chunk, _ = pathgen_pallas.make_pallas_priced_chunk(
+                s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
+                config.chunk_paths, block_paths=config.pallas_block_paths,
+                is_call=is_call)
+
+            def stream_fn(k, fits, start, count):  # noqa: F811 — fused form
+                k = shard_mix(k)
+                rows = pathgen_pallas.policy_rows(fits, r, strike, maturity,
+                                                  dt, n_steps, is_call)
+                ex0, p0 = pathgen_pallas.time0_value(fits, s0, strike,
+                                                     is_call)
+
+                def body(i, total):
+                    return total + priced_chunk(k + start + i, rows)
+
+                init = jnp.zeros((), jnp.float32)
+                if ax is not None:
+                    init = jax.lax.pvary(init, ax)
+                total = jax.lax.fori_loop(0, count, body, init)
+                # Time-0 exercise: every path shares S0, so the whole run
+                # collapses to the immediate payoff (lsm_policy_value's
+                # column 0, handled outside the kernel).
+                all0 = jnp.float32(p0) * (count * config.chunk_paths
+                                          ).astype(jnp.float32)
+                return jnp.where(ex0, all0, total)
 
         # --- streaming Greeks machinery (single-mesh, XLA generator) ------
         # Forward-mode AD through the chunk loop: one tangent per market

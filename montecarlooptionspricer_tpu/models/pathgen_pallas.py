@@ -61,11 +61,12 @@ def _normals(shape):
     return rad * jnp.cos(ang), rad * jnp.sin(ang)
 
 
-def _euler_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
-                      out_ref, *, n_steps: int, s_pad: int, xi: float,
-                      r: float, rho: float, dt: float, log_s0: float):
-    """Shared math path: fGN matmul + variance curve + Euler accumulation."""
-    block = out_ref.shape[0]
+def _paths_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref, *,
+                      n_steps: int, s_pad: int, xi: float, r: float,
+                      rho: float, dt: float, log_s0: float):
+    """Shared math path: fGN matmul + variance curve + Euler accumulation.
+    Returns S [block, s_pad] with column c = step c+1 (pad columns flat)."""
+    block = zr.shape[0]
     # fGN via MXU: X = Zr @ Cr - Zi @ Ci (padded cols of C are zero, so the
     # padded tail of Z is annihilated in the products' valid columns).
     x = (jnp.dot(zr, cr_ref[:], preferred_element_type=jnp.float32)
@@ -86,10 +87,38 @@ def _euler_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
     # faster form at these step counts).
     log_s = log_s0 + jnp.dot(inc, tri_ref[:],
                              preferred_element_type=jnp.float32)
-    s = jnp.exp(log_s)
+    return jnp.exp(log_s)
+
+
+def _euler_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
+                      out_ref, **kw):
+    block = out_ref.shape[0]
+    s = _paths_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
+                          **kw)
     # out[:, 0] = S0; out[:, 1:n_steps+1] = S.
-    out_ref[:, 0] = jnp.full((block,), math.exp(log_s0), jnp.float32)
+    out_ref[:, 0] = jnp.full((block,), math.exp(kw["log_s0"]), jnp.float32)
     out_ref[:, 1:] = s[:, : out_ref.shape[1] - 1]
+
+
+def _policy_value(s, su_ref, pol_ref, *, is_call: bool, strike: float):
+    """In-kernel LSM exercise policy (models/engine.lsm_policy_value for
+    columns 1..n_steps; column 0 is handled by the caller since every path
+    shares S0): first column where the payoff is in the money and beats the
+    fitted continuation takes its discounted payoff.  "First" is computed
+    MXU-style: prior-exercise counts via a strictly-upper-triangular ones
+    matmul (no cumsum in Mosaic)."""
+    c0, c1, c2 = pol_ref[0, :], pol_ref[1, :], pol_ref[2, :]
+    mu, sd = pol_ref[3, :], pol_ref[4, :]
+    eps, disc = pol_ref[5, :], pol_ref[6, :]
+
+    p = jnp.maximum(s - strike, 0.0) if is_call else jnp.maximum(
+        strike - s, 0.0)
+    z = (s - mu) / sd
+    cont = (c2 * z + c1) * z + c0
+    exf = ((p > eps) & (p >= cont)).astype(jnp.float32)
+    prior = jnp.dot(exf, su_ref[:], preferred_element_type=jnp.float32)
+    first = exf * (prior == 0.0).astype(jnp.float32)
+    return jnp.sum(first * p * disc)
 
 
 def _pathgen_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, out_ref, **kw):
@@ -109,6 +138,31 @@ def _pathgen_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
     interpreter stubs prng_random_bits to zeros in this JAX version)."""
     _euler_from_noise(noise_ref[0], noise_ref[1], noise_ref[2], noise_ref[3],
                       cr_ref, ci_ref, vd_ref, tri_ref, out_ref, **kw)
+
+
+def _priced_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, su_ref,
+                   pol_ref, out_ref, *, block_paths: int, is_call: bool,
+                   strike: float, **kw):
+    """Fully fused kernel: RNG + paths + LSM policy value, emitting ONE
+    partial sum per grid block — path data never leaves VMEM."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    zr, zi = _normals((block_paths, kw["s_pad"]))
+    w1, w2 = _normals((block_paths, kw["s_pad"]))
+    s = _paths_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
+                          **kw)
+    val = _policy_value(s, su_ref, pol_ref, is_call=is_call, strike=strike)
+    out_ref[...] = jnp.full(out_ref.shape, val, jnp.float32)
+
+
+def _priced_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
+                            su_ref, pol_ref, out_ref, *, block_paths: int,
+                            is_call: bool, strike: float, **kw):
+    """Test variant of the fused kernel with injected noise."""
+    s = _paths_from_noise(noise_ref[0], noise_ref[1], noise_ref[2],
+                          noise_ref[3], cr_ref, ci_ref, vd_ref, tri_ref,
+                          **kw)
+    val = _policy_value(s, su_ref, pol_ref, is_call=is_call, strike=strike)
+    out_ref[...] = jnp.full(out_ref.shape, val, jnp.float32)
 
 
 MAX_KERNEL_STEPS = 512
@@ -199,6 +253,132 @@ def make_pallas_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         return out[:, : n_steps + 1]
 
     return gen
+
+
+def policy_rows(fits, r, strike, maturity, dt, n_steps: int, is_call: bool):
+    """[8, s_pad] per-column policy table for the fused kernel, built
+    in-graph from forward-time PolyFit arrays (models/lsm.lsm_fit output).
+
+    Column c of the kernel's price block is step j = c + 1; row layout:
+    c0, c1, c2 (standardized poly coeffs), mu, sd, itm-eps, discount, pad.
+    The terminal column always exercises (c0 = -BIG, eps = -1); steps past
+    maturity and pad columns never do (eps = +BIG).
+    """
+    s_pad = _round_up(n_steps, LANE)
+    big = jnp.float32(1e30)
+    dtf = jnp.float32
+
+    t = (jnp.arange(1, n_steps + 1, dtype=jnp.float32)) * dt  # step times
+    # fits arrays cover steps 0..n_steps-1; column c uses step c+1 for
+    # c < n_steps-1; the terminal column (c = n_steps-1) is forced.
+    def shifted(a, fill, pad_value=0.0):
+        v = jnp.concatenate([a[1:].astype(dtf), jnp.asarray([fill], dtf)])
+        return jnp.pad(v, (0, s_pad - n_steps), constant_values=pad_value)
+
+    c0 = shifted(fits.coeffs[:, 0], -1e30)
+    c1 = shifted(fits.coeffs[:, 1], 0.0)
+    c2 = shifted(fits.coeffs[:, 2], 0.0)
+    mu = shifted(fits.mu, 0.0)
+    # pad sd with 1 so the pad columns' z stays finite (their eps already
+    # disables exercise).
+    sd = jnp.maximum(shifted(fits.sd, 1.0, pad_value=1.0), 1e-30)
+
+    live = t <= maturity
+    eps = jnp.where(live, jnp.float32(1e-14), big)
+    eps = eps.at[n_steps - 1].set(-1.0)
+    eps = jnp.pad(eps, (0, s_pad - n_steps), constant_values=1e30)
+    disc = jnp.exp(-r * jnp.minimum(t, maturity)).astype(dtf)
+    disc = jnp.pad(disc, (0, s_pad - n_steps))
+    pad_row = jnp.zeros(s_pad, dtf)
+    return jnp.stack([c0, c1, c2, mu, sd, eps, disc, pad_row])
+
+
+def time0_value(fits, s0, strike, is_call: bool):
+    """(exercises_at_0, payoff_at_0): every path shares S0, so time-0
+    exercise is a single scalar decision handled outside the kernel
+    (lsm_policy_value's column 0)."""
+    p0 = max(s0 - strike, 0.0) if is_call else max(strike - s0, 0.0)
+    z0 = (s0 - fits.mu[0]) / fits.sd[0]
+    cont0 = (fits.coeffs[0, 2] * z0 + fits.coeffs[0, 1]) * z0 \
+        + fits.coeffs[0, 0]
+    ex0 = jnp.logical_and(p0 > 1e-14, p0 >= cont0)
+    return ex0, p0
+
+
+def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
+                             dt: float, n_steps: int, chunk_paths: int,
+                             block_paths: int = 256, is_call: bool = False,
+                             interpret: bool = False,
+                             noise_input: bool = False):
+    """Fully fused streaming unit: (seed, policy_rows) -> chunk payoff sum
+    under the fitted exercise policy.  Paths live and die in VMEM; HBM
+    traffic is one float per grid block."""
+    if chunk_paths % block_paths:
+        raise ValueError("chunk_paths must divide by block_paths")
+    if not supports(n_steps):
+        raise ValueError("n_steps too large for the fused kernel")
+    s_pad = _round_up(n_steps, LANE)
+
+    from .engine import _fgn_matrices_host
+
+    cr, ci = _fgn_matrices_host(n_steps, h, eta, dt, jnp.float32)
+    cr_p = jnp.zeros((s_pad, s_pad), jnp.float32).at[:n_steps, :n_steps].set(cr)
+    ci_p = jnp.zeros((s_pad, s_pad), jnp.float32).at[:n_steps, :n_steps].set(ci)
+    t = np.arange(n_steps, dtype=np.float64) * dt
+    vd = -0.5 * (eta * eta) * t ** (2.0 * h)
+    vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
+        jnp.asarray(vd, jnp.float32))
+    tri = np.triu(np.ones((s_pad, s_pad), np.float32))
+    tri[n_steps:, :] = 0.0
+    tri_p = jnp.asarray(tri)
+    su_p = jnp.asarray(np.triu(np.ones((s_pad, s_pad), np.float32), k=1))
+
+    kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
+              rho=float(rho), dt=float(dt), log_s0=float(math.log(s0)),
+              block_paths=block_paths, is_call=bool(is_call),
+              strike=float(strike))
+    body = _priced_kernel_noise_in if noise_input else _priced_kernel
+    kernel = functools.partial(body, **kw)
+    grid_n = chunk_paths // block_paths
+    first_spec = (
+        pl.BlockSpec((4, block_paths, s_pad), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM) if noise_input
+        else pl.BlockSpec(memory_space=pltpu.SMEM))
+    call = pl.pallas_call(
+        kernel,
+        grid=(grid_n,),
+        in_specs=[
+            first_spec,                                     # seed or noise
+            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # Cr
+            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # Ci
+            pl.BlockSpec((1, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # var drift
+            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # cumsum tri
+            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # strict-upper
+            pl.BlockSpec((8, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # policy rows
+        ],
+        # Mosaic requires >= (8, 128) blocks: each grid step owns an 8-row
+        # stripe and broadcasts its partial sum into it.
+        out_specs=pl.BlockSpec((8, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+
+    def chunk_sum(seed_or_noise, rows) -> jax.Array:
+        if noise_input:
+            first = seed_or_noise.astype(jnp.float32)
+        else:
+            first = jnp.atleast_1d(jnp.asarray(seed_or_noise, jnp.int32))
+        out = call(first, cr_p, ci_p, vd_p, tri_p, su_p, rows)
+        return jnp.sum(out[::8, 0])
+
+    return chunk_sum, s_pad
 
 
 def make_pallas_pathgen_from_noise(s0, xi, h, eta, rho, r, n_steps: int,

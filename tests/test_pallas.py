@@ -68,3 +68,54 @@ def test_pallas_rejects_bad_block():
     with pytest.raises(ValueError):
         pathgen_pallas.make_pallas_pathgen(
             **KW, n_steps=32, dt=1 / 252, chunk_paths=1000, block_paths=256)
+
+
+def test_fused_priced_kernel_matches_xla_policy(rng):
+    """Fused (paths + LSM policy) kernel == XLA generator + lsm_policy_value
+    on identical injected noise (CPU interpreter)."""
+    import jax
+    import jax.numpy as jnp
+    from montecarlooptionspricer_tpu.models import engine
+    from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.2, 1.0, -0.4, 0.04
+    n_steps, chunk, dt = 48, 256, 1 / 252.0
+    strike, maturity, is_call = 97.0, 48 / 252.0, False   # OTM put at t=0
+
+    # a pilot fit from the XLA generator
+    pilot = engine.make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                      1 << 11)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call, 2)
+
+    gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
+        s0, xi, h, eta, rho, r, n_steps, dt, chunk, block_paths=64,
+        interpret=True)
+    noise = jnp.asarray(rng.standard_normal((4, chunk, s_pad)), jnp.float32)
+    paths = gen(noise)
+    want, _ = engine.lsm_policy_value(paths, fits, r, strike, maturity, dt,
+                                      is_call)
+
+    priced, s_pad2 = pathgen_pallas.make_pallas_priced_chunk(
+        s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps, chunk,
+        block_paths=64, is_call=is_call, interpret=True, noise_input=True)
+    assert s_pad2 == s_pad
+    rows = pathgen_pallas.policy_rows(fits, r, strike, maturity, dt,
+                                      n_steps, is_call)
+    got = priced(noise, rows)
+    ex0, p0 = pathgen_pallas.time0_value(fits, s0, strike, is_call)
+    assert not bool(ex0)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
+
+
+def test_fused_kernel_time0_exercise_path():
+    """Deep-ITM put at t=0: the time-0 scalar decision takes over."""
+    import jax
+    from montecarlooptionspricer_tpu.models import engine
+    from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+
+    s0, strike = 100.0, 160.0
+    pilot = engine.make_chunk_pathgen(s0, 0.04, 0.2, 1.0, -0.4, 0.04, 16,
+                                      1 / 252.0, 1 << 10)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, 0.04, strike, 16 / 252.0, 1 / 252.0, False, 2)
+    ex0, p0 = pathgen_pallas.time0_value(fits, s0, strike, False)
+    assert bool(ex0) and p0 == 60.0
