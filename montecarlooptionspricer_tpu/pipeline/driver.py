@@ -374,7 +374,9 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
                     writer.put(t.index, t.line + SENTINEL)
                 continue
             try:
-                values = pricer.price(chunk, pricing.seed)
+                from ..utils import annotate
+                with annotate(f"price_batch[{n_steps}x{len(chunk)}]"):
+                    values = pricer.price(chunk, pricing.seed)
             except Exception as e:  # noqa: BLE001 — thread-error path :867-881
                 stats.fail(f"Thread error: {e}")
                 error_log.write_line(f"Thread error: {e}")
