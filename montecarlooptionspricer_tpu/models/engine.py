@@ -38,9 +38,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import fgn as fgn_ops
 from ..ops.payoff import payoff
-from ..ops.regression import PolyFit
+from ..ops.regression import PolyFit, eval_poly
+from ..ops.timegrid import step_mask
 from .lsm import ITM_EPS, lsm_fit
 
 
@@ -79,9 +79,17 @@ class StreamConfig:
     chunks_per_call: int = 16
 
 
+@functools.lru_cache(maxsize=64)
 def _fgn_matrices_host(n_steps: int, h: float, eta: float, dt: float,
                        dtype) -> tuple:
-    """Spectral matrices in float64 on host (NumPy), cast for the MXU."""
+    """Spectral matrices in float64 on host (NumPy), cast for the MXU.
+
+    Cached: a StreamingPricer builds up to five generators (pilot/chunk/
+    fused/Greeks variants) from the same (n_steps, h, eta, dt).  Safe to
+    cache as device arrays because builders only run outside jit traces.
+    Same math as ops.fgn.fgn_matrices, in float64 host precision (the
+    [n, n] complex intermediate overflows float32's exponent headroom for
+    large n; ops/fgn's float32 form is the on-device variant for tests)."""
     t = np.arange(n_steps + 1, dtype=np.float64) * dt
     lam = 0.5 * t ** (2.0 * h)
     m1 = 1
@@ -156,26 +164,30 @@ def lsm_policy_value(paths, fits: PolyFit, r, strike, maturity, dt,
     Exercise at the first step j < n_steps that is in the money and whose
     immediate payoff is >= the fitted continuation value; otherwise exercise
     the terminal payoff.  Returns (sum, count).
+
+    Consistency contract with the pilot (models/lsm._lsm_backward): the
+    exercise window uses the same integer-exact step mask, and values
+    discount with exp(-r*t) at the stop step — the pilot discounts EVERY
+    step including those past maturity (reference behavior,
+    LSMPricer.cpp:44-49), so clipping t at maturity here would bias the
+    streamed estimate against the fit whenever n_steps*dt > maturity.
     """
     n, m = paths.shape
     t = jnp.arange(m, dtype=paths.dtype) * dt
     p = payoff(is_call, paths, strike)
 
-    # Continuation from the per-step fits: coeffs[j] in z_j = (S - mu_j)/sd_j.
+    # Continuation from the per-step fits: coeffs[j] in z_j = (S - mu_j)/sd_j
+    # (eval_poly broadcasts the per-step leading axis of the fits).
     s_steps = paths[:, : m - 1]                           # [n, m-1]
-    z = (s_steps - fits.mu[None, :]) / fits.sd[None, :]
-    order = fits.coeffs.shape[-1] - 1
-    cont = fits.coeffs[None, :, order]
-    for k_idx in range(order - 1, -1, -1):
-        cont = cont * z + fits.coeffs[None, :, k_idx]
+    cont = eval_poly(fits, s_steps)
 
-    live = (t[: m - 1] <= maturity)[None, :]
+    live = step_mask(m - 1, dt, maturity)[None, :]
     exercise = (p[:, : m - 1] > ITM_EPS) & (p[:, : m - 1] >= cont) & live
     # Terminal step always "exercises" whatever payoff remains.
     exercise = jnp.concatenate(
         [exercise, jnp.ones((n, 1), bool)], axis=-1)
     stop = jnp.argmax(exercise, axis=-1)
-    disc = jnp.exp(-r * jnp.minimum(t, maturity))
+    disc = jnp.exp(-r * t)
     value = jnp.take_along_axis(p * disc[None, :], stop[:, None], axis=-1)[:, 0]
     return jnp.sum(value), n
 
@@ -405,6 +417,17 @@ class StreamingPricer:
             raise ValueError(
                 f"n_paths={n_paths} not divisible by chunk_paths * devices="
                 f"{per_step}")
+        if self._pathgen_impl == "pallas":
+            # The int32 seed scheme reserves a < 2^20 chunk-index range per
+            # shard (shard offsets are (index+1) << 20, base seeds < 2^30);
+            # violating either bound would silently duplicate RNG streams.
+            if n_chunks >= 1 << 20:
+                raise ValueError(
+                    f"{n_chunks} chunks exceeds the pallas seed scheme's "
+                    "2^20 range — raise chunk_paths or use pathgen_impl="
+                    "'xla'")
+            if self.n_dev > 1024:
+                raise ValueError("pallas seed scheme supports <= 1024 shards")
         k_pilot, k_stream = self._keys(key)
         fits = self._fit(k_pilot)
 
@@ -463,6 +486,11 @@ class StreamingChainPricer:
     streamed chunk evaluates all K exercise policies on the same path
     block.  Estimates across strikes are positively correlated (same
     draws), which is exactly what a smooth implied-vol smile wants.
+
+    Always uses the portable XLA generator with threefry keys (chunks are
+    shared across K policies, so the fused single-policy kernel does not
+    apply); ``config.pathgen_impl`` / ``rng_impl`` / mesh sharding are not
+    consulted here.
 
     No reference equivalent (the reference prices each CSV row with its own
     fresh 250-path simulation, PredictionGen.cpp:718-737).

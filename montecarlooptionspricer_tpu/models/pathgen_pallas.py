@@ -95,9 +95,14 @@ def _euler_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
     block = out_ref.shape[0]
     s = _paths_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
                           **kw)
-    # out[:, 0] = S0; out[:, 1:n_steps+1] = S.
+    # out[:, 0] = S0; out[:, 1:n_steps+1] = S.  When n_steps is a lane
+    # multiple, out has one more padded lane-group than s (out_cols =
+    # round_up(n_steps + 1) > s_pad) — pad s to fit.
+    want = out_ref.shape[1] - 1
+    if s.shape[1] < want:
+        s = jnp.pad(s, ((0, 0), (0, want - s.shape[1])))
     out_ref[:, 0] = jnp.full((block,), math.exp(kw["log_s0"]), jnp.float32)
-    out_ref[:, 1:] = s[:, : out_ref.shape[1] - 1]
+    out_ref[:, 1:] = s[:, :want]
 
 
 def _policy_value(s, su_ref, pol_ref, *, is_call: bool, strike: float):
@@ -283,11 +288,16 @@ def policy_rows(fits, r, strike, maturity, dt, n_steps: int, is_call: bool):
     # disables exercise).
     sd = jnp.maximum(shifted(fits.sd, 1.0, pad_value=1.0), 1e-30)
 
-    live = t <= maturity
+    # Integer-exact live window (ops.timegrid.step_mask semantics) and the
+    # pilot-consistent undipped exp(-r t) discount — see
+    # engine.lsm_policy_value's consistency contract.
+    from ..ops.timegrid import step_mask
+
+    live = step_mask(n_steps + 1, dt, maturity)[1:]
     eps = jnp.where(live, jnp.float32(1e-14), big)
     eps = eps.at[n_steps - 1].set(-1.0)
     eps = jnp.pad(eps, (0, s_pad - n_steps), constant_values=1e30)
-    disc = jnp.exp(-r * jnp.minimum(t, maturity)).astype(dtf)
+    disc = jnp.exp(-r * t).astype(dtf)
     disc = jnp.pad(disc, (0, s_pad - n_steps))
     pad_row = jnp.zeros(s_pad, dtf)
     return jnp.stack([c0, c1, c2, mu, sd, eps, disc, pad_row])

@@ -32,10 +32,14 @@ import jax.numpy as jnp
 @functools.lru_cache(maxsize=32)
 def sobol_base(n_paths: int, dim: int, seed: int = 0):
     """[n_paths, dim] uint32 scrambled-Sobol base points in fixed point
-    (u * 2^32) as a device array.
+    (u * 2^32), cached per shape (the pipeline reuses one base per
+    (steps, paths) bucket across all rows and batches).
 
-    Cached per shape: the pipeline reuses one base per (steps, paths)
-    bucket across all rows and batches.
+    Non-power-of-two counts keep the first n of the next 2^m points; a
+    partial base-2 block loses some of the net's balance, but an
+    Owen-scrambled Sobol prefix remains low-discrepancy — measured at the
+    pipeline's 250-of-256 budget the RMSE gain stays ~within the pow2
+    figure.  Use power-of-two path counts for the full guarantee.
     """
     from scipy.stats import qmc
 

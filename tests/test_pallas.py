@@ -119,3 +119,20 @@ def test_fused_kernel_time0_exercise_path():
     _, fits = lsm_fit(pilot, 0.04, strike, 16 / 252.0, 1 / 252.0, False, 2)
     ex0, p0 = pathgen_pallas.time0_value(fits, s0, strike, False)
     assert bool(ex0) and p0 == 60.0
+
+
+def test_pathgen_lane_multiple_steps(rng):
+    """n_steps that is an exact lane multiple (128): the output block has
+    one more padded lane-group than the step block — regression test for a
+    shape mismatch in the store."""
+    import jax.numpy as jnp
+
+    gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
+        100.0, 0.04, 0.2, 1.0, -0.4, 0.04, 128, 1 / 252.0, 64,
+        block_paths=8, interpret=True)
+    assert s_pad == 128
+    noise = jnp.asarray(rng.standard_normal((4, 64, 128)), jnp.float32)
+    paths = gen(noise)
+    assert paths.shape == (64, 129)
+    assert np.all(np.asarray(paths[:, 0]) == 100.0)
+    assert np.all(np.isfinite(np.asarray(paths)))
