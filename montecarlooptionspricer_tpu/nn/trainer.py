@@ -86,8 +86,14 @@ def warmup_mse(outputs, targets, num_mixtures: int = 5, w=None):
 
 
 def l2_penalty(params):
-    """lambda * sum p^2 over live parameters (BayesianNN.cpp:481-488)."""
-    return sum(jnp.sum(p ** 2) for p in jax.tree.leaves(params))
+    """lambda * sum p^2 over live parameters (BayesianNN.cpp:481-488).
+
+    The attention block's output is discarded by the model (the narrow in
+    bnn.py), so in the reference its weights receive no gradient and no L2;
+    excluding the 'attn' subtree here keeps those weights frozen at init
+    like the reference instead of decaying them."""
+    live = {k: v for k, v in params.items() if k != "attn"}
+    return sum(jnp.sum(p ** 2) for p in jax.tree.leaves(live))
 
 
 class BayesianTrainer:
@@ -224,10 +230,12 @@ class BayesianTrainer:
                     checkpoint_path: Optional[str] = None) -> None:
         """TrainModel (BayesianNN.cpp:360-564)."""
         cfg = self.config
-        num_epochs = num_epochs or cfg.num_epochs
-        batch_size = batch_size or cfg.batch_size
-        lr = lr or cfg.learning_rate
-        checkpoint_path = checkpoint_path or cfg.checkpoint_path
+        # `is None` (not falsy-or): 0 epochs / lr 0.0 are legitimate values.
+        num_epochs = cfg.num_epochs if num_epochs is None else num_epochs
+        batch_size = cfg.batch_size if batch_size is None else batch_size
+        lr = cfg.learning_rate if lr is None else lr
+        if checkpoint_path is None:
+            checkpoint_path = cfg.checkpoint_path
 
         self.tx = self._make_tx(lr)
         if self.opt_state is None:

@@ -26,6 +26,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from .reductions import psum_if as _psum_if
+
 
 class PolyFit(NamedTuple):
     """A polynomial fit in standardized coordinates."""
@@ -41,8 +43,6 @@ def poly_basis(z, order: int):
     return jnp.stack([z ** k for k in range(order + 1)], axis=-1)
 
 
-def _psum_if(x, axis_name: Optional[str]):
-    return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
 def fit_poly_masked(x, y, w, order: int, axis_name: Optional[str] = None,

@@ -48,8 +48,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def init_distributed(**kwargs) -> None:
     """Multi-host initialization (jax.distributed.initialize passthrough).
-    A no-op on single-host setups that raise from double initialization."""
+
+    Only double-initialization is tolerated (a no-op); genuine failures —
+    bad coordinator address, port conflicts, timeouts — re-raise, because
+    silently continuing single-host would make every psum cover a fraction
+    of the intended paths and return wrong results."""
+    import logging
+
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+    except (RuntimeError, ValueError) as e:
+        msg = str(e).lower()
+        if "already" in msg or "only be called once" in msg:
+            return
+        logging.getLogger(__name__).error(
+            "jax.distributed.initialize failed: %s", e)
+        raise

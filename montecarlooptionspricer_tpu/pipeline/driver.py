@@ -277,15 +277,6 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
     error_log = SafeFileWriter(config.error_log)
     install_signal_handlers(stats, error_log.write)
 
-    # Backup any previous output (PredictionGen.cpp:403-413):
-    # foo.csv -> foo.backup.csv.  Skipped when resuming into that output.
-    if os.path.exists(config.output_csv) and not resume:
-        try:
-            base, _ = os.path.splitext(config.output_csv)
-            shutil.copyfile(config.output_csv, base + config.backup_suffix)
-        except OSError:
-            pass
-
     spot_data = spot_mod.load_spot_prices(config.spot_csv)
 
     # Diagnostic dump (PredictionGen.cpp:420-437).
@@ -313,6 +304,16 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
     out_header = ",".join(header) + "," + ",".join(AUGMENTED_COLUMNS)
     done_rows = _resume_row_count(config.output_csv, out_header) if resume \
         else 0
+    # Backup any previous output before truncating (PredictionGen.cpp:
+    # 403-413): foo.csv -> foo.backup.csv.  Skipped only for a genuine
+    # resume — a resume request against a foreign/mismatched file still
+    # backs it up, since the 'w' open below would destroy it.
+    if os.path.exists(config.output_csv) and done_rows == 0:
+        try:
+            base, _ = os.path.splitext(config.output_csv)
+            shutil.copyfile(config.output_csv, base + config.backup_suffix)
+        except OSError:
+            pass
     if done_rows:
         log.info("Resuming: %d/%d rows already in %s", done_rows, total_rows,
                  config.output_csv)
@@ -333,11 +334,9 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
     # Host pass: validate + feature-engineer every row, bucket the priceable
     # ones by compile shape.
     buckets: Dict[Tuple[int, bool], List[RowTask]] = {}
-    lines: List[str] = []
     start_time = time.time()
     for idx, tokens in enumerate(raw_rows):
         line = ",".join(tokens)
-        lines.append(line)
         if idx < done_rows:
             continue  # already written by the interrupted run
         if stats.should_terminate.is_set() or stats.catastrophic_failure:
@@ -362,7 +361,6 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
 
     # Device pass: price buckets in batches.
     pricer = BatchedPricer(pricing, market, mesh)
-    done = writer.next_row_to_write
     n_priceable = sum(len(v) for v in buckets.values())
     processed = 0
     for (n_steps, is_call), tasks in sorted(buckets.items()):

@@ -99,11 +99,25 @@ def install_signal_handlers(stats: ProcessStats,
                             error_log_write: Callable[[str], None]) -> None:
     """SIGINT/SIGTERM/SIGUSR1 -> log + terminate (PredictionGen.cpp:128-136,
     370-376).  Unlike the reference's abort(), sets the flag so in-flight
-    rows flush sentinel results first."""
+    rows flush sentinel results first.
+
+    The handler itself must be lock-free: it runs on the main thread, which
+    may be inside the error log's (non-reentrant) mutex when the signal
+    lands — calling the locked writer from the handler would self-deadlock.
+    So the handler only sets flags and stashes the message; a detached
+    thread performs the locked write.
+    """
 
     def handler(signum, frame):
-        error_log_write(f"Caught signal {signum}. Terminating process.\n")
-        stats.fail(f"signal {signum}")
+        # Flag first (should_terminate is an Event — set() is lock-free and
+        # signal-safe enough); failure_reason assignment races benignly.
+        stats.should_terminate.set()
+        stats.catastrophic_failure = True
+        stats.failure_reason = f"signal {signum}"
+        threading.Thread(
+            target=error_log_write,
+            args=(f"Caught signal {signum}. Terminating process.\n",),
+            daemon=True).start()
 
     for sig in (signal.SIGINT, signal.SIGTERM, signal.SIGUSR1):
         try:

@@ -84,6 +84,10 @@ def test_signal_handler_sets_abort(monkeypatch):
             time.sleep(0.01)
         assert stats.should_terminate.is_set()
         assert stats.catastrophic_failure
+        # the log write happens on a detached thread (the handler itself
+        # must stay lock-free) — wait for it
+        while not lines and time.time() < deadline:
+            time.sleep(0.01)
         assert any("Caught signal" in ln for ln in lines)
     finally:
         signal.signal(signal.SIGUSR1, old)
