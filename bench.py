@@ -70,15 +70,14 @@ def numpy_baseline(n_paths: int) -> float:
         vd = values * disc
         p = np.maximum(STRIKE - paths[:, j], 0.0)
         itm = p > 1e-14
+        values = vd
         if itm.any():
+            # continuation evaluated on the ITM rows only, like the
+            # reference algorithm (tests/oracles.py)
             a = np.vander(paths[itm, j], POLY_ORDER + 1, increasing=True)
             c, *_ = np.linalg.lstsq(a, vd[itm], rcond=None)
-            cont = a @ c
-            values = np.where(itm, np.maximum(p, np.where(
-                itm, np.vander(paths[:, j], POLY_ORDER + 1,
-                               increasing=True) @ c, 0.0)), vd)
-        else:
-            values = vd
+            values = vd.copy()
+            values[itm] = np.maximum(p[itm], a @ c)
     _ = values.mean()
     return n_paths / (time.perf_counter() - t0)
 
@@ -131,8 +130,12 @@ def main() -> None:
     base = numpy_baseline(BASELINE_PATHS)
     log(f"baseline: {base:,.0f} paths/s (batched NumPy, single host)")
 
+    # Metric name reflects the ACTUAL workload so env-override smoke runs
+    # can't be mistaken for the headline 1e7x365 number.
+    total = n_paths + PILOT
+    mag = f"{total:.0e}".replace("e+0", "e").replace("e+", "e")
     print(json.dumps({
-        "metric": "rbergomi_lsm_paths_per_sec_per_chip_1e7x365",
+        "metric": f"rbergomi_lsm_paths_per_sec_per_chip_{mag}x{N_STEPS}",
         "value": round(throughput, 1),
         "unit": "paths/s/chip",
         "vs_baseline": round(throughput / base, 2),

@@ -30,7 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--results-csv", default="evaluation_results.csv")
     p.add_argument("--n-samples", type=int, default=d.n_samples)
     p.add_argument("--stds", type=float, default=d.stds)
-    p.add_argument("--hidden-dim", type=int, default=64)
+    p.add_argument("--hidden-dim", type=int, default=TrainConfig().hidden_dim)
     p.add_argument("--batch-size", type=int, default=512)
     return p
 
@@ -51,6 +51,9 @@ def main(argv=None) -> int:
     trainer.load_model(args.model_file)
 
     n = x_test.shape[0]
+    if n == 0:
+        log.error("No data rows in %s", args.test_csv)
+        return 1
     sum_err = sum_sq = 0.0
     coverage_count = 0
     t0 = time.time()

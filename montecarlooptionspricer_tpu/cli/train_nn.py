@@ -76,8 +76,8 @@ def main(argv=None) -> int:
              pred, y_test[0])
     mc_mean, mc_lo, mc_hi = loaded.meta_model_prediction(
         feats, n_samples=args.mc_samples)
-    log.info("%dx MC-Dropout Prediction: %.6f (95%% CI: [%.6f, %.6f])",
-             args.mc_samples, mc_mean, mc_lo, mc_hi)
+    log.info("%dx MC-Dropout Prediction: %.6f (3-sigma interval: "
+             "[%.6f, %.6f])", args.mc_samples, mc_mean, mc_lo, mc_hi)
 
     # Batched deterministic evaluation (replaces TrainNN.cpp:108-126 loops).
     import jax.numpy as jnp

@@ -22,7 +22,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from ..ops.payoff import payoff
-from ..ops.reductions import masked_mean
+from ..ops.reductions import global_mean
 from ..ops.timegrid import step_mask
 
 
@@ -72,4 +72,4 @@ def asymptotic_price(paths, r, strike, maturity, dt, is_call: bool,
     disc = jnp.exp(-r * t)[None, :] * pay
     mask = finite & in_region & valid_t[None, :]
     best = jnp.max(jnp.where(mask, disc, 0.0), axis=-1)  # pathBest init 0 (:68)
-    return masked_mean(best, jnp.ones_like(best), axis_name)
+    return global_mean(best, axis_name)                  # mean over all paths

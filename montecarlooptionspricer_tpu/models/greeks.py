@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from . import rough_volatility
 from .lsm import lsm_price
-from .pricing import PricerSpec
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,14 +65,9 @@ def lsm_greeks(key, s0, xi, h, eta, rho, r, strike, maturity,
                   vega_xi=float(d_xi), rho_rate=float(d_r))
 
 
-def european_greeks(key, s0, sigma, r, strike, maturity, n_steps: int,
-                    n_paths: int, dt: Optional[float] = None,
-                    is_call: bool = True) -> Greeks:
-    """European GBM control case (validatable against Black-Scholes):
-    pathwise delta/vega/rho of the discounted terminal payoff."""
-    dt = maturity / n_steps if dt is None else dt
-
-    @partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("n_steps", "n_paths", "is_call"))
+def _euro_value_and_grads(key, s0, sigma, r, strike, maturity, dt, *,
+                          n_steps: int, n_paths: int, is_call: bool):
     def run(s0_, sigma_, r_):
         z = jax.random.normal(key, (n_paths, n_steps), jnp.float32)
         inc = (r_ - 0.5 * sigma_**2) * dt + sigma_ * jnp.sqrt(dt) * z
@@ -82,8 +76,18 @@ def european_greeks(key, s0, sigma, r, strike, maturity, n_steps: int,
             strike - st, 0.0)
         return jnp.exp(-r_ * maturity) * jnp.mean(pay)
 
-    price, (d_s0, d_sig, d_r) = jax.value_and_grad(
-        run, argnums=(0, 1, 2))(jnp.float32(s0), jnp.float32(sigma),
-                                jnp.float32(r))
+    return jax.value_and_grad(run, argnums=(0, 1, 2))(s0, sigma, r)
+
+
+def european_greeks(key, s0, sigma, r, strike, maturity, n_steps: int,
+                    n_paths: int, dt: Optional[float] = None,
+                    is_call: bool = True) -> Greeks:
+    """European GBM control case (validatable against Black-Scholes):
+    pathwise delta/vega/rho of the discounted terminal payoff."""
+    dt = maturity / n_steps if dt is None else dt
+    price, (d_s0, d_sig, d_r) = _euro_value_and_grads(
+        key, jnp.float32(s0), jnp.float32(sigma), jnp.float32(r),
+        jnp.float32(strike), jnp.float32(maturity), jnp.float32(dt),
+        n_steps=n_steps, n_paths=n_paths, is_call=is_call)
     return Greeks(price=float(price), delta=float(d_s0),
                   vega_xi=float(d_sig), rho_rate=float(d_r))

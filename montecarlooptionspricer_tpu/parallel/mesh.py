@@ -32,6 +32,10 @@ def make_mesh(n_devices: Optional[int] = None,
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available")
         devices = devices[:n_devices]
     import numpy as np
     return Mesh(np.asarray(devices), (axis_name,))
