@@ -29,10 +29,16 @@ def read_csv(filename: str, input_columns: Sequence[str],
     in_idx = [col_index[c] for c in input_columns]
     t_idx = col_index[target_column]
 
-    x = np.empty((len(rows), len(in_idx)), np.float32)
-    y = np.empty((len(rows),), np.float32)
+    need = max(in_idx + [t_idx]) + 1
     for r, row in enumerate(rows):
-        for c, i in enumerate(in_idx):
-            x[r, c] = float(row[i])
-        y[r] = float(row[t_idx])
-    return x, y
+        if len(row) < need:
+            raise ValueError(
+                f"Row {r + 1} of {filename} has {len(row)} fields; "
+                f"need {need} (ragged or truncated row)")
+    # One vectorized conversion instead of rows*cols Python float() calls —
+    # the native tokenizer's speedup would otherwise drown in this loop.
+    table = np.asarray([[row[i] for i in in_idx + [t_idx]] for row in rows],
+                       dtype=np.float32)
+    if table.size == 0:
+        table = table.reshape(0, len(in_idx) + 1)
+    return np.ascontiguousarray(table[:, :-1]), table[:, -1].copy()

@@ -48,7 +48,11 @@ def read_table(path: str) -> Tuple[List[str], List[List[str]]]:
         return _native.read_table(os.fspath(path))
     header: List[str] = []
     rows: List[List[str]] = []
-    with open(path, "r") as f:
+    # Match the native parser byte-for-byte: utf-8 with replacement (not
+    # strict locale decoding) and '\n'-only line breaks (no universal
+    # newlines — a lone '\r' is field content, not a row break).
+    with open(path, "r", encoding="utf-8", errors="replace",
+              newline="\n") as f:
         first = f.readline()
         if not first:
             raise ValueError(f"Empty CSV: {path}")

@@ -94,7 +94,9 @@ def fetch_spot_history(spot_data: SpotData, ticker: str,
     """Walk back max_days..0 calendar days from the quote date, collecting
     finite prices for dates present in the data, oldest first
     (PredictionGen.cpp:265-305)."""
-    daily = spot_data.get(ticker)
+    # Loader keys are lowercased (:76); normalize the option-row token the
+    # same way so 'AAPL' rows match an 'AAPL' spot column.
+    daily = spot_data.get(ticker.lower())
     if not daily:
         return []
     max_days = compute_max_days(dte)

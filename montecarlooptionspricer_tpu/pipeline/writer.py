@@ -28,9 +28,20 @@ class SafeFileWriter:
 
     def write(self, data: str) -> None:
         with self._lock:
-            if self._file.closed:
+            try:
+                if self._file.closed:
+                    self._file = open(self.path, "a")
+                self._file.write(data)
+            except OSError:
+                # Reopen-on-error (PredictionGen.cpp:100-113): close the
+                # wedged handle, reopen in append, retry once; a second
+                # failure propagates.
+                try:
+                    self._file.close()
+                except OSError:
+                    pass
                 self._file = open(self.path, "a")
-            self._file.write(data)
+                self._file.write(data)
             self._count += 1
             if self._count % self.FLUSH_INTERVAL == 0:
                 self._file.flush()
@@ -75,8 +86,11 @@ class OrderedResultWriter:
                 self._next += 1
 
     def flush_remaining(self) -> None:
-        """Write whatever is ready past a gap (PredictionGen.cpp:910-914)."""
+        """Write whatever is ready past a gap (PredictionGen.cpp:910-914).
+        Marks the writer complete: a late put() can no longer emit a
+        duplicate or out-of-order line."""
         with self._lock:
             for i in sorted(self._pending):
                 self._writer.write_line(self._pending[i])
             self._pending.clear()
+            self._next = self._total

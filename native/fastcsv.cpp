@@ -61,15 +61,20 @@ PyObject* read_table(PyObject* /*self*/, PyObject* args) {
   }
   std::string data;
   {
-    std::fseek(f, 0, SEEK_END);
-    long size = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    if (size > 0) {
-      data.resize(static_cast<size_t>(size));
-      size_t got = std::fread(&data[0], 1, static_cast<size_t>(size), f);
-      data.resize(got);
+    // Chunked read loop (no fseek/ftell): works for regular files, pipes,
+    // and special files alike, and cannot misreport an unseekable stream
+    // as empty.
+    char buf[1 << 16];
+    size_t got;
+    while ((got = std::fread(buf, 1, sizeof(buf), f)) > 0) {
+      data.append(buf, got);
     }
+    bool had_error = std::ferror(f) != 0;
     std::fclose(f);
+    if (had_error) {
+      PyErr_Format(PyExc_OSError, "read error on %s", path);
+      return nullptr;
+    }
   }
 
   PyObject* header = nullptr;
