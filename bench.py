@@ -108,8 +108,14 @@ def main() -> None:
                                   "BENCH_PATHGEN", "pallas"),
                               rng_impl=os.environ.get("BENCH_RNG", "rbg"),
                               cumsum_impl="matmul",
+                              # bf16 fGN only helps the XLA path (the fused
+                              # kernel is VPU-bound on its Box-Muller, not
+                              # the MXU); keep the kernel at f32.
                               fgn_matmul_dtype=os.environ.get(
-                                  "BENCH_FGN_DTYPE", "bfloat16"))
+                                  "BENCH_FGN_DTYPE",
+                                  "float32" if os.environ.get(
+                                      "BENCH_PATHGEN", "pallas") == "pallas"
+                                  else "bfloat16"))
     pricer = engine.StreamingPricer(S0, XI, H, ETA, RHO, R, STRIKE,
                                     MATURITY, IS_CALL, cfg)
 

@@ -37,6 +37,35 @@ def black_scholes(s0, strike, r, sigma, maturity, is_call: bool,
             - s0 * np.exp(-dividend * maturity) * norm_cdf(-d1))
 
 
+def implied_vol(price, s0, strike, r, maturity, is_call: bool,
+                dividend: float = 0.0, tol: float = 1e-8,
+                max_iter: int = 100) -> float:
+    """Black-Scholes implied volatility by bracketed bisection (robust to
+    the flat-vega wings where Newton diverges).  Returns NaN when the price
+    violates no-arbitrage bounds.
+
+    A serving convenience for the chain pricer (StreamingChainPricer +
+    implied_vol = a Monte Carlo smile); no reference equivalent.
+    """
+    price = float(price)
+    lo_price = black_scholes(s0, strike, r, 1e-9, maturity, is_call, dividend)
+    hi = 5.0
+    hi_price = black_scholes(s0, strike, r, hi, maturity, is_call, dividend)
+    if not lo_price - tol <= price <= hi_price + tol:
+        return float("nan")
+    lo = 1e-9
+    for _ in range(max_iter):
+        mid = 0.5 * (lo + hi)
+        if black_scholes(s0, strike, r, mid, maturity, is_call,
+                         dividend) < price:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < tol:
+            break
+    return 0.5 * (lo + hi)
+
+
 def binomial_american(s0, strike, r, sigma, maturity, is_call: bool,
                       steps: int = 2000, dividend: float = 0.0) -> float:
     """Cox-Ross-Rubinstein binomial tree for American options (test oracle)."""

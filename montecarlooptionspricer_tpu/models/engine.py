@@ -235,10 +235,10 @@ class StreamingPricer:
         if pathgen_impl == "pallas":
             pilot_gen = pathgen_pallas.make_pallas_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                block_paths=config.pallas_block_paths)
+                block_paths=config.pallas_block_paths, fgn_dtype=fgn_dtype)
             chunk_gen = pathgen_pallas.make_pallas_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
-                block_paths=config.pallas_block_paths)
+                block_paths=config.pallas_block_paths, fgn_dtype=fgn_dtype)
             # Carriers are int32 seeds; the kernel folds the grid block id
             # into the PRNG seed, and chunk i re-seeds with carrier + i.
             next_carrier = lambda seed, i: seed + i
@@ -294,7 +294,7 @@ class StreamingPricer:
             priced_chunk, _ = pathgen_pallas.make_pallas_priced_chunk(
                 s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
                 config.chunk_paths, block_paths=config.pallas_block_paths,
-                is_call=is_call)
+                is_call=is_call, fgn_dtype=fgn_dtype)
 
             def stream_fn(k, fits, start, count):  # noqa: F811 — fused form
                 k = shard_mix(k)

@@ -69,8 +69,13 @@ def _paths_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref, *,
     block = zr.shape[0]
     # fGN via MXU: X = Zr @ Cr - Zi @ Ci (padded cols of C are zero, so the
     # padded tail of Z is annihilated in the products' valid columns).
-    x = (jnp.dot(zr, cr_ref[:], preferred_element_type=jnp.float32)
-         - jnp.dot(zi, ci_ref[:], preferred_element_type=jnp.float32))
+    # The spectral matrices' dtype drives the matmul precision: bf16 inputs
+    # with f32 accumulation run ~2x faster on the MXU, adding ~0.4% relative
+    # noise to X — far below MC noise at any realistic path count.
+    x = (jnp.dot(zr.astype(cr_ref.dtype), cr_ref[:],
+                 preferred_element_type=jnp.float32)
+         - jnp.dot(zi.astype(ci_ref.dtype), ci_ref[:],
+                   preferred_element_type=jnp.float32))
 
     v = xi * jnp.exp(x + vd_ref[:])                     # forward variance
     rho_c = math.sqrt(max(0.0, 1.0 - rho * rho))
@@ -120,8 +125,12 @@ def _policy_value(s, su_ref, pol_ref, *, is_call: bool, strike: float):
         strike - s, 0.0)
     z = (s - mu) / sd
     cont = (c2 * z + c1) * z + c0
+    # {0,1} indicators are exact in bf16 and the f32 accumulation keeps the
+    # prior-exercise counts exact, so this matmul can always run at the
+    # MXU's bf16 rate.
     exf = ((p > eps) & (p >= cont)).astype(jnp.float32)
-    prior = jnp.dot(exf, su_ref[:], preferred_element_type=jnp.float32)
+    prior = jnp.dot(exf.astype(su_ref.dtype), su_ref[:],
+                    preferred_element_type=jnp.float32)
     first = exf * (prior == 0.0).astype(jnp.float32)
     return jnp.sum(first * p * disc)
 
@@ -183,7 +192,7 @@ def supports(n_steps: int) -> bool:
 
 def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
            chunk_paths: int, block_paths: int, interpret: bool,
-           noise_input: bool):
+           noise_input: bool, fgn_dtype=jnp.float32):
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
     if not supports(n_steps):
@@ -196,9 +205,9 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
 
     from .engine import _fgn_matrices_host
 
-    cr, ci = _fgn_matrices_host(n_steps, h, eta, dt, jnp.float32)
-    cr_p = jnp.zeros((s_pad, s_pad), jnp.float32).at[:n_steps, :n_steps].set(cr)
-    ci_p = jnp.zeros((s_pad, s_pad), jnp.float32).at[:n_steps, :n_steps].set(ci)
+    cr, ci = _fgn_matrices_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
+    cr_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(cr)
+    ci_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(ci)
     t = np.arange(n_steps, dtype=np.float64) * dt
     vd = -0.5 * (eta * eta) * t ** (2.0 * h)
     vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
@@ -242,7 +251,7 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
 
 def make_pallas_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                         chunk_paths: int, block_paths: int = 256,
-                        interpret: bool = False):
+                        interpret: bool = False, fgn_dtype=jnp.float32):
     """Build seed -> [chunk_paths, n_steps + 1] float32 rBergomi generator
     with in-kernel RNG.
 
@@ -250,7 +259,8 @@ def make_pallas_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     PRNG seed, so pass a distinct seed per chunk for independent chunks.
     """
     call, consts, _ = _build(s0, xi, h, eta, rho, r, n_steps, dt, chunk_paths,
-                             block_paths, interpret, noise_input=False)
+                             block_paths, interpret, noise_input=False,
+                             fgn_dtype=fgn_dtype)
 
     def gen(seed) -> jax.Array:
         seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
@@ -319,7 +329,8 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                              dt: float, n_steps: int, chunk_paths: int,
                              block_paths: int = 256, is_call: bool = False,
                              interpret: bool = False,
-                             noise_input: bool = False):
+                             noise_input: bool = False,
+                             fgn_dtype=jnp.float32):
     """Fully fused streaming unit: (seed, policy_rows) -> chunk payoff sum
     under the fitted exercise policy.  Paths live and die in VMEM; HBM
     traffic is one float per grid block."""
@@ -331,9 +342,9 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
 
     from .engine import _fgn_matrices_host
 
-    cr, ci = _fgn_matrices_host(n_steps, h, eta, dt, jnp.float32)
-    cr_p = jnp.zeros((s_pad, s_pad), jnp.float32).at[:n_steps, :n_steps].set(cr)
-    ci_p = jnp.zeros((s_pad, s_pad), jnp.float32).at[:n_steps, :n_steps].set(ci)
+    cr, ci = _fgn_matrices_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
+    cr_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(cr)
+    ci_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(ci)
     t = np.arange(n_steps, dtype=np.float64) * dt
     vd = -0.5 * (eta * eta) * t ** (2.0 * h)
     vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
@@ -341,7 +352,10 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
     tri = np.triu(np.ones((s_pad, s_pad), np.float32))
     tri[n_steps:, :] = 0.0
     tri_p = jnp.asarray(tri)
-    su_p = jnp.asarray(np.triu(np.ones((s_pad, s_pad), np.float32), k=1))
+    # {0,1} exactly representable; accumulation is f32 -> exact counts at
+    # the bf16 MXU rate.
+    su_p = jnp.asarray(np.triu(np.ones((s_pad, s_pad), np.float32), k=1),
+                       jnp.bfloat16)
 
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
               rho=float(rho), dt=float(dt), log_s0=float(math.log(s0)),

@@ -212,3 +212,33 @@ def test_pipeline_resume_ignores_foreign_output(workdir):
     header, rows = read_output()
     assert header[-6:] == list(AUGMENTED_COLUMNS)
     assert len(rows) == 1
+
+
+def test_pipeline_device_failure_contained(workdir, monkeypatch):
+    """Fault injection (SURVEY.md section 5.3): a device-pass blow-up marks
+    catastrophic failure (thread-error path, PredictionGen.cpp:867-881) but
+    every affected row still reaches the output as an ordered sentinel and
+    the failure is logged."""
+    from montecarlooptionspricer_tpu.pipeline import driver as driver_mod
+
+    s = round(workdir["aapl"], 4)
+    make_option_csv("option_data.csv", [
+        opt_row(option_type=0, dte=30.0, s=s, sdp=-0.02),
+        opt_row(option_type=1, dte=30.0, s=s, sdp=0.02),
+    ])
+
+    def boom(self, tasks, seed):
+        raise RuntimeError("injected device failure")
+
+    monkeypatch.setattr(driver_mod.BatchedPricer, "price", boom)
+    rc = run_pipeline(PipelineConfig(), PricingConfig(rows_per_batch=4),
+                      MarketDefaults())
+    # fail() marks catastrophic failure -> exit code 1, but every row is
+    # still emitted as a sentinel and the output stays ordered.
+    assert rc == 1
+    _, rows = read_output()
+    assert len(rows) == 2
+    for row in rows:
+        assert row[-6:] == ["0"] * 6
+    log_text = open("error_log.txt").read()
+    assert "Thread error: injected device failure" in log_text

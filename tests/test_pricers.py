@@ -171,3 +171,19 @@ def test_lsm_brackets_binomial_american_put():
     euro = black_scholes(s0, k, r, sigma, t, False)
     assert euro - 0.15 < price < amer * 1.10, (price, euro, amer)
     assert abs(price - amer) / amer < 0.10
+
+
+def test_implied_vol_round_trip():
+    from montecarlooptionspricer_tpu.models.closed_form import (black_scholes,
+                                                                implied_vol)
+
+    for sigma in (0.08, 0.25, 0.9):
+        for is_call in (True, False):
+            p = black_scholes(100.0, 112.0, 0.03, sigma, 0.75, is_call,
+                              dividend=0.01)
+            iv = implied_vol(p, 100.0, 112.0, 0.03, 0.75, is_call,
+                             dividend=0.01)
+            assert iv == pytest.approx(sigma, abs=1e-6)
+    # no-arbitrage violations -> NaN
+    assert np.isnan(implied_vol(-0.5, 100.0, 112.0, 0.03, 0.75, True))
+    assert np.isnan(implied_vol(500.0, 100.0, 112.0, 0.03, 0.75, True))
