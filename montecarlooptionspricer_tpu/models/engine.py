@@ -72,6 +72,12 @@ class StreamConfig:
     # evaluation into the kernel too: each grid block emits one partial
     # payoff sum and path data never leaves VMEM.
     fuse_policy: bool = True
+    # Martingale control variate: corrects the streamed estimate with
+    # beta * (mean e^{-rT} S_T - s0), beta fitted on the pilot block.
+    # Unbiased (the control's mean is exactly s0 under this model) with
+    # ~2-4x lower variance for near-the-money contracts.  Disables the
+    # fused kernel (the generic stream needs the path block).
+    control_variate: bool = False
     # Chunks per device program: the chunk loop runs as an on-device
     # fori_loop, so host<->device round-trips happen once per
     # `chunks_per_call` chunks, not per chunk (the axon-tunnel dispatch
@@ -172,6 +178,14 @@ def lsm_policy_value(paths, fits: PolyFit, r, strike, maturity, dt,
     LSMPricer.cpp:44-49), so clipping t at maturity here would bias the
     streamed estimate against the fit whenever n_steps*dt > maturity.
     """
+    value = lsm_policy_path_values(paths, fits, r, strike, maturity, dt,
+                                   is_call)
+    return jnp.sum(value), paths.shape[0]
+
+
+def lsm_policy_path_values(paths, fits: PolyFit, r, strike, maturity, dt,
+                           is_call: bool):
+    """Per-path discounted payoff under the fitted exercise policy [n]."""
     n, m = paths.shape
     t = jnp.arange(m, dtype=paths.dtype) * dt
     p = payoff(is_call, paths, strike)
@@ -188,8 +202,17 @@ def lsm_policy_value(paths, fits: PolyFit, r, strike, maturity, dt,
         [exercise, jnp.ones((n, 1), bool)], axis=-1)
     stop = jnp.argmax(exercise, axis=-1)
     disc = jnp.exp(-r * t)
-    value = jnp.take_along_axis(p * disc[None, :], stop[:, None], axis=-1)[:, 0]
-    return jnp.sum(value), n
+    return jnp.take_along_axis(p * disc[None, :], stop[:, None], axis=-1)[:, 0]
+
+
+def martingale_control(paths, r, dt):
+    """Per-path martingale control variate: e^{-r T} S_T — its expectation
+    is EXACTLY S0 under the model's Euler log scheme (the exponential
+    compensator is exact and the price Brownian is independent of the
+    variance driver, the reference quirk documented in
+    rough_volatility.generate_paths_qmc)."""
+    m = paths.shape[1]
+    return jnp.exp(-r * (m - 1) * dt) * paths[:, -1]
 
 
 class StreamingPricer:
@@ -287,8 +310,43 @@ class StreamingPricer:
                 init = jax.lax.pvary(init, ax)
             return jax.lax.fori_loop(0, count, body, init)
 
+        self._cv = bool(config.control_variate)
+        self._s0 = float(s0)
+        if self._cv:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "control_variate is single-mesh for now")
+
+            def fit_fn(k):  # noqa: F811 — CV variant returns (fits, beta)
+                pilot = pilot_gen(shard_mix(k))
+                _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call,
+                                  config.poly_order)
+                av = lsm_policy_path_values(pilot, fits, r, strike,
+                                            maturity, dt, is_call)
+                cv = martingale_control(pilot, r, dt)
+                cvc = cv - jnp.mean(cv)
+                beta = (jnp.sum(cvc * (av - jnp.mean(av)))
+                        / jnp.maximum(jnp.sum(cvc * cvc), 1e-12))
+                return fits, beta
+
+            def stream_fn(k, fits_beta, start, count):  # noqa: F811
+                fits, _ = fits_beta
+                k = shard_mix(k)
+
+                def body(i, carry):
+                    a, c = carry
+                    paths = chunk_gen(next_carrier(k, start + i))
+                    vals = lsm_policy_path_values(paths, fits, r, strike,
+                                                  maturity, dt, is_call)
+                    cv = martingale_control(paths, r, dt)
+                    return (a + jnp.sum(vals).astype(jnp.float32),
+                            c + jnp.sum(cv).astype(jnp.float32))
+
+                zero = jnp.zeros((), jnp.float32)
+                return jax.lax.fori_loop(0, count, body, (zero, zero))
+
         if (pathgen_impl == "pallas" and config.fuse_policy
-                and config.poly_order == 2):
+                and config.poly_order == 2 and not self._cv):
             from . import pathgen_pallas
 
             priced_chunk, _ = pathgen_pallas.make_pallas_priced_chunk(
@@ -434,6 +492,20 @@ class StreamingPricer:
         # Host accumulation in float64: each on-device call sums at most
         # chunks_per_call chunks in float32 (bounded magnitude); the
         # cross-call reduction happens here at full precision.
+        if self._cv:
+            amer = cv = 0.0
+            done = 0
+            while done < n_chunks:
+                count = min(config.chunks_per_call, n_chunks - done)
+                a, c = self._stream(k_stream, fits, done, count)
+                amer += float(a)
+                cv += float(c)
+                done += count
+                if progress is not None:
+                    progress(done, n_chunks)
+            beta = float(fits[1])
+            return amer / n_paths - beta * (cv / n_paths - self._s0)
+
         total = 0.0
         done = 0
         while done < n_chunks:

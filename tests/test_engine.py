@@ -222,3 +222,24 @@ def test_chain_pricer_matches_single_strike_runs():
     assert abs(prices[2] - p_one) < 0.2
     # deterministic
     assert np.array_equal(chain.price(jax.random.key(9)), prices)
+
+
+def test_control_variate_unbiased_and_lower_variance():
+    """The martingale control (e^{-rT} S_T, mean exactly s0) must cut the
+    estimator's seed-to-seed variance without moving its center."""
+    base = dict(n_paths=1 << 12, n_steps=24, chunk_paths=1 << 11,
+                pilot_paths=1 << 10)
+    kwargs = dict(s0=100.0, xi=0.05, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=100.0, maturity=24 / 252.0, is_call=False)
+    plain = engine.StreamingPricer(**kwargs,
+                                   config=engine.StreamConfig(**base))
+    cv = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base, control_variate=True))
+    p_plain = [plain.price(jax.random.key(s)) for s in range(16)]
+    p_cv = [cv.price(jax.random.key(s)) for s in range(16)]
+    assert np.var(p_cv) < np.var(p_plain), (np.var(p_cv), np.var(p_plain))
+    # centers agree within a couple of combined stderr
+    se = np.sqrt((np.var(p_plain) + np.var(p_cv)) / 16)
+    assert abs(np.mean(p_cv) - np.mean(p_plain)) < 3 * se + 1e-3
+    # deterministic per seed
+    assert cv.price(jax.random.key(3)) == p_cv[3]
