@@ -227,8 +227,15 @@ class BayesianTrainer:
                     num_epochs: Optional[int] = None,
                     batch_size: Optional[int] = None,
                     lr: Optional[float] = None,
-                    checkpoint_path: Optional[str] = None) -> None:
-        """TrainModel (BayesianNN.cpp:360-564)."""
+                    checkpoint_path: Optional[str] = None,
+                    mesh=None) -> None:
+        """TrainModel (BayesianNN.cpp:360-564).
+
+        With ``mesh`` (1-D jax.sharding.Mesh), every batch's row axis is
+        sharded across the mesh and the params/optimizer state replicated —
+        data-parallel training, the multi-chip generalization of the
+        reference's whole-model CUDA offload (BayesianNN.cpp:250-277); XLA
+        inserts the gradient all-reduces."""
         cfg = self.config
         # `is None` (not falsy-or): 0 epochs / lr 0.0 are legitimate values.
         num_epochs = cfg.num_epochs if num_epochs is None else num_epochs
@@ -245,6 +252,21 @@ class BayesianTrainer:
         x = jnp.asarray(x, jnp.float32)
         y = jnp.asarray(y, jnp.float32).reshape(-1, 1)
         xb, yb, wb = self._batched(x, y, batch_size)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            if batch_size % mesh.shape[axis]:
+                raise ValueError(
+                    f"batch_size={batch_size} not divisible by mesh size "
+                    f"{mesh.shape[axis]}")
+            row_sharded = NamedSharding(mesh, P(None, axis))
+            repl = NamedSharding(mesh, P())
+            xb = jax.device_put(xb, row_sharded)
+            yb = jax.device_put(yb, row_sharded)
+            wb = jax.device_put(wb, row_sharded)
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
 
         start_epoch = 1
         restored = ckpt_lib.load_checkpoint(checkpoint_path, self.params,

@@ -179,3 +179,26 @@ def test_mc_prediction_batch_shape(rng):
     x = rng.normal(size=(6, 17)).astype(np.float32)
     draws = t.predict_mc(x, n_samples=12, key=jax.random.key(3))
     assert draws.shape == (12, 6)
+
+
+def test_train_model_mesh_data_parallel(rng, tmp_path):
+    """Data-parallel training over the virtual 8-device mesh produces a
+    finite loss trajectory and the same API surface as single-chip."""
+    from montecarlooptionspricer_tpu.parallel import make_mesh
+
+    x = rng.normal(size=(128, 17)).astype(np.float32)
+    y = (1.5 + 0.3 * x[:, 0]).astype(np.float32)
+    cfg = TrainConfig(input_dim=17, hidden_dim=64, num_epochs=2,
+                      batch_size=32)
+    tr = BayesianTrainer(17, 64, config=cfg)
+    tr.train_model(x, y, num_epochs=2,
+                   checkpoint_path=str(tmp_path / "mesh_ck"),
+                   mesh=make_mesh(8))
+    assert tr.current_epoch == 2
+    pred, lo, hi = tr.meta_model_prediction(x[0], n_samples=4)
+    assert np.isfinite(pred) and lo <= pred <= hi
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tr.train_model(x, y, num_epochs=1, batch_size=30,
+                       checkpoint_path=str(tmp_path / "bad"),
+                       mesh=make_mesh(8))
