@@ -26,21 +26,20 @@ from ..ops.reductions import global_mean
 from ..ops.timegrid import step_mask
 
 
-def exercise_boundary(t, maturity, strike, r, dividend, sigma, is_call: bool):
+def exercise_boundary(t, maturity, strike, r, dividend, sigma, is_call):
     """Early-exercise boundary curve B(t)
     (AsymptoticAnalysisPricer.cpp:8-36).  Where the reference would produce
     NaN (negative sqrt argument), returns -inf (call) / +inf (put) so the
-    exercise region is empty, matching the C++ NaN-comparison behavior."""
+    exercise region is empty, matching the C++ NaN-comparison behavior.
+    ``is_call`` may be a static bool or a traced boolean."""
     eps = maturity - t
     arg = eps * jnp.log(1.0 / jnp.maximum(eps, 1e-300))
     c0 = 0.5 * sigma * jnp.sqrt(jnp.maximum(arg, 0.0))
     near = eps < 0.01
-    if is_call:
-        boundary = strike - c0 + jnp.where(near, 0.5 * (dividend - r) * eps, 0.0)
-        invalid_fill = jnp.inf       # S > +inf is never true
-    else:
-        boundary = strike + c0 - jnp.where(near, 0.5 * (r - dividend) * eps, 0.0)
-        invalid_fill = -jnp.inf      # S < -inf is never true
+    correction = jnp.where(near, 0.5 * (dividend - r) * eps, 0.0)
+    boundary = jnp.where(is_call, strike - c0 + correction,
+                         strike + c0 + correction)
+    invalid_fill = jnp.where(is_call, jnp.inf, -jnp.inf)  # empty region
     at_expiry = eps < 1e-10
     boundary = jnp.where(at_expiry, strike, boundary)
     bad = jnp.logical_and(arg < 0.0, jnp.logical_not(at_expiry))
@@ -64,10 +63,8 @@ def asymptotic_price(paths, r, strike, maturity, dt, is_call: bool,
                                  is_call)
 
     finite = jnp.isfinite(paths)                 # NaN/Inf price skip at :74
-    if is_call:
-        in_region = paths > boundary[None, :]
-    else:
-        in_region = paths < boundary[None, :]
+    in_region = jnp.where(is_call, paths > boundary[None, :],
+                          paths < boundary[None, :])
     pay = payoff(is_call, paths, strike)
     disc = jnp.exp(-r * t)[None, :] * pay
     mask = finite & in_region & valid_t[None, :]

@@ -22,9 +22,11 @@ from .martingale import martingale_price
 class PricerSpec:
     """Static + dynamic arguments of the four estimators.
 
-    ``is_call``, ``num_branches``, ``poly_order``, ``max_iterations`` are
-    static (they shape the compiled program); the floats may be traced
-    scalars so rows can be vmapped.
+    ``num_branches``, ``poly_order``, ``max_iterations`` are static (they
+    shape the compiled program); the floats may be traced scalars so rows
+    can be vmapped, and ``is_call`` may be a static bool OR a traced
+    boolean (the payoff/boundary selects are branch-free) — the pipeline
+    traces it so calls and puts share one compiled program.
     """
 
     r: float = 0.04

@@ -7,8 +7,9 @@ Rebuilt TPU-first:
 
   host:   parse + validate rows, fetch spot history, 20-day vol/momentum,
           rough-vol parameter estimation (scalar work, float64);
-  device: rows are *bucketed by (step count, option type)* — the two
-          compile-shape axes — and priced in vmapped batches under one jit:
+  device: rows are *bucketed by step count* — the one true compile-shape
+          axis (option type is a traced boolean) — and priced in vmapped
+          batches under one jit:
           each row generates its own [num_paths, steps+1] rBergomi block and
           runs all four estimators, so a batch of B rows is a single
           [B x 250 x steps] program with no host round-trips.  Across a
@@ -159,17 +160,19 @@ def _parse_row(index: int, line: str, tokens: List[str],
 
 
 class BatchedPricer:
-    """Compile-cached vmapped pricing: one program per (n_steps, is_call,
-    batch_size) bucket shape."""
+    """Compile-cached vmapped pricing: one program per (n_steps,
+    batch_size) bucket shape; the option type is a traced per-row boolean
+    (branch-free payoff/boundary selects), so calls and puts share one
+    executable — halving the per-process program-load cost."""
 
     def __init__(self, pricing: PricingConfig, market: MarketDefaults,
                  mesh=None):
         self.pricing = pricing
         self.market = market
         self.mesh = mesh
-        self._cache: Dict[Tuple[int, bool, int], object] = {}
+        self._cache: Dict[Tuple[int, int], object] = {}
 
-    def _build(self, n_steps: int, is_call: bool, batch: int):
+    def _build(self, n_steps: int, batch: int):
         import jax
         import jax.numpy as jnp
         from ..models import rough_volatility
@@ -182,7 +185,12 @@ class BatchedPricer:
             from ..ops import qmc
             base_u = qmc.sobol_base(p.num_paths, 3 * n_steps)
 
-        def one(key, s0, xi, h, eta, rho, strike, maturity, sigma, dividend):
+        def one(key, is_call, s0, xi, h, eta, rho, strike, maturity, sigma,
+                dividend):
+            # is_call rides along as a traced boolean (payoff/boundary are
+            # branch-free selects), so calls and puts share this program —
+            # each distinct executable costs seconds of per-process load
+            # through a remote tunnel.
             kp, kr = jax.random.split(key)
             if p.qmc:
                 paths = rough_volatility.generate_paths_qmc(
@@ -219,11 +227,11 @@ class BatchedPricer:
         import jax.numpy as jnp
 
         assert tasks
-        n_steps, is_call = tasks[0].n_steps, tasks[0].is_call
+        n_steps = tasks[0].n_steps
         batch = self.pricing.rows_per_batch
-        key_sig = (n_steps, is_call, batch)
+        key_sig = (n_steps, batch)
         if key_sig not in self._cache:
-            self._cache[key_sig] = self._build(n_steps, is_call, batch)
+            self._cache[key_sig] = self._build(n_steps, batch)
         fn = self._cache[key_sig]
 
         n = len(tasks)
@@ -240,9 +248,10 @@ class BatchedPricer:
                                jnp.asarray([t.index for t in padded]))
         cols = lambda name: jnp.asarray(
             [getattr(t, name) for t in padded], jnp.float32)
-        out = fn(keys, cols("s0"), cols("xi"), cols("h"), cols("eta"),
-                 cols("rho"), cols("strike"), cols("maturity"), cols("sigma"),
-                 cols("dividend"))
+        is_call = jnp.asarray([t.is_call for t in padded], bool)
+        out = fn(keys, is_call, cols("s0"), cols("xi"), cols("h"),
+                 cols("eta"), cols("rho"), cols("strike"), cols("maturity"),
+                 cols("sigma"), cols("dividend"))
         return np.asarray(out)[:n]
 
 
@@ -333,7 +342,7 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
 
     # Host pass: validate + feature-engineer every row, bucket the priceable
     # ones by compile shape.
-    buckets: Dict[Tuple[int, bool], List[RowTask]] = {}
+    buckets: Dict[int, List[RowTask]] = {}
     start_time = time.time()
     for idx, tokens in enumerate(raw_rows):
         line = ",".join(tokens)
@@ -357,13 +366,13 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
                 stats.add_error()
             writer.put(idx, line + SENTINEL)
             continue
-        buckets.setdefault((task.n_steps, task.is_call), []).append(task)
+        buckets.setdefault(task.n_steps, []).append(task)
 
     # Device pass: price buckets in batches.
     pricer = BatchedPricer(pricing, market, mesh)
     n_priceable = sum(len(v) for v in buckets.values())
     processed = 0
-    for (n_steps, is_call), tasks in sorted(buckets.items()):
+    for n_steps, tasks in sorted(buckets.items()):
         b = pricing.rows_per_batch
         for i in range(0, len(tasks), b):
             chunk = tasks[i:i + b]
