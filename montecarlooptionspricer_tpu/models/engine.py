@@ -262,9 +262,10 @@ class StreamingPricer:
             chunk_gen = pathgen_pallas.make_pallas_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
                 block_paths=config.pallas_block_paths, fgn_dtype=fgn_dtype)
-            # Carriers are int32 seeds; the kernel folds the grid block id
-            # into the PRNG seed, and chunk i re-seeds with carrier + i.
-            next_carrier = lambda seed, i: seed + i
+            # Carriers are int32 (run_word, stream_index) pairs; the kernel
+            # also folds the grid block id.  Chunk i advances the stream
+            # index; the run word never changes within a run.
+            next_carrier = lambda seed, i: seed.at[1].add(i)
         elif pathgen_impl == "xla":
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
@@ -281,9 +282,10 @@ class StreamingPricer:
         if mesh is None:
             shard_mix = lambda c: c
         elif pathgen_impl == "pallas":
-            # Distinct int32 seed block per shard (counts stay < 2^20).
-            shard_mix = lambda c: c + (jax.lax.axis_index(axis_name)
-                                       + jnp.int32(1)) * jnp.int32(1 << 20)
+            # Distinct stream-index block per shard (counts stay < 2^20).
+            shard_mix = lambda c: c.at[1].add(
+                (jax.lax.axis_index(axis_name) + jnp.int32(1))
+                * jnp.int32(1 << 20))
         else:
             shard_mix = lambda c: jax.random.fold_in(
                 c, jax.lax.axis_index(axis_name))
@@ -362,7 +364,7 @@ class StreamingPricer:
                                                      is_call)
 
                 def body(i, total):
-                    return total + priced_chunk(k + start + i, rows)
+                    return total + priced_chunk(k.at[1].add(start + i), rows)
 
                 init = jnp.zeros((), jnp.float32)
                 if ax is not None:
@@ -409,12 +411,19 @@ class StreamingPricer:
                 return jax.lax.fori_loop(0, count, body,
                                          jnp.zeros((), jnp.float32))
 
-            e = lambda j: tuple(jnp.float32(1.0 if i == j else 0.0)
-                                for i in range(3))
-            val, d_s0 = jax.jvp(value, (market,), (e(0),))
-            _, d_xi = jax.jvp(value, (market,), (e(1),))
-            _, d_r = jax.jvp(value, (market,), (e(2),))
-            return val, d_s0, d_xi, d_r
+            # One vmapped jvp over the three basis tangents: the primal
+            # computation is tangent-independent, so vmap leaves it
+            # unbatched (computed once) and only the tangent path runs x3 —
+            # ~primal + 3 tangents instead of 3 x (primal + tangent).
+            # (jax.linearize would share the primal too, but it has to
+            # store per-iteration residuals of the chunk fori_loop — the
+            # O(n_chunks * chunk) memory this streaming design exists to
+            # avoid.)
+            eye = jnp.eye(3, dtype=jnp.float32)
+            tangents = (eye[:, 0], eye[:, 1], eye[:, 2])
+            vals, grads = jax.vmap(
+                lambda t: jax.jvp(value, (market,), (t,)))(tangents)
+            return vals[0], grads[0], grads[1], grads[2]
 
         self._greek_fit = jax.jit(greek_fit_fn)
         self._greek_stream = jax.jit(greek_stream_fn)
@@ -447,19 +456,27 @@ class StreamingPricer:
 
     def _keys(self, key):
         if self._pathgen_impl == "pallas":
-            # Two independent int32 seed carriers (pilot / stream) derived
-            # from the threefry key; the stream carrier advances by +i per
-            # chunk, shards offset by (index+1) << 20, and the kernel mixes
-            # (seed, block_id) per grid block.  Bound leaves headroom for
-            # both offsets.
-            seeds = jax.random.randint(key, (2,), 0, 1 << 30,
-                                       dtype=jnp.int32)
-            return seeds[0], seeds[1]
+            # Carriers are (run_word, stream_index) int32 pairs.  The run
+            # word (31 bits from the threefry key) separates runs; the
+            # stream index separates pilot (3<<28, beyond every chunk
+            # range) from chunks (start+i plus (shard+1)<<20 offsets,
+            # bounded by the price()-time guards) — so pilot and stream
+            # noise can never coincide (no foresight bias) and nothing
+            # overflows int32.
+            run = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+            k_pilot = jnp.stack([run, jnp.int32(3 << 28)])
+            k_stream = jnp.stack([run, jnp.int32(0)])
+            return k_pilot, k_stream
         if self.config.rng_impl != "threefry":
-            # Re-seed into the requested PRNG family (e.g. "rbg", which maps
-            # to XLA's hardware-accelerated rng_bit_generator on TPU).
-            seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
-            key = jax.random.key(seed, impl=self.config.rng_impl)
+            # Re-key into the requested PRNG family (e.g. "rbg", XLA's
+            # hardware-accelerated rng_bit_generator) carrying the FULL key
+            # entropy — collapsing to one 31-bit seed would collide
+            # distinct user keys at birthday-2^31 scale.
+            tmpl = jax.random.key_data(
+                jax.random.key(0, impl=self.config.rng_impl))
+            bits = jax.random.bits(key, tmpl.shape, jnp.uint32)
+            key = jax.random.wrap_key_data(bits.astype(tmpl.dtype),
+                                           impl=self.config.rng_impl)
         return jax.random.split(key)
 
     def price(self, key, progress=None, n_paths: Optional[int] = None) -> float:
@@ -476,16 +493,16 @@ class StreamingPricer:
                 f"n_paths={n_paths} not divisible by chunk_paths * devices="
                 f"{per_step}")
         if self._pathgen_impl == "pallas":
-            # The int32 seed scheme reserves a < 2^20 chunk-index range per
-            # shard (shard offsets are (index+1) << 20, base seeds < 2^30);
-            # violating either bound would silently duplicate RNG streams.
+            # The stream-index word reserves a < 2^20 chunk range per shard
+            # (shard offsets are (index+1) << 20, pilot marker 3 << 28);
+            # violating a bound would silently duplicate RNG streams.
             if n_chunks >= 1 << 20:
                 raise ValueError(
                     f"{n_chunks} chunks exceeds the pallas seed scheme's "
                     "2^20 range — raise chunk_paths or use pathgen_impl="
                     "'xla'")
-            if self.n_dev > 1024:
-                raise ValueError("pallas seed scheme supports <= 1024 shards")
+            if self.n_dev > 256:
+                raise ValueError("pallas seed scheme supports <= 256 shards")
         k_pilot, k_stream = self._keys(key)
         fits = self._fit(k_pilot)
 

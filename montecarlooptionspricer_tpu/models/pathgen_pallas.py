@@ -42,6 +42,22 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+_MIX1 = np.uint32(0x9E3779B1).astype(np.int32)  # golden-ratio odd constant
+_MIX2 = np.uint32(0x85EBCA77).astype(np.int32)  # murmur3-style odd constant
+
+
+def _fold_words(a, b):
+    """Mix the (run_word, stream_index) carrier into one int32 seed word
+    (Mosaic's prng_seed takes at most 2 values and we also fold the grid
+    block id).  For a FIXED run word the map b -> h is a composition of
+    bijections (xor, odd multiply, xorshift mod 2^32), so distinct stream
+    indices within a run can never collide; across runs collisions are the
+    usual 2^-32 per pair."""
+    h = (a * _MIX1) ^ b
+    h = h * _MIX2
+    return h ^ jax.lax.shift_right_logical(h, 13)
+
+
 def _uniform_open(bits):
     """uint32 -> float32 uniform in (0, 1]: (bits >> 8) * 2^-24, shifted
     away from zero so log() is safe.  Mosaic has no uint32->f32 cast, so
@@ -136,8 +152,11 @@ def _policy_value(s, su_ref, pol_ref, *, is_call: bool, strike: float):
 
 
 def _pathgen_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, out_ref, **kw):
-    """Production kernel: in-kernel hardware PRNG (zero HBM noise traffic)."""
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    """Production kernel: in-kernel hardware PRNG (zero HBM noise traffic).
+    Seeded from (mix(run_word, stream_index), block_id), so runs /
+    pilot-vs-chunks / blocks can never collide by arithmetic on a single
+    word (see _fold_words)."""
+    pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
     block, s_pad = out_ref.shape[0], kw["s_pad"]
     zr, zi = _normals((block, s_pad))
     w1, w2 = _normals((block, s_pad))
@@ -159,7 +178,7 @@ def _priced_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, su_ref,
                    strike: float, **kw):
     """Fully fused kernel: RNG + paths + LSM policy value, emitting ONE
     partial sum per grid block — path data never leaves VMEM."""
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
     zr, zi = _normals((block_paths, kw["s_pad"]))
     w1, w2 = _normals((block_paths, kw["s_pad"]))
     s = _paths_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
@@ -255,19 +274,27 @@ def make_pallas_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     """Build seed -> [chunk_paths, n_steps + 1] float32 rBergomi generator
     with in-kernel RNG.
 
-    ``seed`` is an int32 scalar; the kernel folds the grid block id into the
-    PRNG seed, so pass a distinct seed per chunk for independent chunks.
+    ``seed`` is an int32 scalar or a 2-vector (run_word, stream_index); the
+    kernel additionally folds the grid block id into the PRNG seed.  Pass
+    distinct stream indices per chunk for independent chunks.
     """
     call, consts, _ = _build(s0, xi, h, eta, rho, r, n_steps, dt, chunk_paths,
                              block_paths, interpret, noise_input=False,
                              fgn_dtype=fgn_dtype)
 
     def gen(seed) -> jax.Array:
-        seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
-        out = call(seed_arr, *consts)
+        out = call(_as_seed_words(seed), *consts)
         return out[:, : n_steps + 1]
 
     return gen
+
+
+def _as_seed_words(seed) -> jax.Array:
+    """Normalize a scalar or (run_word, stream_index) pair to int32 [2]."""
+    arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    if arr.shape[0] == 1:
+        arr = jnp.concatenate([arr, jnp.zeros(1, jnp.int32)])
+    return arr[:2]
 
 
 def policy_rows(fits, r, strike, maturity, dt, n_steps: int, is_call: bool):
@@ -398,7 +425,7 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
         if noise_input:
             first = seed_or_noise.astype(jnp.float32)
         else:
-            first = jnp.atleast_1d(jnp.asarray(seed_or_noise, jnp.int32))
+            first = _as_seed_words(seed_or_noise)
         out = call(first, cr_p, ci_p, vd_p, tri_p, su_p, rows)
         return jnp.sum(out[::8, 0])
 

@@ -61,9 +61,13 @@ def fit_poly_masked(x, y, w, order: int, axis_name: Optional[str] = None,
         regularization of rank-deficient designs.
 
     Returns:
-      PolyFit evaluable with `eval_poly`.  With zero total weight the
-      coefficients are all zero (fitted values 0) — callers must mask that
-      case, mirroring the reference's empty-ITM skip (LSMPricer.cpp:60).
+      PolyFit evaluable with `eval_poly`.  With zero total weight the fit
+      evaluates to a huge constant (~1e30): a fitted continuation that
+      nothing beats, so a policy evaluated from it never exercises at that
+      step — consistent with the backward induction's own empty-ITM skip
+      (LSMPricer.cpp:60), which ignores the fit entirely.  Without this, a
+      downstream policy evaluation at a step whose fit saw no ITM samples
+      would read cont=0 and exercise on first touch (a systematic bias).
     """
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
@@ -105,7 +109,8 @@ def fit_poly_masked(x, y, w, order: int, axis_name: Optional[str] = None,
     else:
         chol = jax.scipy.linalg.cho_factor(a, lower=True)
         coeffs = jax.scipy.linalg.cho_solve(chol, rhs)
-    coeffs = jnp.where(wsum > 0, coeffs, jnp.zeros_like(coeffs))
+    dead = jnp.zeros_like(coeffs).at[..., 0].set(1e30)
+    coeffs = jnp.where(wsum > 0, coeffs, dead)
     return PolyFit(coeffs, mu, sd)
 
 

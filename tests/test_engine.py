@@ -243,3 +243,19 @@ def test_control_variate_unbiased_and_lower_variance():
     assert abs(np.mean(p_cv) - np.mean(p_plain)) < 3 * se + 1e-3
     # deterministic per seed
     assert cv.price(jax.random.key(3)) == p_cv[3]
+
+
+def test_policy_never_exercises_at_dead_pilot_steps():
+    """Steps whose pilot fit saw zero ITM samples must not exercise in the
+    streamed policy (regression: an all-zero dead fit made cont=0, so any
+    streamed path dipping ITM exercised on first touch — a downward bias)."""
+    strike = 50.0  # deep OTM put: pilot never ITM anywhere
+    pilot = jnp.full((64, 9), 100.0)
+    _, fits = lsm.lsm_fit(pilot, 0.04, strike, 8 / 252, 1 / 252, False, 2)
+    # a streamed path dips ITM at step 3 then recovers; terminal is OTM
+    path = np.full((1, 9), 100.0)
+    path[0, 3] = 40.0
+    s, _ = engine.lsm_policy_value(jnp.asarray(path), fits, 0.04, strike,
+                                   8 / 252, 1 / 252, False)
+    # must take the (worthless) terminal payoff, not exercise at step 3
+    assert float(s) == 0.0

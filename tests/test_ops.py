@@ -46,10 +46,13 @@ def test_masked_polyfit_matches_lstsq(rng):
     np.testing.assert_allclose(ours[idx], ref[idx], rtol=2e-3, atol=2e-2)
 
 
-def test_masked_polyfit_zero_weight_is_zero():
+def test_masked_polyfit_zero_weight_never_exercises():
+    """A fit with no in-the-money samples must evaluate to a huge
+    continuation (nothing beats it => a policy never exercises there),
+    not 0 (which a fitted policy would exercise against on first touch)."""
     x = jnp.linspace(1.0, 2.0, 16)
     fit = fit_poly_masked(x, x, jnp.zeros_like(x), 2)
-    np.testing.assert_allclose(np.asarray(eval_poly(fit, x)), 0.0, atol=1e-6)
+    assert np.all(np.asarray(eval_poly(fit, x)) >= 1e29)
 
 
 def test_estimate_xi_eta_rho(rng):

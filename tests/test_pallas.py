@@ -48,7 +48,7 @@ def test_pallas_math_path_matches_xla_elementwise(rng):
 
 
 def test_pallas_math_path_nonaligned_steps(rng):
-    # 365 steps pads to 384 lanes; padded tail must not leak into output.
+    # 37 steps pads to 128 lanes; the padded tail must not leak into output.
     n_steps, chunk = 37, 256
     gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
         **KW, n_steps=n_steps, dt=1 / 252, chunk_paths=chunk,

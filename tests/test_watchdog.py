@@ -38,8 +38,6 @@ def test_health_check_trips_on_error_count():
     stats = ProcessStats(cfg)
     for _ in range(3):
         stats.add_error()
-    # keep memory below the (huge) limit so only errors can trip it
-    stats.config = cfg
     wd = Watchdog(stats, _collecting_writer([]), progress=lambda: 0)
     wd.start()
     assert stats.should_terminate.wait(timeout=5.0)
