@@ -1,0 +1,120 @@
+"""mcop-price — direct command-line access to the streaming pricing engine.
+
+No reference equivalent (the reference only exposes the CSV pipeline); this
+is the serving-style entry point: price one American option — or a strike
+chain with implied vols — at any path count, optionally with pathwise
+Greeks, on whatever accelerator JAX sees.
+
+Examples:
+  mcop-price --s0 100 --strike 105 --maturity 1.45 --paths 1e7
+  mcop-price --strikes 90,100,110 --paths 1e6 --put
+  mcop-price --s0 100 --strike 105 --greeks
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from ..utils import enable_persistent_cache, setup_logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mcop-price",
+        description="Price American options on rough-Bergomi paths with "
+                    "streaming LSM (TPU-native).")
+    p.add_argument("--s0", type=float, default=100.0)
+    p.add_argument("--xi", type=float, default=0.04,
+                   help="forward variance level")
+    p.add_argument("--hurst", type=float, default=0.1)
+    p.add_argument("--eta", type=float, default=1.5, help="vol of vol")
+    p.add_argument("--rho", type=float, default=-0.4)
+    p.add_argument("--r", type=float, default=0.04)
+    p.add_argument("--strike", type=float, default=100.0)
+    p.add_argument("--strikes", default="",
+                   help="comma-separated strike chain (overrides --strike; "
+                        "prices share one path stream and report implied "
+                        "vols)")
+    p.add_argument("--maturity", type=float, default=1.0, help="years")
+    p.add_argument("--steps", type=int, default=0,
+                   help="time steps (default floor(maturity*252))")
+    p.add_argument("--paths", type=float, default=1e6)
+    p.add_argument("--put", dest="is_call", action="store_false")
+    p.add_argument("--call", dest="is_call", action="store_true")
+    p.set_defaults(is_call=False)
+    p.add_argument("--greeks", action="store_true",
+                   help="also report pathwise delta / vega_xi / rho")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--chunk-paths", type=int, default=1 << 17)
+    p.add_argument("--pathgen", choices=("pallas", "xla"), default="pallas",
+                   help="fused TPU kernel or portable XLA generator")
+    p.add_argument("--control-variate", action="store_true")
+    p.add_argument("--qmc-note", action="store_true",
+                   help=argparse.SUPPRESS)
+    return p
+
+
+def main(argv=None) -> int:
+    setup_logging()
+    enable_persistent_cache()
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from ..models import engine, implied_vol
+
+    n_steps = args.steps or max(1, int(args.maturity * 252))
+    n_paths = int(args.paths)
+    chunk = min(args.chunk_paths, n_paths)
+    n_paths = (n_paths // chunk) * chunk
+    pathgen = args.pathgen
+    if jax.devices()[0].platform != "tpu" and pathgen == "pallas":
+        pathgen = "xla"       # the fused kernel's PRNG is TPU-only
+
+    cfg = engine.StreamConfig(
+        n_paths=n_paths, n_steps=n_steps, chunk_paths=chunk,
+        pilot_paths=min(1 << 16, chunk), chunks_per_call=64,
+        pathgen_impl=pathgen, cumsum_impl="matmul",
+        control_variate=args.control_variate)
+    key = jax.random.key(args.seed)
+    market = dict(s0=args.s0, xi=args.xi, h=args.hurst, eta=args.eta,
+                  rho=args.rho, r=args.r)
+
+    t0 = time.time()
+    if args.strikes:
+        strikes = [float(s) for s in args.strikes.split(",")]
+        chain = engine.StreamingChainPricer(
+            **market, strikes=strikes, maturity=args.maturity,
+            is_call=args.is_call, config=cfg)
+        prices = chain.price(key)
+        out = {
+            "strikes": strikes,
+            "prices": [round(float(v), 6) for v in prices],
+            "implied_vols": [
+                round(implied_vol(v, args.s0, k, args.r, args.maturity,
+                                  args.is_call), 6)
+                for v, k in zip(prices, strikes)],
+        }
+    else:
+        pricer = engine.StreamingPricer(
+            **market, strike=args.strike, maturity=args.maturity,
+            is_call=args.is_call, config=cfg)
+        if args.greeks:
+            price, delta, vega_xi, rho_rate = pricer.price_and_greeks(key)
+            out = {"price": round(price, 6), "delta": round(delta, 6),
+                   "vega_xi": round(vega_xi, 6),
+                   "rho_rate": round(rho_rate, 6)}
+        else:
+            out = {"price": round(pricer.price(key), 6)}
+    out.update({"n_paths": n_paths, "n_steps": n_steps,
+                "is_call": args.is_call,
+                "elapsed_s": round(time.time() - t0, 3)})
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,3 +85,33 @@ def test_train_cli_resumes_from_checkpoint(data_dir):
                                         t.tx.init(t.params))
     assert restored is not None
     assert restored[2] == 4
+
+
+def test_price_cli_single_and_chain(capsys):
+    import json
+
+    from montecarlooptionspricer_tpu.cli import price as price_cli
+
+    rc = price_cli.main(["--s0", "100", "--strike", "102", "--put",
+                         "--maturity", "0.12", "--steps", "24",
+                         "--paths", "4096", "--chunk-paths", "2048"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["price"] > 0 and out["n_paths"] == 4096
+
+    rc = price_cli.main(["--strikes", "95,100,105", "--put",
+                         "--maturity", "0.12", "--steps", "24",
+                         "--paths", "4096", "--chunk-paths", "2048"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert len(out["prices"]) == 3
+    assert out["prices"][0] < out["prices"][2]  # put value rises in strike
+    assert all(v > 0 or np.isnan(v) for v in out["implied_vols"])
+
+    rc = price_cli.main(["--s0", "100", "--strike", "102", "--put",
+                         "--maturity", "0.12", "--steps", "24",
+                         "--paths", "4096", "--chunk-paths", "2048",
+                         "--greeks"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert -1.0 <= out["delta"] <= 0.0 and out["vega_xi"] > 0
