@@ -67,6 +67,8 @@ class StreamConfig:
     # HBM; fastest measured form, TPU only).  Distribution-equivalent,
     # different RNG streams.
     pathgen_impl: str = "xla"
+    # Grid block height for the Pallas kernels.  512 measures ~2% faster on
+    # v5e at 365 steps; 1024 blows VMEM.  256 is the safe default.
     pallas_block_paths: int = 256
     # With pathgen_impl="pallas" and poly_order=2, fuse the LSM policy
     # evaluation into the kernel too: each grid block emits one partial
