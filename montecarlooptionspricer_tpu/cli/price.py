@@ -15,13 +15,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
+import math
 import sys
 import time
 
+from ..config import MarketDefaults
 from ..utils import enable_persistent_cache, setup_logging
+
+log = logging.getLogger(__name__)
 
 
 def build_parser() -> argparse.ArgumentParser:
+    mkt = MarketDefaults()
     p = argparse.ArgumentParser(
         prog="mcop-price",
         description="Price American options on rough-Bergomi paths with "
@@ -32,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hurst", type=float, default=0.1)
     p.add_argument("--eta", type=float, default=1.5, help="vol of vol")
     p.add_argument("--rho", type=float, default=-0.4)
-    p.add_argument("--r", type=float, default=0.04)
+    p.add_argument("--r", type=float, default=mkt.r)
     p.add_argument("--strike", type=float, default=100.0)
     p.add_argument("--strikes", default="",
                    help="comma-separated strike chain (overrides --strike; "
@@ -52,8 +58,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pathgen", choices=("pallas", "xla"), default="pallas",
                    help="fused TPU kernel or portable XLA generator")
     p.add_argument("--control-variate", action="store_true")
-    p.add_argument("--qmc-note", action="store_true",
-                   help=argparse.SUPPRESS)
     return p
 
 
@@ -66,13 +70,26 @@ def main(argv=None) -> int:
 
     from ..models import engine, implied_vol
 
-    n_steps = args.steps or max(1, int(args.maturity * 252))
+    mkt = MarketDefaults()
+    n_steps = args.steps or max(1, int(args.maturity * mkt.trading_days))
+    if args.paths < 1:
+        print("error: --paths must be >= 1", file=sys.stderr)
+        return 2
+    if args.strikes and (args.greeks or args.control_variate):
+        print("error: --greeks/--control-variate apply to single-strike "
+              "pricing, not --strikes chains", file=sys.stderr)
+        return 2
     n_paths = int(args.paths)
-    chunk = min(args.chunk_paths, n_paths)
-    n_paths = (n_paths // chunk) * chunk
     pathgen = args.pathgen
     if jax.devices()[0].platform != "tpu" and pathgen == "pallas":
-        pathgen = "xla"       # the fused kernel's PRNG is TPU-only
+        log.warning("no TPU available: using the portable XLA generator "
+                    "(the fused kernel's in-kernel PRNG is TPU-only)")
+        pathgen = "xla"
+    # Chunk must divide the path count AND (for the Pallas kernels) the
+    # grid block height; round both down, to at least one block.
+    block = 256
+    chunk = max(block, (min(args.chunk_paths, n_paths) // block) * block)
+    n_paths = max(chunk, (n_paths // chunk) * chunk)
 
     cfg = engine.StreamConfig(
         n_paths=n_paths, n_steps=n_steps, chunk_paths=chunk,
@@ -90,13 +107,15 @@ def main(argv=None) -> int:
             **market, strikes=strikes, maturity=args.maturity,
             is_call=args.is_call, config=cfg)
         prices = chain.price(key)
+        ivs = [implied_vol(v, args.s0, k, args.r, args.maturity,
+                           args.is_call) for v, k in zip(prices, strikes)]
         out = {
             "strikes": strikes,
             "prices": [round(float(v), 6) for v in prices],
-            "implied_vols": [
-                round(implied_vol(v, args.s0, k, args.r, args.maturity,
-                                  args.is_call), 6)
-                for v, k in zip(prices, strikes)],
+            # null (not the invalid bare-NaN JSON token) outside the
+            # European no-arbitrage bracket, e.g. deep-ITM American puts.
+            "implied_vols": [None if math.isnan(v) else round(v, 6)
+                             for v in ivs],
         }
     else:
         pricer = engine.StreamingPricer(

@@ -11,7 +11,6 @@ configuration") while making everything overridable from the CLIs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

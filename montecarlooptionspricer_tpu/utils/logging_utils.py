@@ -8,9 +8,12 @@ import sys
 
 
 def setup_logging(level: int = logging.INFO) -> None:
+    # stderr, not stdout: CLIs that emit machine-readable results (e.g.
+    # mcop-price's JSON line) own stdout; interleaved log records would
+    # break `| jq`-style consumers.
     logging.basicConfig(
         level=level,
-        stream=sys.stdout,
+        stream=sys.stderr,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
         datefmt="%H:%M:%S",
         force=True,

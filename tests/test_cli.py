@@ -115,3 +115,18 @@ def test_price_cli_single_and_chain(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert -1.0 <= out["delta"] <= 0.0 and out["vega_xi"] > 0
+
+
+def test_price_cli_argument_validation(capsys):
+    from montecarlooptionspricer_tpu.cli import price as price_cli
+
+    assert price_cli.main(["--paths", "0"]) == 2
+    assert price_cli.main(["--strikes", "95,100", "--greeks"]) == 2
+    capsys.readouterr()
+    # non-block-aligned paths/chunks round down instead of crashing
+    rc = price_cli.main(["--paths", "1000", "--chunk-paths", "1000",
+                         "--steps", "8", "--maturity", "0.05"])
+    assert rc == 0
+    import json
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["n_paths"] == 768  # 1000 -> 768 (3 blocks of 256)
