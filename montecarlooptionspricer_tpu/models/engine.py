@@ -217,6 +217,16 @@ def martingale_control(paths, r, dt):
     return jnp.exp(-r * (m - 1) * dt) * paths[:, -1]
 
 
+def _rekey(key, impl: str):
+    """Re-key into the requested PRNG family (e.g. "rbg", XLA's
+    hardware-accelerated rng_bit_generator) carrying the FULL key entropy —
+    collapsing to one 31-bit seed would collide distinct user keys at
+    birthday-2^31 scale."""
+    tmpl = jax.random.key_data(jax.random.key(0, impl=impl))
+    bits = jax.random.bits(key, tmpl.shape, jnp.uint32)
+    return jax.random.wrap_key_data(bits.astype(tmpl.dtype), impl=impl)
+
+
 class StreamingPricer:
     """Reusable fit-then-stream pricer: builds its two jitted programs ONCE
     per (market params, contract, config) and reuses them across ``price``
@@ -470,15 +480,7 @@ class StreamingPricer:
             k_stream = jnp.stack([run, jnp.int32(0)])
             return k_pilot, k_stream
         if self.config.rng_impl != "threefry":
-            # Re-key into the requested PRNG family (e.g. "rbg", XLA's
-            # hardware-accelerated rng_bit_generator) carrying the FULL key
-            # entropy — collapsing to one 31-bit seed would collide
-            # distinct user keys at birthday-2^31 scale.
-            tmpl = jax.random.key_data(
-                jax.random.key(0, impl=self.config.rng_impl))
-            bits = jax.random.bits(key, tmpl.shape, jnp.uint32)
-            key = jax.random.wrap_key_data(bits.astype(tmpl.dtype),
-                                           impl=self.config.rng_impl)
+            key = _rekey(key, self.config.rng_impl)
         return jax.random.split(key)
 
     def price(self, key, progress=None, n_paths: Optional[int] = None) -> float:
@@ -578,10 +580,10 @@ class StreamingChainPricer:
     block.  Estimates across strikes are positively correlated (same
     draws), which is exactly what a smooth implied-vol smile wants.
 
-    Always uses the portable XLA generator with threefry keys (chunks are
-    shared across K policies, so the fused single-policy kernel does not
-    apply); ``config.pathgen_impl`` / ``rng_impl`` / mesh sharding are not
-    consulted here.
+    Always uses the portable XLA generator (chunks are shared across K
+    policies, so the fused single-policy kernel does not apply);
+    ``config.rng_impl`` is honored, ``config.pathgen_impl`` and mesh
+    sharding are not consulted here.
 
     No reference equivalent (the reference prices each CSV row with its own
     fresh 250-path simulation, PredictionGen.cpp:718-737).
@@ -640,6 +642,8 @@ class StreamingChainPricer:
             raise ValueError(
                 f"n_paths={n_paths} not divisible by chunk_paths="
                 f"{config.chunk_paths}")
+        if config.rng_impl != "threefry":
+            key = _rekey(key, config.rng_impl)
         k_pilot, k_stream = jax.random.split(key)
         fits = self._fit(k_pilot, self.strikes)
 

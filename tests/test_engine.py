@@ -259,3 +259,14 @@ def test_policy_never_exercises_at_dead_pilot_steps():
                                    8 / 252, 1 / 252, False)
     # must take the (worthless) terminal payoff, not exercise at step 3
     assert float(s) == 0.0
+
+
+def test_chain_pricer_honors_rng_impl():
+    cfg = engine.StreamConfig(n_paths=1 << 12, n_steps=16,
+                              chunk_paths=1 << 11, pilot_paths=1 << 10,
+                              rng_impl="rbg")
+    chain = engine.StreamingChainPricer(100.0, 0.04, 0.2, 1.0, -0.4, 0.04,
+                                        [98.0, 102.0], 16 / 252.0, False,
+                                        cfg)
+    prices = chain.price(jax.random.key(0))
+    assert np.all(np.isfinite(prices)) and prices[0] < prices[1]
