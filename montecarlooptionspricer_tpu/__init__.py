@@ -19,4 +19,18 @@ Layer map (mirrors SURVEY.md section 1, rebuilt TPU-first):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Supported jax window. The shard_map vma API (pvary/pcast) and the Mosaic
+# Pallas lowerings this package relies on shift across minor releases; fail
+# loudly on an untested bump instead of deep inside a trace.
+_JAX_MIN = (0, 7)
+_JAX_MAX_EXCL = (0, 10)
+_v = tuple(int(p) for p in _jax.__version__.split(".")[:2])
+if not (_JAX_MIN <= _v < _JAX_MAX_EXCL):  # pragma: no cover
+    raise ImportError(
+        f"montecarlooptionspricer_tpu supports jax >={_JAX_MIN} <{_JAX_MAX_EXCL}; "
+        f"found {_jax.__version__}. Re-run the numerical test suite before "
+        "widening this window.")
+
 from . import config  # noqa: F401

@@ -3,14 +3,16 @@
 The reference generates each path serially — fresh mt19937 draws, three
 hand-rolled FFTs, then a scalar Euler loop (RoughVolatility.cpp:346-365).
 The XLA version (models/engine.make_chunk_pathgen) already batches all of
-that; this kernel removes the remaining HBM traffic: the four noise planes
-(Zr, Zi, W1, W2 — 4 x [chunk, steps] float32) are never materialized in HBM.
-Per grid block it
+that; this kernel removes the remaining HBM traffic: the three noise planes
+(Zr, Zi, W — 3 x [chunk, steps] float32; the reference's w1/w2 pair is one
+normal in distribution, see _paths_from_noise) are never materialized in
+HBM.  Per grid block it
 
   1. seeds the per-core PRNG from (seed, block_id) — counter-based,
      reproducible, and race-free by construction (the reference's shared
      generator is a data race, BranchingProcessPricer.cpp:84-108);
-  2. draws uniform bits and converts to normals via Box-Muller on the VPU;
+  2. draws uniform bits and converts to normals via Box-Muller on the VPU
+     (1.5 pairs per 3 normals, sin via sqrt — see _normals/_normals3);
   3. runs the spectral fGN synthesis as two MXU matmuls against the
      precomputed [steps_pad, steps_pad] matrices (ops.fgn.fgn_matrices
      semantics, zero-padded to lane multiples);
@@ -66,6 +68,12 @@ def _uniform_open(bits):
     return u + (0.5 / (1 << 24))
 
 
+# Compute Box-Muller's sin(2*pi*u) as sign(u<0.5)*sqrt(1-cos^2) instead of a
+# second transcendental — measured on hardware via bench.py; flipped at build
+# time (module-level so both kernels and tests share one setting).
+SIN_VIA_SQRT = True
+
+
 def _normals(shape):
     """Two independent standard-normal arrays via one Box-Muller pair."""
     b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
@@ -73,15 +81,43 @@ def _normals(shape):
     u1 = _uniform_open(b1)
     u2 = _uniform_open(b2)
     rad = jnp.sqrt(-2.0 * jnp.log(u1))
-    ang = TWO_PI * u2
-    return rad * jnp.cos(ang), rad * jnp.sin(ang)
+    c = jnp.cos(TWO_PI * u2)
+    if SIN_VIA_SQRT:
+        # sin(2*pi*u2) >= 0 iff u2 < 0.5; |sin| = sqrt(1-cos^2).  The f32
+        # cancellation near |cos|=1 perturbs tiny |sin| values by ~1e-4
+        # absolute — far below the f32 Box-Muller noise floor that matters
+        # for MC moments (tests/test_engine.py checks prices on hardware).
+        s = jnp.sqrt(jnp.maximum(0.0, 1.0 - c * c))
+        s = jnp.where(u2 < 0.5, s, -s)
+    else:
+        s = jnp.sin(TWO_PI * u2)
+    return rad * c, rad * s
 
 
-def _paths_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref, *,
+def _normals3(block: int, s_pad: int):
+    """Three standard-normal [block, s_pad] planes from 1.5 Box-Muller pairs
+    — 3 normals per 2 uniform draws instead of 2, cutting the VPU
+    transcendental count 25% (the kernel's measured bound at short
+    horizons).  Requires block % 16 == 0 so the row slices stay
+    sublane-aligned."""
+    half = block // 2
+    n1, n2 = _normals((block + half, s_pad))
+    zr, zi = n1[:block], n2[:block]
+    w = jnp.concatenate([n1[block:], n2[block:]], axis=0)
+    return zr, zi, w
+
+
+def _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref, *,
                       n_steps: int, s_pad: int, xi: float, r: float,
-                      rho: float, dt: float, log_s0: float):
+                      dt: float, log_s0: float):
     """Shared math path: fGN matmul + variance curve + Euler accumulation.
-    Returns S [block, s_pad] with column c = step c+1 (pad columns flat)."""
+    Returns S [block, s_pad] with column c = step c+1 (pad columns flat).
+
+    ``w`` is the single price-Brownian plane: the reference's
+    rho*w1 + sqrt(1-rho^2)*w2 is one N(0,1) independent of the fGN driver
+    for any rho (RoughVolatility.cpp:355-358 draws both fresh), so drawing
+    it directly is distribution-identical and 25% cheaper — see
+    rough_volatility.euler_log_paths."""
     block = zr.shape[0]
     # fGN via MXU: X = Zr @ Cr - Zi @ Ci (padded cols of C are zero, so the
     # padded tail of Z is annihilated in the products' valid columns).
@@ -94,9 +130,8 @@ def _paths_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref, *,
                    preferred_element_type=jnp.float32))
 
     v = xi * jnp.exp(x + vd_ref[:])                     # forward variance
-    rho_c = math.sqrt(max(0.0, 1.0 - rho * rho))
-    dw = (rho * w1 + rho_c * w2) * math.sqrt(dt)
-    inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(v, 0.0)) * dw
+    inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(v, 0.0)) * (
+        w * math.sqrt(dt))
 
     # Zero the padded step columns so the accumulation stays flat past
     # n_steps (belt and braces: tri's padded rows are zero too).
@@ -111,10 +146,10 @@ def _paths_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref, *,
     return jnp.exp(log_s)
 
 
-def _euler_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
+def _euler_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref,
                       out_ref, **kw):
     block = out_ref.shape[0]
-    s = _paths_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
+    s = _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref,
                           **kw)
     # out[:, 0] = S0; out[:, 1:n_steps+1] = S.  When n_steps is a lane
     # multiple, out has one more padded lane-group than s (out_cols =
@@ -158,18 +193,18 @@ def _pathgen_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, out_ref, **kw):
     word (see _fold_words)."""
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
     block, s_pad = out_ref.shape[0], kw["s_pad"]
-    zr, zi = _normals((block, s_pad))
-    w1, w2 = _normals((block, s_pad))
-    _euler_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
+    zr, zi, w = _normals3(block, s_pad)
+    _euler_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref,
                       out_ref, **kw)
 
 
 def _pathgen_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
                              out_ref, **kw):
-    """Test kernel: noise supplied as input — lets the math path be checked
-    bit-for-bit against the XLA generator on any backend (the TPU
-    interpreter stubs prng_random_bits to zeros in this JAX version)."""
-    _euler_from_noise(noise_ref[0], noise_ref[1], noise_ref[2], noise_ref[3],
+    """Test kernel: noise supplied as input (3 planes: Zr, Zi, W) — lets the
+    math path be checked bit-for-bit against the XLA generator on any
+    backend (the TPU interpreter stubs prng_random_bits to zeros in this
+    JAX version)."""
+    _euler_from_noise(noise_ref[0], noise_ref[1], noise_ref[2],
                       cr_ref, ci_ref, vd_ref, tri_ref, out_ref, **kw)
 
 
@@ -179,9 +214,8 @@ def _priced_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, su_ref,
     """Fully fused kernel: RNG + paths + LSM policy value, emitting ONE
     partial sum per grid block — path data never leaves VMEM."""
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
-    zr, zi = _normals((block_paths, kw["s_pad"]))
-    w1, w2 = _normals((block_paths, kw["s_pad"]))
-    s = _paths_from_noise(zr, zi, w1, w2, cr_ref, ci_ref, vd_ref, tri_ref,
+    zr, zi, w = _normals3(block_paths, kw["s_pad"])
+    s = _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref,
                           **kw)
     val = _policy_value(s, su_ref, pol_ref, is_call=is_call, strike=strike)
     out_ref[...] = jnp.full(out_ref.shape, val, jnp.float32)
@@ -190,9 +224,9 @@ def _priced_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, su_ref,
 def _priced_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
                             su_ref, pol_ref, out_ref, *, block_paths: int,
                             is_call: bool, strike: float, **kw):
-    """Test variant of the fused kernel with injected noise."""
+    """Test variant of the fused kernel with injected noise (3 planes)."""
     s = _paths_from_noise(noise_ref[0], noise_ref[1], noise_ref[2],
-                          noise_ref[3], cr_ref, ci_ref, vd_ref, tri_ref,
+                          cr_ref, ci_ref, vd_ref, tri_ref,
                           **kw)
     val = _policy_value(s, su_ref, pol_ref, is_call=is_call, strike=strike)
     out_ref[...] = jnp.full(out_ref.shape, val, jnp.float32)
@@ -214,11 +248,15 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
            noise_input: bool, fgn_dtype=jnp.float32):
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
+    if not noise_input and block_paths % 16:
+        raise ValueError("block_paths must divide by 16 (the 1.5-pair "
+                         "Box-Muller scheme slices at block and block*3/2, "
+                         "which must stay sublane-aligned)")
     if not supports(n_steps):
         raise ValueError(
             f"n_steps={n_steps} pads past {MAX_KERNEL_STEPS} lanes; the "
             "fused kernel's VMEM-resident spectral matrices do not fit — "
-            "use the XLA generator (pathgen_impl='xla')")
+            "use the step-tiled kernel (pathgen_tiled) or the XLA generator")
     s_pad = _round_up(n_steps, LANE)
     out_cols = _round_up(n_steps + 1, LANE)
 
@@ -237,12 +275,12 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     tri_p = jnp.asarray(tri)
 
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
-              rho=float(rho), dt=float(dt), log_s0=float(math.log(s0)))
+              dt=float(dt), log_s0=float(math.log(s0)))
     body = _pathgen_kernel_noise_in if noise_input else _pathgen_kernel
     kernel = functools.partial(body, **kw)
 
     first_spec = (
-        pl.BlockSpec((4, block_paths, s_pad), lambda i: (0, i, 0),
+        pl.BlockSpec((3, block_paths, s_pad), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
     grid = (chunk_paths // block_paths,)
@@ -363,6 +401,8 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
     traffic is one float per grid block."""
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
+    if not noise_input and block_paths % 16:
+        raise ValueError("block_paths must divide by 16 for in-kernel RNG")
     if not supports(n_steps):
         raise ValueError("n_steps too large for the fused kernel")
     s_pad = _round_up(n_steps, LANE)
@@ -385,14 +425,14 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                        jnp.bfloat16)
 
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
-              rho=float(rho), dt=float(dt), log_s0=float(math.log(s0)),
+              dt=float(dt), log_s0=float(math.log(s0)),
               block_paths=block_paths, is_call=bool(is_call),
               strike=float(strike))
     body = _priced_kernel_noise_in if noise_input else _priced_kernel
     kernel = functools.partial(body, **kw)
     grid_n = chunk_paths // block_paths
     first_spec = (
-        pl.BlockSpec((4, block_paths, s_pad), lambda i: (0, i, 0),
+        pl.BlockSpec((3, block_paths, s_pad), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
     call = pl.pallas_call(
@@ -436,7 +476,7 @@ def make_pallas_pathgen_from_noise(s0, xi, h, eta, rho, r, n_steps: int,
                                    dt: float, chunk_paths: int,
                                    block_paths: int = 256,
                                    interpret: bool = False):
-    """Test variant: noise [4, chunk, s_pad] (Zr, Zi, W1, W2) supplied by the
+    """Test variant: noise [3, chunk, s_pad] (Zr, Zi, W) supplied by the
     caller, so the kernel's math path can be compared elementwise against
     the XLA generator on any backend."""
     call, consts, s_pad = _build(s0, xi, h, eta, rho, r, n_steps, dt,
@@ -444,7 +484,7 @@ def make_pallas_pathgen_from_noise(s0, xi, h, eta, rho, r, n_steps: int,
                                  noise_input=True)
 
     def gen(noise) -> jax.Array:
-        assert noise.shape == (4, chunk_paths, s_pad), (noise.shape, s_pad)
+        assert noise.shape == (3, chunk_paths, s_pad), (noise.shape, s_pad)
         out = call(noise.astype(jnp.float32), *consts)
         return out[:, : n_steps + 1]
 

@@ -43,14 +43,23 @@ def variance_curve(key: jax.Array, xi, h, eta, n_steps: int, n_paths: int,
 
 def euler_log_paths(key: jax.Array, s0, r, rho, v, dt: float,
                     dtype=jnp.float32):
-    """Correlated Euler log-price recursion given variance curves v
+    """Euler log-price recursion given variance curves v
     (RoughVolatility.cpp:351-365), as a cumsum: returns [paths, steps+1]
-    with column 0 == s0."""
+    with column 0 == s0.
+
+    The reference draws TWO fresh normals per step and combines them as
+    dW = rho*dw1 + sqrt(1-rho^2)*dw2 (RoughVolatility.cpp:355-358) — but
+    both are independent of the fGN variance driver Z, so dW is EXACTLY one
+    N(0, dt) increment, independent of v, for any rho.  We draw that single
+    normal directly: identical distribution (not merely approximate), 25%
+    fewer RNG draws.  ``rho`` is kept in the signature for API parity and is
+    distributionally inert — faithfully mirroring the reference quirk."""
+    del rho  # inert under the reference's (mis-)specified correlation
     n_paths, n_steps = v.shape
-    w1, w2 = rng_ops.normal_pairs(key, (n_paths, n_steps), dtype)
+    w = rng_ops.normal(key, (n_paths, n_steps), dtype)
     sqrt_dt = jnp.sqrt(jnp.asarray(dt, dtype))
-    dw = (rho * w1 + jnp.sqrt(jnp.maximum(0.0, 1.0 - rho * rho)) * w2) * sqrt_dt
-    increments = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
+    increments = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * (
+        w * sqrt_dt)
     log_s = jnp.log(jnp.asarray(s0, dtype)) + jnp.cumsum(increments, axis=-1)
     s = jnp.exp(log_s)
     s0_col = jnp.full((n_paths, 1), s0, dtype)

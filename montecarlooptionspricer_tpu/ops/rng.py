@@ -24,6 +24,12 @@ def key_for_row(base_key: jax.Array, row_index) -> jax.Array:
     return jax.random.fold_in(base_key, row_index)
 
 
+def normal(key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
+    """One standard-normal array of ``shape`` (test seam for injecting
+    noise through the generators)."""
+    return jax.random.normal(key, shape, dtype)
+
+
 def normal_pairs(key: jax.Array, shape, dtype=jnp.float32):
     """Draw two independent standard-normal arrays of ``shape``."""
     k1, k2 = jax.random.split(key)

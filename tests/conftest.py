@@ -9,19 +9,27 @@ the platform override must go through jax.config, not os.environ.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# MCOP_TPU_TESTS=1 leaves the ambient platform (e.g. a real TPU) in place so
+# the hardware-gated tests (pytest -k pallas) can actually run on the chip;
+# the default is the hermetic virtual-8-CPU mesh.  Select specific tests when
+# using it — the virtual-mesh sharding tests need 8 devices.
+_ON_HW = os.environ.get("MCOP_TPU_TESTS") == "1"
+
+if not _ON_HW:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except AttributeError:  # older jax: XLA_FLAGS path above covers it
-    pass
+if not _ON_HW:
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except AttributeError:  # older jax: XLA_FLAGS path above covers it
+        pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

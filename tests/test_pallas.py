@@ -19,17 +19,18 @@ KW = dict(s0=100.0, xi=0.05, h=0.15, eta=1.4, rho=-0.5, r=0.04)
 
 
 def xla_paths_from_noise(noise, n_steps, dt=1 / 252):
-    """The engine generator's math, fed with explicit noise planes."""
-    zr, zi, w1, w2 = noise[:, :, :n_steps]
+    """The engine generator's math, fed with explicit noise planes
+    (Zr, Zi, W — the reference's w1/w2 pair is one normal in distribution,
+    rough_volatility.euler_log_paths)."""
+    zr, zi, w = noise[:, :, :n_steps]
     cr, ci = engine._fgn_matrices_host(n_steps, KW["h"], KW["eta"], dt,
                                        jnp.float32)
     x = zr @ cr - zi @ ci
     t = np.arange(n_steps + 1) * dt
     v = KW["xi"] * np.exp(np.asarray(x)
                           - 0.5 * KW["eta"] ** 2 * t[:n_steps] ** (2 * KW["h"]))
-    rho = KW["rho"]
-    dw = (rho * w1 + np.sqrt(1 - rho**2) * w2) * np.sqrt(dt)
-    inc = (KW["r"] - 0.5 * v) * dt + np.sqrt(np.maximum(v, 0)) * dw
+    inc = (KW["r"] - 0.5 * v) * dt + np.sqrt(np.maximum(v, 0)) * (
+        w * np.sqrt(dt))
     s = KW["s0"] * np.exp(np.cumsum(np.asarray(inc), axis=1))
     return np.concatenate([np.full((noise.shape[1], 1), KW["s0"]), s], axis=1)
 
@@ -39,8 +40,8 @@ def test_pallas_math_path_matches_xla_elementwise(rng):
     gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
         **KW, n_steps=n_steps, dt=1 / 252, chunk_paths=chunk,
         block_paths=256, interpret=True)
-    noise = np.zeros((4, chunk, s_pad), np.float32)
-    noise[:, :, :n_steps] = rng.normal(size=(4, chunk, n_steps))
+    noise = np.zeros((3, chunk, s_pad), np.float32)
+    noise[:, :, :n_steps] = rng.normal(size=(3, chunk, n_steps))
     ours = np.asarray(gen(jnp.asarray(noise)))
     ref = xla_paths_from_noise(noise, n_steps)
     assert ours.shape == (chunk, n_steps + 1)
@@ -53,8 +54,8 @@ def test_pallas_math_path_nonaligned_steps(rng):
     gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
         **KW, n_steps=n_steps, dt=1 / 252, chunk_paths=chunk,
         block_paths=256, interpret=True)
-    noise = np.zeros((4, chunk, s_pad), np.float32)
-    noise[:, :, :n_steps] = rng.normal(size=(4, chunk, n_steps))
+    noise = np.zeros((3, chunk, s_pad), np.float32)
+    noise[:, :, :n_steps] = rng.normal(size=(3, chunk, n_steps))
     # garbage in the padded tail should be ignored (C matrices zero there,
     # increments masked)
     noise[:, :, n_steps:] = 99.0
@@ -90,7 +91,7 @@ def test_fused_priced_kernel_matches_xla_policy(rng):
     gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
         s0, xi, h, eta, rho, r, n_steps, dt, chunk, block_paths=64,
         interpret=True)
-    noise = jnp.asarray(rng.standard_normal((4, chunk, s_pad)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((3, chunk, s_pad)), jnp.float32)
     paths = gen(noise)
     want, _ = engine.lsm_policy_value(paths, fits, r, strike, maturity, dt,
                                       is_call)
@@ -131,7 +132,7 @@ def test_pathgen_lane_multiple_steps(rng):
         100.0, 0.04, 0.2, 1.0, -0.4, 0.04, 128, 1 / 252.0, 64,
         block_paths=8, interpret=True)
     assert s_pad == 128
-    noise = jnp.asarray(rng.standard_normal((4, 64, 128)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((3, 64, 128)), jnp.float32)
     paths = gen(noise)
     assert paths.shape == (64, 129)
     assert np.all(np.asarray(paths[:, 0]) == 100.0)

@@ -56,21 +56,23 @@ def test_euler_recursion_matches_oracle(rng):
          s0 * np.exp(np.cumsum(inc, axis=1))], axis=1)
     np.testing.assert_allclose(ours, ref, rtol=1e-10)
 
-    # And the jitted device version agrees to float32 accuracy.
+    # And the jitted device version agrees to float32 accuracy.  The device
+    # generator draws ONE normal per step (the reference's rho*w1 +
+    # sqrt(1-rho^2)*w2 is exactly one N(0,1), independent of v, because both
+    # w's are independent of the fGN driver — RoughVolatility.cpp:355-358);
+    # inject that combined normal through the rng_ops.normal seam.
     import montecarlooptionspricer_tpu.models.rough_volatility as rv
     import montecarlooptionspricer_tpu.ops.rng as rng_ops
 
-    class _FakeKey:  # inject the same (w1, w2) through the normal_pairs seam
-        pass
-
-    orig = rng_ops.normal_pairs
+    w = rho * w1 + np.sqrt(1 - rho**2) * w2
+    orig = rng_ops.normal
     try:
-        rng_ops.normal_pairs = lambda key, shape, dtype=jnp.float32: (
-            jnp.asarray(w1, dtype), jnp.asarray(w2, dtype))
+        rng_ops.normal = lambda key, shape, dtype=jnp.float32: (
+            jnp.asarray(w, dtype))
         dev = rv.euler_log_paths(jax.random.key(0), s0, r, rho,
                                  jnp.asarray(v, jnp.float32), dt)
     finally:
-        rng_ops.normal_pairs = orig
+        rng_ops.normal = orig
     np.testing.assert_allclose(np.asarray(dev), ref, rtol=5e-4)
 
 
