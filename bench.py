@@ -100,22 +100,26 @@ def main() -> None:
     # fused Pallas path kernel (in-kernel hardware PRNG, MXU fGN + MXU
     # triangular-matmul accumulation).  BENCH_PATHGEN=xla selects the
     # portable generator (rbg RNG, MXU cumsum, bf16 fGN inputs).
+    pathgen = os.environ.get("BENCH_PATHGEN", "pallas")
+    # Measured dtype defaults (v5e): the short-horizon fused kernel is
+    # VPU-bound, so bf16 fGN only adds cast work (f32 36.3M vs bf16 34.1M
+    # paths/s at 1e7x365); past the single-tile limit the step-tiled kernel
+    # is MXU-bound on the [s_pad, s_pad] fGN matmul and bf16 slabs win.
+    from montecarlooptionspricer_tpu.models import pathgen_pallas
+    long_horizon = not pathgen_pallas.supports(N_STEPS)
+    default_fgn = ("bfloat16" if (pathgen != "pallas" or long_horizon)
+                   else "float32")
     cfg = engine.StreamConfig(n_paths=n_paths, n_steps=N_STEPS,
                               chunk_paths=CHUNK, pilot_paths=PILOT, dt=DT,
                               poly_order=POLY_ORDER,
                               chunks_per_call=N_CHUNKS,
-                              pathgen_impl=os.environ.get(
-                                  "BENCH_PATHGEN", "pallas"),
+                              pathgen_impl=pathgen,
                               rng_impl=os.environ.get("BENCH_RNG", "rbg"),
                               cumsum_impl="matmul",
-                              # bf16 fGN only helps the XLA path (the fused
-                              # kernel is VPU-bound on its Box-Muller, not
-                              # the MXU); keep the kernel at f32.
+                              pallas_block_paths=int(
+                                  os.environ.get("BENCH_BLOCK", 512)),
                               fgn_matmul_dtype=os.environ.get(
-                                  "BENCH_FGN_DTYPE",
-                                  "float32" if os.environ.get(
-                                      "BENCH_PATHGEN", "pallas") == "pallas"
-                                  else "bfloat16"))
+                                  "BENCH_FGN_DTYPE", default_fgn))
     pricer = engine.StreamingPricer(S0, XI, H, ETA, RHO, R, STRIKE,
                                     MATURITY, IS_CALL, cfg)
 

@@ -67,8 +67,11 @@ class StreamConfig:
     # HBM; fastest measured form, TPU only).  Distribution-equivalent,
     # different RNG streams.
     pathgen_impl: str = "xla"
-    # Grid block height for the Pallas kernels.  512 measures ~2% faster on
-    # v5e at 365 steps; 1024 blows VMEM.  256 is the safe default.
+    # Grid block height for the Pallas kernels.  At 365 steps on v5e the
+    # fused kernel measures 36.3M paths/s at 512 vs 32.7M at 256 (fewer
+    # grid launches, better VPU occupancy); 1024 blows VMEM.  256 stays the
+    # default because 512's VMEM headroom at the single-tile kernel's upper
+    # step range (~512 steps) is untested; bench.py runs 512.
     pallas_block_paths: int = 256
     # With pathgen_impl="pallas" and poly_order=2, fuse the LSM policy
     # evaluation into the kernel too: each grid block emits one partial
@@ -274,21 +277,41 @@ class StreamingPricer:
         self.n_dev = 1 if mesh is None else mesh.shape[axis_name]
 
         pathgen_impl = config.pathgen_impl
+        tiled = False
         if pathgen_impl == "pallas":
-            from . import pathgen_pallas
+            from . import pathgen_pallas, pathgen_pallas_tiled
 
-            if not pathgen_pallas.supports(n_steps):
-                # The fused kernel's VMEM-resident spectral matrices don't
-                # fit past ~512 padded steps; the XLA generator handles any
-                # length (HBM-resident matrices).
+            if pathgen_pallas.supports(n_steps):
+                pass  # single-tile kernel: everything VMEM-resident
+            elif pathgen_pallas_tiled.supports(
+                    n_steps, config.pallas_block_paths, fgn_dtype):
+                # Past ~512 padded steps the [s_pad, s_pad] matrices leave
+                # VMEM; the step-tiled kernel streams them as column slabs
+                # and covers the reference's full 1825-step horizon.
+                tiled = True
+            else:
+                # Beyond even the tiled kernel's noise-scratch budget the
+                # XLA generator handles any length (HBM-resident matrices).
                 pathgen_impl = "xla"
         if pathgen_impl == "pallas":
-            pilot_gen = pathgen_pallas.make_pallas_pathgen(
-                s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                block_paths=config.pallas_block_paths, fgn_dtype=fgn_dtype)
-            chunk_gen = pathgen_pallas.make_pallas_pathgen(
-                s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
-                block_paths=config.pallas_block_paths, fgn_dtype=fgn_dtype)
+            if tiled:
+                pilot_gen, _ = pathgen_pallas_tiled.make_tiled_pathgen(
+                    s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
+                    block_paths=config.pallas_block_paths,
+                    fgn_dtype=fgn_dtype)
+                chunk_gen, _ = pathgen_pallas_tiled.make_tiled_pathgen(
+                    s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
+                    block_paths=config.pallas_block_paths,
+                    fgn_dtype=fgn_dtype)
+            else:
+                pilot_gen = pathgen_pallas.make_pallas_pathgen(
+                    s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
+                    block_paths=config.pallas_block_paths,
+                    fgn_dtype=fgn_dtype)
+                chunk_gen = pathgen_pallas.make_pallas_pathgen(
+                    s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
+                    block_paths=config.pallas_block_paths,
+                    fgn_dtype=fgn_dtype)
             # Carriers are int32 (run_word, stream_index) pairs; the kernel
             # also folds the grid block id.  Chunk i advances the stream
             # index; the run word never changes within a run.
@@ -304,6 +327,7 @@ class StreamingPricer:
         else:
             raise ValueError(f"unknown pathgen_impl: {config.pathgen_impl!r}")
         self._pathgen_impl = pathgen_impl
+        self._pathgen_tiled = tiled
 
         ax = axis_name if mesh is not None else None
         if mesh is None:
@@ -378,10 +402,18 @@ class StreamingPricer:
                 and config.poly_order == 2 and not self._cv):
             from . import pathgen_pallas
 
-            priced_chunk, _ = pathgen_pallas.make_pallas_priced_chunk(
-                s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
-                config.chunk_paths, block_paths=config.pallas_block_paths,
-                is_call=is_call, fgn_dtype=fgn_dtype)
+            if tiled:
+                priced_chunk, _ = pathgen_pallas_tiled.make_tiled_priced_chunk(
+                    s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
+                    config.chunk_paths,
+                    block_paths=config.pallas_block_paths,
+                    is_call=is_call, fgn_dtype=fgn_dtype)
+            else:
+                priced_chunk, _ = pathgen_pallas.make_pallas_priced_chunk(
+                    s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
+                    config.chunk_paths,
+                    block_paths=config.pallas_block_paths,
+                    is_call=is_call, fgn_dtype=fgn_dtype)
 
             def stream_fn(k, fits, start, count):  # noqa: F811 — fused form
                 k = shard_mix(k)

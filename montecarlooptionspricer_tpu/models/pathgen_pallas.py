@@ -69,9 +69,12 @@ def _uniform_open(bits):
 
 
 # Compute Box-Muller's sin(2*pi*u) as sign(u<0.5)*sqrt(1-cos^2) instead of a
-# second transcendental — measured on hardware via bench.py; flipped at build
-# time (module-level so both kernels and tests share one setting).
-SIN_VIA_SQRT = True
+# second transcendental.  Measured on v5e at 1e7x365 (fused kernel, block
+# 512): plain sin 36.3M paths/s vs the sqrt form 32.8M — the VPU's hardware
+# sin is cheaper than sqrt + select + the extra multiply, so this stays OFF;
+# kept as a build-time flag because the tradeoff is hardware-generation
+# specific.
+SIN_VIA_SQRT = False
 
 
 def _normals(shape):

@@ -1,0 +1,386 @@
+"""Step-tiled Pallas TPU kernels: fused rBergomi paths (+ LSM policy) at
+long horizons.
+
+The single-tile kernels (models/pathgen_pallas) hold the three
+[s_pad, s_pad] spectral/accumulation matrices entirely in VMEM, which caps
+them at ~512 padded steps; the reference's workload reaches 1825 steps
+(/root/reference/src/core/PredictionGen.cpp:247-258, :718 — steps =
+floor(maturity*252), history capped at 1825 days).  These kernels stream
+the step axis instead:
+
+  grid = (path_blocks, step_tiles), step tiles innermost.  Per path block,
+  the fGN driver noise (Zr, Zi) is drawn ONCE into VMEM scratch at the
+  first step tile; each tile then
+
+    1. pulls a [s_pad, TILE] column slab of the spectral matrices from HBM
+       (double-buffered by the Pallas pipeline) and computes the fGN tile
+       X[:, tile] = Zr @ Cr[:, tile] - Zi @ Ci[:, tile] on the MXU;
+    2. draws the price-Brownian tile in-kernel (one Box-Muller pair per two
+       normals) and advances the Euler log-price with a [TILE, TILE]
+       triangular matmul plus a running per-path carry — the cross-tile
+       cumsum state;
+    3. (priced variant) evaluates the LSM exercise policy on the tile,
+       with a per-path "already stopped" flag carrying the first-exercise
+       semantics across tiles.
+
+HBM traffic per chunk: the spectral slabs (re-read once per path block) and
+one float per grid row — the path matrix itself never exists in HBM at ANY
+horizon.  The fGN matmul is O(s_pad^2) per path, so past ~1000 steps the
+MXU — not the VPU — is the bound; bf16 spectral slabs double that ceiling.
+
+Distribution-identical to the XLA generator; the math path is checked
+elementwise against it via noise injection (tests/test_pallas_tiled.py, CPU
+interpreter), and the RNG variant price-agrees on hardware
+(tests/test_engine.py::test_tiled_streaming_price_matches_xla).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pathgen_pallas import (LANE, _as_seed_words, _fold_words, _normals,
+                             _round_up)
+
+TILE = LANE  # step-tile width; == LANE so the carry/stop scratch ([block,
+#              LANE], all lanes equal) broadcasts against tile arrays with
+#              no lane slicing.
+
+# Budget for everything the kernel keeps resident in VMEM (scratch + the
+# pipelined slabs); the hardware has ~16 MiB/core — leave room for Mosaic's
+# own temporaries.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def max_tiled_steps(block_paths: int = 256, fgn_dtype=jnp.float32) -> int:
+    """Largest n_steps the tiled kernels support at this block size/dtype:
+    noise scratch (2 planes) + double-buffered spectral slabs (2 matrices x
+    2 buffers) must fit the VMEM budget."""
+    item = jnp.dtype(fgn_dtype).itemsize
+    per_spad = 2 * block_paths * item + 4 * TILE * item
+    return (_VMEM_BUDGET - (1 << 20)) // per_spad
+
+
+def supports(n_steps: int, block_paths: int = 256,
+             fgn_dtype=jnp.float32) -> bool:
+    return _round_up(n_steps, LANE) <= max_tiled_steps(block_paths, fgn_dtype)
+
+
+def _consts(s0, xi, h, eta, rho, r, n_steps: int, dt: float, fgn_dtype):
+    """Host-precomputed constant blocks shared by both tiled kernels."""
+    del rho  # distributionally inert — see pathgen_pallas._paths_from_noise
+    s_pad = _round_up(n_steps, LANE)
+    from .engine import _fgn_matrices_host
+
+    cr, ci = _fgn_matrices_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
+    cr_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(cr)
+    ci_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(ci)
+    t = np.arange(n_steps, dtype=np.float64) * dt
+    vd = -0.5 * (eta * eta) * t ** (2.0 * h)
+    vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
+        jnp.asarray(vd, jnp.float32))
+    tri = jnp.asarray(np.triu(np.ones((TILE, TILE), np.float32)))
+    su = jnp.asarray(np.triu(np.ones((TILE, TILE), np.float32), k=1))
+    kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
+              dt=float(dt), log_s0=float(math.log(s0)))
+    return s_pad, (cr_p, ci_p, vd_p, tri, su), kw
+
+
+def _fgn_tile(zr, zi, cr_ref, ci_ref):
+    return (jnp.dot(zr, cr_ref[:], preferred_element_type=jnp.float32)
+            - jnp.dot(zi, ci_ref[:], preferred_element_type=jnp.float32))
+
+
+def _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, *, block: int,
+                n_steps: int, xi: float, r: float, dt: float,
+                log_s0: float):
+    """One step-tile of the Euler log-recursion.  Returns S for the tile and
+    advances the per-path cumsum carry (all-lanes-equal [block, LANE])."""
+    v = xi * jnp.exp(x + vd_ref[:])
+    inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(v, 0.0)) * (
+        w * math.sqrt(dt))
+    # Mask the padded step columns (vd/C pads are zero, which still leaves
+    # inc = (r - xi/2) dt + noise there).
+    col = jax.lax.broadcasted_iota(jnp.int32, (block, TILE), 1) + j * TILE
+    inc = jnp.where(col < n_steps, inc, 0.0)
+    local = jnp.dot(inc, tri_ref[:], preferred_element_type=jnp.float32)
+    s = jnp.exp(log_s0 + carry_ref[:] + local)
+    carry_ref[:] = carry_ref[:] + jnp.sum(inc, axis=1, keepdims=True)
+    return s
+
+
+def _policy_tile(s, pol_ref, su_ref, stop_ref, *, is_call: bool,
+                 strike: float):
+    """Tile slice of pathgen_pallas._policy_value with the first-exercise
+    state carried across tiles in ``stop_ref``.  Returns the tile's payoff
+    contribution (scalar)."""
+    c0, c1, c2 = pol_ref[0, :], pol_ref[1, :], pol_ref[2, :]
+    mu, sd = pol_ref[3, :], pol_ref[4, :]
+    eps, disc = pol_ref[5, :], pol_ref[6, :]
+    p = jnp.maximum(s - strike, 0.0) if is_call else jnp.maximum(
+        strike - s, 0.0)
+    z = (s - mu) / sd
+    cont = (c2 * z + c1) * z + c0
+    exf = ((p > eps) & (p >= cont)).astype(jnp.float32)
+    prior = jnp.dot(exf, su_ref[:], preferred_element_type=jnp.float32)
+    first = exf * (prior == 0.0) * (stop_ref[:] == 0.0)
+    stop_ref[:] = jnp.maximum(stop_ref[:],
+                              jnp.max(exf, axis=1, keepdims=True))
+    return jnp.sum(first * p * disc)
+
+
+def _draw_w(block: int):
+    """One price-Brownian tile [block, TILE]: one Box-Muller pair per two
+    normals (block % 16 == 0 keeps the halves sublane-aligned)."""
+    n1, n2 = _normals((block // 2, TILE))
+    return jnp.concatenate([n1, n2], axis=0)
+
+
+def _fill_driver_noise(zr_ref, zi_ref, block: int, n_tiles: int, fgn_dtype):
+    """Draw the fGN driver planes into scratch one TILE-wide column chunk
+    at a time: a single full-plane Box-Muller materializes ~7 [block, s_pad]
+    f32 temporaries on the kernel's VMEM stack (measured 30 MB at block 512
+    x 1920 lanes — an OOM); chunking bounds the stack at [block, TILE]."""
+    for c in range(n_tiles):
+        zr_c, zi_c = _normals((block, TILE))
+        zr_ref[:, c * TILE:(c + 1) * TILE] = zr_c.astype(fgn_dtype)
+        zi_ref[:, c * TILE:(c + 1) * TILE] = zi_c.astype(fgn_dtype)
+
+
+def _seed_tile(seed_ref, i, j, n_tiles: int):
+    # Distinct stream per (path block, step tile); the full-entropy carrier
+    # words are mixed exactly as in the single-tile kernels.
+    pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), i * n_tiles + j)
+
+
+def _tiled_pathgen_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref,
+                          out_ref, zr_ref, zi_ref, carry_ref, *,
+                          block: int, n_tiles: int, fgn_dtype, **kw):
+    i, j = pl.program_id(0), pl.program_id(1)
+    _seed_tile(seed_ref, i, j, n_tiles)
+
+    @pl.when(j == 0)
+    def _():
+        _fill_driver_noise(zr_ref, zi_ref, block, n_tiles, fgn_dtype)
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    x = _fgn_tile(zr_ref[:], zi_ref[:], cr_ref, ci_ref)
+    w = _draw_w(block)
+    out_ref[:] = _euler_tile(
+        x, w, vd_ref, tri_ref, carry_ref, j, block=block,
+        n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"], dt=kw["dt"],
+        log_s0=kw["log_s0"])
+
+
+def _tiled_pathgen_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref,
+                                   tri_ref, out_ref, zr_ref, zi_ref,
+                                   carry_ref, *, block: int, n_tiles: int,
+                                   fgn_dtype, **kw):
+    """Noise-injection variant (3 planes: Zr, Zi, W full-width): CPU-
+    interpretable elementwise check of the tiled math path."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        zr_ref[:] = noise_ref[0].astype(fgn_dtype)
+        zi_ref[:] = noise_ref[1].astype(fgn_dtype)
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    x = _fgn_tile(zr_ref[:], zi_ref[:], cr_ref, ci_ref)
+    w = noise_ref[2, :, pl.ds(j * TILE, TILE)]
+    out_ref[:] = _euler_tile(
+        x, w, vd_ref, tri_ref, carry_ref, j, block=block,
+        n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"], dt=kw["dt"],
+        log_s0=kw["log_s0"])
+
+
+def _tiled_priced_kernel(seed_ref, cr_ref, ci_ref, vd_ref, pol_ref, tri_ref,
+                         su_ref, out_ref, zr_ref, zi_ref, carry_ref,
+                         stop_ref, *, block: int, n_tiles: int, fgn_dtype,
+                         is_call: bool, strike: float, **kw):
+    i, j = pl.program_id(0), pl.program_id(1)
+    _seed_tile(seed_ref, i, j, n_tiles)
+
+    @pl.when(j == 0)
+    def _():
+        _fill_driver_noise(zr_ref, zi_ref, block, n_tiles, fgn_dtype)
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+        stop_ref[:] = jnp.zeros_like(stop_ref)
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    x = _fgn_tile(zr_ref[:], zi_ref[:], cr_ref, ci_ref)
+    w = _draw_w(block)
+    s = _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, block=block,
+                    n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"],
+                    dt=kw["dt"], log_s0=kw["log_s0"])
+    val = _policy_tile(s, pol_ref, su_ref, stop_ref, is_call=is_call,
+                       strike=strike)
+    out_ref[...] = out_ref[...] + val
+
+
+def _tiled_priced_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref,
+                                  pol_ref, tri_ref, su_ref, out_ref, zr_ref,
+                                  zi_ref, carry_ref, stop_ref, *,
+                                  block: int, n_tiles: int, fgn_dtype,
+                                  is_call: bool, strike: float, **kw):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        zr_ref[:] = noise_ref[0].astype(fgn_dtype)
+        zi_ref[:] = noise_ref[1].astype(fgn_dtype)
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+        stop_ref[:] = jnp.zeros_like(stop_ref)
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    x = _fgn_tile(zr_ref[:], zi_ref[:], cr_ref, ci_ref)
+    w = noise_ref[2, :, pl.ds(j * TILE, TILE)]
+    s = _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, block=block,
+                    n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"],
+                    dt=kw["dt"], log_s0=kw["log_s0"])
+    val = _policy_tile(s, pol_ref, su_ref, stop_ref, is_call=is_call,
+                       strike=strike)
+    out_ref[...] = out_ref[...] + val
+
+
+def _validate(chunk_paths: int, block_paths: int, n_steps: int,
+              noise_input: bool, fgn_dtype):
+    if chunk_paths % block_paths:
+        raise ValueError("chunk_paths must divide by block_paths")
+    if block_paths % 16:
+        raise ValueError("block_paths must divide by 16 (sublane-aligned "
+                         "Box-Muller halves)")
+    if not supports(n_steps, block_paths, fgn_dtype):
+        raise ValueError(
+            f"n_steps={n_steps} exceeds the tiled kernel's VMEM budget at "
+            f"block_paths={block_paths} (max "
+            f"{max_tiled_steps(block_paths, fgn_dtype)}); lower block_paths,"
+            " use bf16 spectral slabs, or the XLA generator")
+
+
+def make_tiled_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
+                       chunk_paths: int, block_paths: int = 256,
+                       interpret: bool = False, noise_input: bool = False,
+                       fgn_dtype=jnp.float32):
+    """Step-tiled seed -> [chunk_paths, n_steps + 1] rBergomi generator for
+    horizons past the single-tile kernel's VMEM cap (seed semantics match
+    pathgen_pallas.make_pallas_pathgen)."""
+    _validate(chunk_paths, block_paths, n_steps, noise_input, fgn_dtype)
+    s_pad, (cr_p, ci_p, vd_p, tri, _su), kw = _consts(
+        s0, xi, h, eta, rho, r, n_steps, dt, fgn_dtype)
+    n_tiles = s_pad // TILE
+    grid = (chunk_paths // block_paths, n_tiles)
+    body = (_tiled_pathgen_kernel_noise_in if noise_input
+            else _tiled_pathgen_kernel)
+    kernel = functools.partial(body, block=block_paths, n_tiles=n_tiles,
+                               fgn_dtype=jnp.dtype(fgn_dtype), **kw)
+    first_spec = (
+        pl.BlockSpec((3, block_paths, s_pad), lambda i, j: (0, i, 0),
+                     memory_space=pltpu.VMEM) if noise_input
+        else pl.BlockSpec(memory_space=pltpu.SMEM))
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            first_spec,
+            pl.BlockSpec((s_pad, TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),          # Cr slab
+            pl.BlockSpec((s_pad, TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),          # Ci slab
+            pl.BlockSpec((1, TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),          # var-drift tile
+            pl.BlockSpec((TILE, TILE), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),          # tri (cumsum)
+        ],
+        out_specs=pl.BlockSpec((block_paths, TILE), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((chunk_paths, s_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_paths, s_pad), jnp.dtype(fgn_dtype)),  # Zr
+            pltpu.VMEM((block_paths, s_pad), jnp.dtype(fgn_dtype)),  # Zi
+            pltpu.VMEM((block_paths, LANE), jnp.float32),            # carry
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+
+    def gen(seed_or_noise) -> jax.Array:
+        first = (seed_or_noise.astype(jnp.float32) if noise_input
+                 else _as_seed_words(seed_or_noise))
+        s = call(first, cr_p, ci_p, vd_p, tri)
+        s0_col = jnp.full((chunk_paths, 1), float(s0), jnp.float32)
+        return jnp.concatenate([s0_col, s[:, :n_steps]], axis=-1)
+
+    return gen, s_pad
+
+
+def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
+                            dt: float, n_steps: int, chunk_paths: int,
+                            block_paths: int = 256, is_call: bool = False,
+                            interpret: bool = False,
+                            noise_input: bool = False,
+                            fgn_dtype=jnp.float32):
+    """Step-tiled fully fused streaming unit: (seed, policy_rows) -> chunk
+    payoff sum under the fitted exercise policy, at ANY horizon the VMEM
+    noise scratch allows (policy-table semantics match
+    pathgen_pallas.make_pallas_priced_chunk)."""
+    _validate(chunk_paths, block_paths, n_steps, noise_input, fgn_dtype)
+    s_pad, (cr_p, ci_p, vd_p, tri, su), kw = _consts(
+        s0, xi, h, eta, rho, r, n_steps, dt, fgn_dtype)
+    n_tiles = s_pad // TILE
+    grid_n = chunk_paths // block_paths
+    body = (_tiled_priced_kernel_noise_in if noise_input
+            else _tiled_priced_kernel)
+    kernel = functools.partial(body, block=block_paths, n_tiles=n_tiles,
+                               fgn_dtype=jnp.dtype(fgn_dtype),
+                               is_call=bool(is_call), strike=float(strike),
+                               **kw)
+    first_spec = (
+        pl.BlockSpec((3, block_paths, s_pad), lambda i, j: (0, i, 0),
+                     memory_space=pltpu.VMEM) if noise_input
+        else pl.BlockSpec(memory_space=pltpu.SMEM))
+    call = pl.pallas_call(
+        kernel,
+        grid=(grid_n, n_tiles),
+        in_specs=[
+            first_spec,
+            pl.BlockSpec((s_pad, TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),          # Cr slab
+            pl.BlockSpec((s_pad, TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),          # Ci slab
+            pl.BlockSpec((1, TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),          # var-drift tile
+            pl.BlockSpec((8, TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),          # policy tile
+            pl.BlockSpec((TILE, TILE), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),          # tri (cumsum)
+            pl.BlockSpec((TILE, TILE), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),          # strict-upper
+        ],
+        # One [8, LANE] stripe per path block, revisited across step tiles
+        # (index_map ignores j, so the block stays in VMEM until i changes).
+        out_specs=pl.BlockSpec((8, LANE), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_paths, s_pad), jnp.dtype(fgn_dtype)),  # Zr
+            pltpu.VMEM((block_paths, s_pad), jnp.dtype(fgn_dtype)),  # Zi
+            pltpu.VMEM((block_paths, LANE), jnp.float32),            # carry
+            pltpu.VMEM((block_paths, LANE), jnp.float32),            # stop
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+
+    def chunk_sum(seed_or_noise, rows) -> jax.Array:
+        first = (seed_or_noise.astype(jnp.float32) if noise_input
+                 else _as_seed_words(seed_or_noise))
+        out = call(first, cr_p, ci_p, vd_p, rows, tri, su)
+        return jnp.sum(out[::8, 0])
+
+    return chunk_sum, s_pad

@@ -163,16 +163,52 @@ def test_streaming_pricer_sharded_matches_single_chip():
 
 
 def test_pallas_falls_back_for_long_horizons():
-    """Past the kernel's VMEM limit the engine silently uses the XLA
+    """Past the single-tile kernel's VMEM limit the engine selects the
+    step-tiled kernel (the reference's 1825-step horizon); past even the
+    tiled kernel's noise-scratch budget it silently uses the XLA
     generator — same API, any horizon."""
     cfg = engine.StreamConfig(n_paths=1 << 11, n_steps=600,
                               chunk_paths=1 << 10, pilot_paths=1 << 9,
                               pathgen_impl="pallas")
     p = engine.StreamingPricer(100.0, 0.04, 0.2, 1.0, -0.4, 0.04, 102.0,
                                600 / 252.0, False, cfg)
-    assert p._pathgen_impl == "xla"
-    price = p.price(jax.random.key(0))
-    assert np.isfinite(price) and price > 0
+    assert p._pathgen_impl == "pallas" and p._pathgen_tiled
+    if jax.devices()[0].platform == "tpu":
+        price = p.price(jax.random.key(0))
+        assert np.isfinite(price) and price > 0
+
+    # Past even the tiled budget the engine's selection logic lands on the
+    # XLA generator (checked on the predicate — constructing a pricer at
+    # 40k steps would build a [40k, 40k] host spectral matrix).
+    from montecarlooptionspricer_tpu.models import pathgen_pallas_tiled
+    assert not pathgen_pallas_tiled.supports(40_000, 256, jnp.float32)
+
+
+def test_tiled_streaming_price_matches_xla():
+    """Fit-then-stream with the step-tiled fused generator agrees with the
+    XLA generator within MC error at a multi-tile horizon (real TPU only:
+    in-kernel PRNG)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("requires a real TPU for in-kernel PRNG")
+    base = dict(n_paths=1 << 14, n_steps=200, chunk_paths=1 << 12,
+                pilot_paths=1 << 12)
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=200 / 252.0, is_call=False)
+    p_xla = engine.price_rbergomi_lsm_streaming(
+        jax.random.key(5), **kwargs, config=engine.StreamConfig(**base))
+    cfg = engine.StreamConfig(**base, pathgen_impl="pallas")
+    pricer = engine.StreamingPricer(**kwargs, config=cfg)
+    assert pricer._pathgen_tiled is False  # 200 steps still single-tile
+    import montecarlooptionspricer_tpu.models.pathgen_pallas as pp
+    orig = pp.MAX_KERNEL_STEPS
+    try:
+        pp.MAX_KERNEL_STEPS = 128  # force the tiled kernel at 200 steps
+        tiled_pricer = engine.StreamingPricer(**kwargs, config=cfg)
+        assert tiled_pricer._pathgen_tiled
+        p_tiled = tiled_pricer.price(jax.random.key(5))
+    finally:
+        pp.MAX_KERNEL_STEPS = orig
+    assert abs(p_xla - p_tiled) < 0.3  # ~3 MC stderr at 16k paths
 
 
 def test_streaming_greeks_match_in_memory_ad():
