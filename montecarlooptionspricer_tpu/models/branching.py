@@ -45,11 +45,20 @@ def _discounted_payoffs(paths, r, strike, dt, is_call):
 
 
 def lower_bound(paths, r, strike, maturity, dt, is_call: bool,
-                exercise_times, axis_name: Optional[str] = None):
-    """First-positive stopping rule (BranchingProcessPricer.cpp:41-72)."""
+                exercise_times, axis_name: Optional[str] = None,
+                n_steps=None):
+    """First-positive stopping rule (BranchingProcessPricer.cpp:41-72).
+
+    ``n_steps`` (optionally traced) restricts exercise to times
+    < n_steps when the path block is padded past the row's true horizon
+    (the reference's exercise set is 0..steps-1, PredictionGen.cpp:780-786);
+    None = every listed time is eligible."""
     dp_all, t = _discounted_payoffs(paths, r, strike, dt, is_call)
     dp = dp_all[:, exercise_times]                      # [N, T]
     valid = step_mask(paths.shape[-1], dt, maturity)[exercise_times][None, :]  # break at :59-61
+    if n_steps is not None:
+        valid = valid & (jnp.asarray(exercise_times)
+                         < jnp.asarray(n_steps, jnp.int32))[None, :]
     pos = valid & (dp > 0.0)                            # strict > at :64
     first = jnp.argmax(pos, axis=-1)
     val = jnp.take_along_axis(dp, first[:, None], axis=-1)[:, 0]
@@ -59,13 +68,15 @@ def lower_bound(paths, r, strike, maturity, dt, is_call: bool,
 
 def upper_bound(paths, r, strike, maturity, dt, is_call: bool,
                 num_branches: int, exercise_times, key,
-                axis_name: Optional[str] = None, rp=None):
+                axis_name: Optional[str] = None, rp=None, n_steps=None):
     """Sub-simulation upper bound (BranchingProcessPricer.cpp:74-134) via
     reverse-cummax precomputation.
 
     ``rp`` optionally supplies the [N, T, B] branch path indices directly
     (used by the parity tests to match an oracle draw-for-draw); otherwise
-    they are drawn uniformly from ``key``.
+    they are drawn uniformly from ``key``.  ``n_steps`` as in lower_bound:
+    padded-block support (times >= n_steps excluded, "final exercise time"
+    becomes n_steps - 1).
     """
     n = paths.shape[0]
     dp_all, t = _discounted_payoffs(paths, r, strike, dt, is_call)
@@ -82,6 +93,8 @@ def upper_bound(paths, r, strike, maturity, dt, is_call: bool,
     n_ex = ex.shape[0]
     dp = dp_all[:, ex]                                  # discNow, :101-102
     valid = step_mask(paths.shape[-1], dt, maturity)[ex][None, :]  # break at :96-99
+    if n_steps is not None:
+        valid = valid & (ex < jnp.asarray(n_steps, jnp.int32))[None, :]
 
     # Continuation = mean over branches of revmax0[random path, e+1]
     # (:104-123); zero at the final exercise time (:105).
@@ -91,7 +104,11 @@ def upper_bound(paths, r, strike, maturity, dt, is_call: bool,
         rp = jax.random.randint(key, (n, n_ex, num_branches), 0, n)
     gathered = rev_next[rp, jnp.arange(n_ex)[None, :, None]]  # [N, T, B]
     cont = jnp.mean(gathered, axis=-1)
-    has_future = (jnp.arange(n_ex) < n_ex - 1)[None, :]
+    if n_steps is None:
+        has_future = (jnp.arange(n_ex) < n_ex - 1)[None, :]
+    else:
+        # Padded block: the "final exercise time" (:105) is n_steps - 1.
+        has_future = (ex < jnp.asarray(n_steps, jnp.int32) - 1)[None, :]
     cont = jnp.where(has_future, cont, 0.0)
 
     better = jnp.maximum(dp, cont)                      # :126
@@ -102,10 +119,10 @@ def upper_bound(paths, r, strike, maturity, dt, is_call: bool,
 
 def branching_price(paths, r, strike, maturity, dt, is_call: bool,
                     num_branches: int, exercise_times, key,
-                    axis_name: Optional[str] = None):
+                    axis_name: Optional[str] = None, n_steps=None):
     """0.5 * (lower + upper)  (BranchingProcessPricer.cpp:34-38)."""
     lo = lower_bound(paths, r, strike, maturity, dt, is_call, exercise_times,
-                     axis_name)
+                     axis_name, n_steps=n_steps)
     up = upper_bound(paths, r, strike, maturity, dt, is_call, num_branches,
-                     exercise_times, key, axis_name)
+                     exercise_times, key, axis_name, n_steps=n_steps)
     return 0.5 * (lo + up)

@@ -33,9 +33,18 @@ ITM_EPS = 1e-14
 
 
 def _lsm_backward(paths, r, strike, maturity, dt, is_call: bool,
-                  poly_order: int = 2, axis_name: Optional[str] = None):
+                  poly_order: int = 2, axis_name: Optional[str] = None,
+                  n_steps=None):
     """Backward induction core: returns (price, per-step fits in reverse
-    time order)."""
+    time order).
+
+    ``n_steps`` (optionally traced) marks columns past the row's true
+    horizon as *padding*: pad steps are identities (no discount, no
+    regression effect), so a [*, n_pad + 1] padded path block — flat past
+    n_steps, see rough_volatility.generate_paths_bucketed — prices exactly
+    as the [*, n_steps + 1] exact-shape program.  Distinct from the
+    past-maturity quirk (:44-49), which DOES discount and is reference
+    behavior for real steps."""
     n_paths, m = paths.shape
     disc = jnp.exp(-r * dt)
 
@@ -44,9 +53,13 @@ def _lsm_backward(paths, r, strike, maturity, dt, is_call: bool,
     # Scan backward j = M-2 .. 0 over (price column, time).
     s_cols = paths[:, : m - 1][:, ::-1].T              # [m-1, n_paths]
     live = step_mask(m - 1, dt, maturity)[::-1]        # j*dt <= maturity
+    if n_steps is None:
+        real = jnp.ones(m - 1, bool)
+    else:
+        real = (jnp.arange(m - 1) < jnp.asarray(n_steps, jnp.int32))[::-1]
 
     def step(v, xs):
-        s, is_live = xs
+        s, is_live, is_real = xs
         vd = v * disc                                   # :46, :69, :92
         p = payoff(is_call, s, strike)
         itm = (p > ITM_EPS).astype(paths.dtype)         # :51-58
@@ -56,29 +69,34 @@ def _lsm_backward(paths, r, strike, maturity, dt, is_call: bool,
         any_itm = psum_if(jnp.sum(itm), axis_name) > 0
         v_reg = jnp.where(any_itm, v_exercised, vd)     # :60 empty-ITM skip
         v_new = jnp.where(is_live, v_reg, vd)           # :44-49
+        v_new = jnp.where(is_real, v_new, v)            # padding: identity
         return v_new, fit
 
     # unroll: the body is many small fused kernels; unrolling amortizes the
     # per-step launch overhead that dominates the latency-bound per-row
     # pipeline batches (250-path rows).
-    v_final, fits_rev = jax.lax.scan(step, v_init, (s_cols, live), unroll=8)
+    v_final, fits_rev = jax.lax.scan(step, v_init, (s_cols, live, real),
+                                     unroll=8)
     price = global_mean(v_final, axis_name)             # :97-101
     return price, fits_rev
 
 
 def lsm_price(paths, r, strike, maturity, dt, is_call: bool,
-              poly_order: int = 2, axis_name: Optional[str] = None):
+              poly_order: int = 2, axis_name: Optional[str] = None,
+              n_steps=None):
     """American option price by Longstaff-Schwartz regression
     (LSMPricer.cpp:19-102).
 
     Args:
-      paths: [n_paths, n_steps + 1] price paths.
+      paths: [n_paths, n_pad + 1] price paths.
       poly_order: monomial basis order (PredictionGen.cpp:790 passes 2).
       axis_name: mesh axis name when paths are sharded; the per-step
         regression then pools moments across shards via psum.
+      n_steps: optional (traced) true horizon when the path block is padded
+        past it (see _lsm_backward); None = every column is a real step.
     """
-    price, _ = lsm_fit(paths, r, strike, maturity, dt, is_call, poly_order,
-                       axis_name)
+    price, _ = _lsm_backward(paths, r, strike, maturity, dt, is_call,
+                             poly_order, axis_name, n_steps)
     return price
 
 

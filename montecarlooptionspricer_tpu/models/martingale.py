@@ -40,10 +40,17 @@ NEG_INF = -jnp.inf
 
 def martingale_price(paths, r, strike, maturity, dt, is_call: bool,
                      poly_order: int = 2, max_iterations: int = 5,
-                     axis_name: Optional[str] = None):
+                     axis_name: Optional[str] = None, n_steps=None):
     """American price by martingale-duality optimization
-    (MartingaleOptimizationPricer.cpp:21-64)."""
+    (MartingaleOptimizationPricer.cpp:21-64).
+
+    ``n_steps`` (optionally traced) supports padded path blocks: the primal
+    and dual maxima are already exact under padding (the maturity mask
+    kills every padded column), but the update step's (stop + M/2) mod M
+    wrap (.cpp:142) uses M = true steps + 1, which must follow the row, not
+    the padded width."""
     n, m = paths.shape
+    m_act = m if n_steps is None else jnp.asarray(n_steps, jnp.int32) + 1
     t = jnp.arange(m, dtype=paths.dtype) * dt
     df = jnp.exp(-r * jnp.minimum(t, maturity))         # PathDiscountFactor
     pay = payoff(is_call, paths, strike)
@@ -73,7 +80,7 @@ def martingale_price(paths, r, strike, maturity, dt, is_call: bool,
         # Martingale update (:122-178).
         s_stop = paths[rows, stop_idx]
         y_stop = 0.5 * dp[rows, stop_idx]               # :138
-        j_other = (stop_idx + m // 2) % m               # :142
+        j_other = (stop_idx + m_act // 2) % m_act       # :142
         s_other = paths[rows, j_other]
         y_other = 0.2 * dp[rows, j_other]               # :146
         xs = jnp.concatenate([s_stop, s_other])

@@ -42,22 +42,32 @@ class PricerSpec:
 
 
 def price_all(paths: jax.Array, spec: PricerSpec, key: jax.Array,
-              axis_name: Optional[str] = None) -> dict:
+              axis_name: Optional[str] = None, n_steps=None) -> dict:
     """All four prices for one [n_paths, n_steps+1] path matrix
-    (PredictionGen.cpp:780-791: exercise times are every step 0..steps-1)."""
-    n_steps = paths.shape[-1] - 1
-    exercise_times = jnp.arange(n_steps)
+    (PredictionGen.cpp:780-791: exercise times are every step 0..steps-1).
+
+    ``n_steps`` (optionally traced) prices a PADDED path block — flat past
+    the row's true horizon, rough_volatility.generate_paths_bucketed — with
+    the row's exact semantics: the asymptotic pricer is pad-exact already
+    (every padded column is past maturity, so its step mask kills it), and
+    the other three take the traced horizon explicitly."""
+    pad_steps = paths.shape[-1] - 1
+    exercise_times = jnp.arange(pad_steps)
+    if n_steps is None:
+        kw = {}
+    else:
+        kw = {"n_steps": n_steps}
     return {
         "asymptotic": asymptotic_price(
             paths, spec.r, spec.strike, spec.maturity, spec.dt, spec.is_call,
             spec.sigma, spec.dividend, axis_name),
         "branching": branching_price(
             paths, spec.r, spec.strike, spec.maturity, spec.dt, spec.is_call,
-            spec.num_branches, exercise_times, key, axis_name),
+            spec.num_branches, exercise_times, key, axis_name, **kw),
         "lsm": lsm_price(
             paths, spec.r, spec.strike, spec.maturity, spec.dt, spec.is_call,
-            spec.poly_order, axis_name),
+            spec.poly_order, axis_name, **kw),
         "martingale": martingale_price(
             paths, spec.r, spec.strike, spec.maturity, spec.dt, spec.is_call,
-            spec.poly_order, spec.max_iterations, axis_name),
+            spec.poly_order, spec.max_iterations, axis_name, **kw),
     }

@@ -126,6 +126,108 @@ def generate_paths_qmc(key: jax.Array, s0, xi, h, eta, rho, r,
     return jnp.concatenate([s0_col, s], axis=-1)
 
 
+def generate_paths_bucketed(key: jax.Array, s0, xi, h, eta, rho, r,
+                            n_steps, n_pad: int, m1: int, n_paths: int,
+                            dt: float = 1.0 / 252.0,
+                            dtype=jnp.float32) -> jax.Array:
+    """Padded-shape rBergomi generator with a *traced* per-row ``n_steps``:
+    arrays are static [n_paths, n_pad + 1], but the model semantics follow
+    the row's exact step count, so columns 0..n_steps are distributed
+    exactly as `generate_paths` at that step count and the remaining
+    columns stay flat at S_{n_steps}.
+
+    This is the compile-shape quantization of the pipeline (one program per
+    (n_pad, m1) bucket instead of one per distinct dte —
+    PredictionGen.cpp:542-546's dynamic scheduling handles arbitrary rows
+    for free; XLA needs static shapes).  The bucketing contract that makes
+    padding EXACT rather than approximate:
+
+      * ``n_pad`` = next_pow2(n_steps) — which IS the reference's circular
+        convolution length M2 (RoughVolatility.cpp:269), so it is constant
+        across the bucket and the padded-width FFT is the row's exact
+        transform;
+      * ``m1`` = next_pow2(n_steps + 1), the lambda-spectrum FFT length
+        (RoughVolatility.cpp:212-225) — constant across the bucket except
+        where n_steps is itself a power of two (those rows form their own
+        (n_pad, 2*n_pad) bucket);
+      * lambda is masked past n_steps before the m1 FFT and phi*Z past
+        n_steps - 1 before the M2 FFT, reproducing the exact program's
+        spectra; increment columns past n_steps are zeroed.
+
+    ``rho`` is distributionally inert (see euler_log_paths).
+    """
+    del rho
+    if n_pad & (n_pad - 1):
+        raise ValueError(f"n_pad={n_pad} must be a power of two (it is the "
+                         "reference's circular-convolution length M2)")
+    n_steps = jnp.asarray(n_steps, jnp.int32)
+    k_var, k_euler = jax.random.split(key)
+
+    time_grid = jnp.arange(n_pad + 1, dtype=dtype) * dt
+    lam = fgn_ops.rbergomi_lambda(time_grid, h)
+    lam = jnp.where(jnp.arange(n_pad + 1) <= n_steps, lam, 0.0)
+    phi = jnp.conj(jnp.fft.fft(lam, n=m1, axis=-1))
+
+    kmask = jnp.arange(n_pad) < n_steps
+    z = rng_ops.complex_normal(k_var, (n_paths, n_pad), dtype)
+    a = jnp.where(kmask[None, :], phi[:n_pad] * z, 0.0)
+    x = (jnp.sqrt(2.0 * h) * eta
+         * jnp.real(jnp.fft.fft(a, n=n_pad, axis=-1)) / n_pad)
+
+    v = fgn_ops.forward_variance(x, time_grid, xi, h, eta)
+    w = rng_ops.normal(k_euler, (n_paths, n_pad), dtype)
+    sqrt_dt = jnp.sqrt(jnp.asarray(dt, dtype))
+    inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * (w * sqrt_dt)
+    inc = jnp.where(kmask[None, :], inc, 0.0)
+    log_s = jnp.log(jnp.asarray(s0, dtype)) + jnp.cumsum(inc, axis=-1)
+    s = jnp.exp(log_s)
+    s0_col = jnp.full((n_paths, 1), 1.0, dtype) * s0
+    return jnp.concatenate([s0_col, s], axis=-1)
+
+
+def generate_paths_qmc_bucketed(key: jax.Array, s0, xi, h, eta, rho, r,
+                                n_steps, n_pad: int, m1: int, n_paths: int,
+                                dt: float = 1.0 / 252.0,
+                                base_u: Optional[jax.Array] = None,
+                                dtype=jnp.float32) -> jax.Array:
+    """Quantized-shape variant of `generate_paths_qmc` (see
+    `generate_paths_bucketed` for the (n_pad, m1) contract).  The PCA
+    Brownian is built at n_pad steps; any orthogonal construction yields
+    exactly-distributed increments, so using the first n_steps of them is
+    exact — only the variance-allocation advantage degrades slightly for
+    rows shorter than the bucket."""
+    from ..ops import qmc
+
+    del rho
+    if n_pad & (n_pad - 1):
+        raise ValueError(f"n_pad={n_pad} must be a power of two")
+    n_steps = jnp.asarray(n_steps, jnp.int32)
+    if base_u is None:
+        base_u = qmc.sobol_base(n_paths, 3 * n_pad)
+    z = qmc.normals(base_u, key).astype(dtype)          # [n_paths, 3*n_pad]
+    zc = jax.lax.complex(z[:, n_pad:2 * n_pad], z[:, 2 * n_pad:])
+
+    time_grid = jnp.arange(n_pad + 1, dtype=dtype) * dt
+    lam = fgn_ops.rbergomi_lambda(time_grid, h)
+    lam = jnp.where(jnp.arange(n_pad + 1) <= n_steps, lam, 0.0)
+    phi = jnp.conj(jnp.fft.fft(lam, n=m1, axis=-1))
+    kmask = jnp.arange(n_pad) < n_steps
+    a = jnp.where(kmask[None, :], phi[:n_pad] * zc, 0.0)
+    x = (jnp.sqrt(2.0 * h) * eta
+         * jnp.real(jnp.fft.fft(a, n=n_pad, axis=-1)) / n_pad)
+    v = fgn_ops.forward_variance(x, time_grid, xi, h, eta)
+
+    pca = qmc.brownian_pca_matrix(n_pad, float(dt))
+    dw = jnp.matmul(z[:, :n_pad], pca.T,
+                    preferred_element_type=jnp.float32).astype(dtype)
+    inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
+    inc = jnp.where(kmask[None, :], inc, 0.0)
+    log_s = jnp.log(jnp.asarray(s0, dtype)) + jnp.cumsum(inc, axis=-1)
+    s = jnp.exp(log_s)
+    s0_col = jnp.full((n_paths, 1), 1.0, dtype) * s0
+    return jnp.concatenate([s0_col, s], axis=-1)
+
+
 def generate_paths_from_history(key: jax.Array, historical_prices,
                                 forward_steps: int, path_num: int,
                                 r: float = 0.04, dt: float = 1.0 / 252.0,

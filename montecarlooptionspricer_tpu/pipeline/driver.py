@@ -7,9 +7,11 @@ Rebuilt TPU-first:
 
   host:   parse + validate rows, fetch spot history, 20-day vol/momentum,
           rough-vol parameter estimation (scalar work, float64);
-  device: rows are *bucketed by step count* — the one true compile-shape
-          axis (option type is a traced boolean) — and priced in vmapped
-          batches under one jit:
+  device: rows are *bucketed by quantized compile shape* — (n_pad, m1) =
+          (next_pow2(steps), next_pow2(steps + 1)), with the true step
+          count a traced per-row integer and the option type a traced
+          boolean, so hundreds of distinct dte values share ~a dozen
+          programs — and priced in vmapped batches under one jit:
           each row generates its own [num_paths, steps+1] rBergomi block and
           runs all four estimators, so a batch of B rows is a single
           [B x 250 x steps] program with no host round-trips.  Across a
@@ -159,9 +161,28 @@ def _parse_row(index: int, line: str, tokens: List[str],
                    twenty_day_momentum=momentum), None
 
 
+def bucket_key(n_steps: int) -> Tuple[int, int]:
+    """Compile-shape bucket of a row: (n_pad, m1).
+
+    n_pad = next_pow2(n_steps) is the reference's circular-convolution
+    length M2 (RoughVolatility.cpp:269) — constant across the bucket, so
+    padding rows up to it is EXACT, not approximate (see
+    rough_volatility.generate_paths_bucketed).  m1 = next_pow2(n_steps + 1)
+    splits off the rows whose step count is itself a power of two.  A
+    realistic option CSV has hundreds of distinct dte values; this maps
+    them to <= ~2 log2(1825) ~ 13 programs (the reference's OpenMP dynamic
+    scheduling handles arbitrary rows for free, PredictionGen.cpp:542-546;
+    XLA needs static shapes, and each distinct executable costs seconds of
+    per-process load through a remote tunnel)."""
+    from ..ops.fgn import next_pow2
+
+    return next_pow2(n_steps), next_pow2(n_steps + 1)
+
+
 class BatchedPricer:
-    """Compile-cached vmapped pricing: one program per (n_steps,
-    batch_size) bucket shape; the option type is a traced per-row boolean
+    """Compile-cached vmapped pricing: one program per (n_pad, m1,
+    batch_size) bucket shape with the row's true step count riding along
+    as a traced integer; the option type is a traced per-row boolean
     (branch-free payoff/boundary selects), so calls and puts share one
     executable — halving the per-process program-load cost."""
 
@@ -170,9 +191,9 @@ class BatchedPricer:
         self.pricing = pricing
         self.market = market
         self.mesh = mesh
-        self._cache: Dict[Tuple[int, int], object] = {}
+        self._cache: Dict[Tuple[int, int, int], object] = {}
 
-    def _build(self, n_steps: int, batch: int):
+    def _build(self, n_pad: int, m1: int, batch: int):
         import jax
         import jax.numpy as jnp
         from ..models import rough_volatility
@@ -183,28 +204,28 @@ class BatchedPricer:
 
         if p.qmc:
             from ..ops import qmc
-            base_u = qmc.sobol_base(p.num_paths, 3 * n_steps)
+            base_u = qmc.sobol_base(p.num_paths, 3 * n_pad)
 
-        def one(key, is_call, s0, xi, h, eta, rho, strike, maturity, sigma,
-                dividend):
-            # is_call rides along as a traced boolean (payoff/boundary are
-            # branch-free selects), so calls and puts share this program —
-            # each distinct executable costs seconds of per-process load
-            # through a remote tunnel.
+        def one(key, is_call, n_steps, s0, xi, h, eta, rho, strike, maturity,
+                sigma, dividend):
+            # is_call and n_steps ride along as traced per-row values
+            # (branch-free selects / masks), so calls, puts, and every dte
+            # in the bucket share this one program.
             kp, kr = jax.random.split(key)
             if p.qmc:
-                paths = rough_volatility.generate_paths_qmc(
-                    kp, s0, xi, h, eta, rho, r, n_steps, p.num_paths, dt,
-                    base_u=base_u)
+                paths = rough_volatility.generate_paths_qmc_bucketed(
+                    kp, s0, xi, h, eta, rho, r, n_steps, n_pad, m1,
+                    p.num_paths, dt, base_u=base_u)
             else:
-                paths = rough_volatility.generate_paths(
-                    kp, s0, xi, h, eta, rho, r, n_steps, p.num_paths, dt)
+                paths = rough_volatility.generate_paths_bucketed(
+                    kp, s0, xi, h, eta, rho, r, n_steps, n_pad, m1,
+                    p.num_paths, dt)
             spec = PricerSpec(r=r, strike=strike, maturity=maturity, dt=dt,
                               is_call=is_call, sigma=sigma, dividend=dividend,
                               num_branches=p.num_branches,
                               poly_order=p.poly_order,
                               max_iterations=p.max_iterations)
-            out = price_all(paths, spec, kr)
+            out = price_all(paths, spec, kr, n_steps=n_steps)
             return jnp.stack([out["asymptotic"], out["branching"],
                               out["lsm"], out["martingale"]])
 
@@ -222,16 +243,18 @@ class BatchedPricer:
 
     def price(self, tasks: List[RowTask], base_seed: int) -> np.ndarray:
         """[len(tasks), 4] prices; rows padded internally to the bucket's
-        batch size so shapes stay compile-stable."""
+        batch size so shapes stay compile-stable.  Tasks may mix step counts
+        as long as they share a bucket_key."""
         import jax
         import jax.numpy as jnp
 
         assert tasks
-        n_steps = tasks[0].n_steps
+        n_pad, m1 = bucket_key(tasks[0].n_steps)
+        assert all(bucket_key(t.n_steps) == (n_pad, m1) for t in tasks)
         batch = self.pricing.rows_per_batch
-        key_sig = (n_steps, batch)
+        key_sig = (n_pad, m1, batch)
         if key_sig not in self._cache:
-            self._cache[key_sig] = self._build(n_steps, batch)
+            self._cache[key_sig] = self._build(n_pad, m1, batch)
         fn = self._cache[key_sig]
 
         n = len(tasks)
@@ -249,7 +272,8 @@ class BatchedPricer:
         cols = lambda name: jnp.asarray(
             [getattr(t, name) for t in padded], jnp.float32)
         is_call = jnp.asarray([t.is_call for t in padded], bool)
-        out = fn(keys, is_call, cols("s0"), cols("xi"), cols("h"),
+        n_steps = jnp.asarray([t.n_steps for t in padded], jnp.int32)
+        out = fn(keys, is_call, n_steps, cols("s0"), cols("xi"), cols("h"),
                  cols("eta"), cols("rho"), cols("strike"), cols("maturity"),
                  cols("sigma"), cols("dividend"))
         return np.asarray(out)[:n]
@@ -341,8 +365,8 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
         error_log.write_line(f"Row {index}: {msg}")
 
     # Host pass: validate + feature-engineer every row, bucket the priceable
-    # ones by compile shape.
-    buckets: Dict[int, List[RowTask]] = {}
+    # ones by compile shape (quantized: (n_pad, m1), not exact step count).
+    buckets: Dict[Tuple[int, int], List[RowTask]] = {}
     start_time = time.time()
     for idx, tokens in enumerate(raw_rows):
         line = ",".join(tokens)
@@ -366,13 +390,13 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
                 stats.add_error()
             writer.put(idx, line + SENTINEL)
             continue
-        buckets.setdefault(task.n_steps, []).append(task)
+        buckets.setdefault(bucket_key(task.n_steps), []).append(task)
 
     # Device pass: price buckets in batches.
     pricer = BatchedPricer(pricing, market, mesh)
     n_priceable = sum(len(v) for v in buckets.values())
     processed = 0
-    for n_steps, tasks in sorted(buckets.items()):
+    for (n_pad, _m1), tasks in sorted(buckets.items()):
         b = pricing.rows_per_batch
         for i in range(0, len(tasks), b):
             chunk = tasks[i:i + b]
@@ -382,7 +406,7 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
                 continue
             try:
                 from ..utils import annotate
-                with annotate(f"price_batch[{n_steps}x{len(chunk)}]"):
+                with annotate(f"price_batch[{n_pad}x{len(chunk)}]"):
                     values = pricer.price(chunk, pricing.seed)
             except Exception as e:  # noqa: BLE001 — thread-error path :867-881
                 stats.fail(f"Thread error: {e}")
