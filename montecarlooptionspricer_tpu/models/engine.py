@@ -235,6 +235,25 @@ def _pvary(x, axis_name):
     return jax.lax.pvary(x, axis_name)  # pragma: no cover - jax < 0.8
 
 
+def _pilot_stream_keys(key, pathgen_impl: str, rng_impl: str):
+    """(pilot, stream) RNG carriers for a fit-then-stream run.
+
+    Pallas carriers are (run_word, stream_index) int32 pairs.  The run
+    word (31 bits from the threefry key) separates runs; the stream index
+    separates pilot (3<<28, beyond every chunk range) from chunks (start+i
+    plus (shard+1)<<20 offsets, bounded by the price()-time guards) — so
+    pilot and stream noise can never coincide (no foresight bias) and
+    nothing overflows int32."""
+    if pathgen_impl == "pallas":
+        run = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        k_pilot = jnp.stack([run, jnp.int32(3 << 28)])
+        k_stream = jnp.stack([run, jnp.int32(0)])
+        return k_pilot, k_stream
+    if rng_impl != "threefry":
+        key = _rekey(key, rng_impl)
+    return jax.random.split(key)
+
+
 def _rekey(key, impl: str):
     """Re-key into the requested PRNG family (e.g. "rbg", XLA's
     hardware-accelerated rng_bit_generator) carrying the FULL key entropy —
@@ -366,20 +385,21 @@ class StreamingPricer:
         self._cv = bool(config.control_variate)
         self._s0 = float(s0)
         if self._cv:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "control_variate is single-mesh for now")
+            from ..ops.reductions import global_mean, psum_if
 
             def fit_fn(k):  # noqa: F811 — CV variant returns (fits, beta)
                 pilot = pilot_gen(shard_mix(k))
                 _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call,
-                                  config.poly_order)
+                                  config.poly_order, axis_name=ax)
                 av = lsm_policy_path_values(pilot, fits, r, strike,
                                             maturity, dt, is_call)
                 cv = martingale_control(pilot, r, dt)
-                cvc = cv - jnp.mean(cv)
-                beta = (jnp.sum(cvc * (av - jnp.mean(av)))
-                        / jnp.maximum(jnp.sum(cvc * cvc), 1e-12))
+                # Pooled beta: with a mesh, the centered moments psum across
+                # shards so every device fits the same (replicated) beta.
+                cvc = cv - global_mean(cv, ax)
+                avc = av - global_mean(av, ax)
+                beta = (psum_if(jnp.sum(cvc * avc), ax)
+                        / jnp.maximum(psum_if(jnp.sum(cvc * cvc), ax), 1e-12))
                 return fits, beta
 
             def stream_fn(k, fits_beta, start, count):  # noqa: F811
@@ -396,6 +416,8 @@ class StreamingPricer:
                             c + jnp.sum(cv).astype(jnp.float32))
 
                 zero = jnp.zeros((), jnp.float32)
+                if ax is not None:
+                    zero = _pvary(zero, ax)
                 return jax.lax.fori_loop(0, count, body, (zero, zero))
 
         if (pathgen_impl == "pallas" and config.fuse_policy
@@ -436,7 +458,7 @@ class StreamingPricer:
                                           ).astype(jnp.float32)
                 return jnp.where(ex0, all0, total)
 
-        # --- streaming Greeks machinery (single-mesh, XLA generator) ------
+        # --- streaming Greeks machinery (XLA generator, mesh-capable) -----
         # Forward-mode AD through the chunk loop: one tangent per market
         # input, O(chunk) memory at any path count (reverse mode would have
         # to checkpoint every chunk).  The exercise policy (pilot fits) is
@@ -451,12 +473,24 @@ class StreamingPricer:
                                         config.cumsum_impl))
         self._market = (float(s0), float(xi), float(r))
 
+        # Greeks always ride threefry keys (the AD surface is the XLA
+        # generator), so their shard mix is key-based even when the price
+        # path uses pallas carriers.
+        if mesh is None:
+            xla_shard_mix = lambda c: c
+        else:
+            xla_shard_mix = lambda c: jax.random.fold_in(
+                c, jax.lax.axis_index(axis_name))
+
         def greek_fit_fn(k):
-            _, fits = lsm_fit(xla_pilot(k), r, strike, maturity, dt,
-                              is_call, config.poly_order)
+            _, fits = lsm_fit(xla_pilot(xla_shard_mix(k)), r, strike,
+                              maturity, dt, is_call, config.poly_order,
+                              axis_name=ax)
             return fits
 
         def greek_stream_fn(k, fits, start, count, market):
+            k = xla_shard_mix(k)
+
             def value(params):
                 s0_, xi_, r_ = params
 
@@ -467,8 +501,10 @@ class StreamingPricer:
                                             maturity, dt, is_call)
                     return total + s.astype(jnp.float32)
 
-                return jax.lax.fori_loop(0, count, body,
-                                         jnp.zeros((), jnp.float32))
+                init = jnp.zeros((), jnp.float32)
+                if ax is not None:
+                    init = _pvary(init, ax)
+                return jax.lax.fori_loop(0, count, body, init)
 
             # One vmapped jvp over the three basis tangents: the primal
             # computation is tangent-independent, so vmap leaves it
@@ -484,12 +520,11 @@ class StreamingPricer:
                 lambda t: jax.jvp(value, (market,), (t,)))(tangents)
             return vals[0], grads[0], grads[1], grads[2]
 
-        self._greek_fit = jax.jit(greek_fit_fn)
-        self._greek_stream = jax.jit(greek_stream_fn)
-
         if mesh is None:
             self._fit = jax.jit(fit_fn)
             self._stream = jax.jit(stream_fn)
+            self._greek_fit = jax.jit(greek_fit_fn)
+            self._greek_stream = jax.jit(greek_stream_fn)
         else:
             from jax.sharding import PartitionSpec as P
             try:
@@ -497,38 +532,36 @@ class StreamingPricer:
             except ImportError:  # pragma: no cover - jax < 0.8
                 from jax.experimental.shard_map import shard_map
 
-            # The psum'd regression moments make every shard's fit
-            # identical; expose one copy via a length-n_dev leading axis.
-            fit_sm = shard_map(
-                lambda k: jax.tree.map(lambda a: a[None], fit_fn(k)),
-                mesh=mesh, in_specs=P(), out_specs=P(axis_name))
-            stream_sm = shard_map(
-                lambda k, fits, start, count:
-                    stream_fn(k, fits, start, count)[None],
-                mesh=mesh, in_specs=(P(), P(), P(), P()),
-                out_specs=P(axis_name))
-            self._fit = jax.jit(
-                lambda k: jax.tree.map(lambda a: a[0], fit_sm(k)))
-            self._stream = jax.jit(
-                lambda k, fits, start, count: jnp.sum(
-                    stream_sm(k, fits, start, count)))
+            def replicated_out(fn, n_in: int):
+                """shard_map a function whose outputs are replicated (the
+                psum'd regression moments make every shard's fit
+                identical); expose one copy via a leading device axis."""
+                sm = shard_map(
+                    lambda *a: jax.tree.map(lambda x: x[None], fn(*a)),
+                    mesh=mesh, in_specs=(P(),) * n_in,
+                    out_specs=P(axis_name))
+                return jax.jit(
+                    lambda *a: jax.tree.map(lambda x: x[0], sm(*a)))
+
+            def summed_out(fn, n_in: int):
+                """shard_map a function whose outputs are per-shard partial
+                sums (scalars or pytrees thereof); sum across shards."""
+                sm = shard_map(
+                    lambda *a: jax.tree.map(lambda x: x[None], fn(*a)),
+                    mesh=mesh, in_specs=(P(),) * n_in,
+                    out_specs=P(axis_name))
+                return jax.jit(
+                    lambda *a: jax.tree.map(lambda x: jnp.sum(x, axis=0),
+                                            sm(*a)))
+
+            self._fit = replicated_out(fit_fn, 1)
+            self._stream = summed_out(stream_fn, 4)
+            self._greek_fit = replicated_out(greek_fit_fn, 1)
+            self._greek_stream = summed_out(greek_stream_fn, 5)
 
     def _keys(self, key):
-        if self._pathgen_impl == "pallas":
-            # Carriers are (run_word, stream_index) int32 pairs.  The run
-            # word (31 bits from the threefry key) separates runs; the
-            # stream index separates pilot (3<<28, beyond every chunk
-            # range) from chunks (start+i plus (shard+1)<<20 offsets,
-            # bounded by the price()-time guards) — so pilot and stream
-            # noise can never coincide (no foresight bias) and nothing
-            # overflows int32.
-            run = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-            k_pilot = jnp.stack([run, jnp.int32(3 << 28)])
-            k_stream = jnp.stack([run, jnp.int32(0)])
-            return k_pilot, k_stream
-        if self.config.rng_impl != "threefry":
-            key = _rekey(key, self.config.rng_impl)
-        return jax.random.split(key)
+        return _pilot_stream_keys(key, self._pathgen_impl,
+                                  self.config.rng_impl)
 
     def price(self, key, progress=None, n_paths: Optional[int] = None) -> float:
         """Price on ``n_paths`` (default ``config.n_paths``) fresh paths
@@ -589,18 +622,17 @@ class StreamingPricer:
         mode pathwise derivatives w.r.t. (s0, xi, r) accumulated chunk by
         chunk — Greeks on 1e8+ paths in O(chunk) memory, with the exercise
         policy fixed from the pilot fit.  Uses the XLA generator (threefry
-        keys) regardless of ``pathgen_impl``; no reference equivalent."""
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "streaming Greeks are single-mesh for now")
+        keys) regardless of ``pathgen_impl``; with a mesh, chunks shard
+        across devices (the jvp composes with shard_map; partial sums
+        stack and reduce on the host).  No reference equivalent."""
         config = self.config
         if n_paths is None:
             n_paths = config.n_paths
-        n_chunks, rem = divmod(n_paths, config.chunk_paths)
+        n_chunks, rem = divmod(n_paths, config.chunk_paths * self.n_dev)
         if rem:
             raise ValueError(
-                f"n_paths={n_paths} not divisible by chunk_paths="
-                f"{config.chunk_paths}")
+                f"n_paths={n_paths} not divisible by chunk_paths * devices="
+                f"{config.chunk_paths * self.n_dev}")
         k_pilot, k_stream = jax.random.split(key)
         fits = self._greek_fit(k_pilot)
         market = tuple(jnp.float32(v) for v in self._market)
@@ -627,71 +659,173 @@ class StreamingChainPricer:
     block.  Estimates across strikes are positively correlated (same
     draws), which is exactly what a smooth implied-vol smile wants.
 
-    Always uses the portable XLA generator (chunks are shared across K
-    policies, so the fused single-policy kernel does not apply);
-    ``config.rng_impl`` is honored, ``config.pathgen_impl`` and mesh
-    sharding are not consulted here.
+    With ``pathgen_impl="pallas"`` (and the fused-kernel conditions:
+    poly_order 2, fuse_policy, n_steps within the single-tile VMEM cap) the
+    stream runs the fused K-policy chain kernel
+    (pathgen_pallas.make_pallas_priced_chain): ONE in-VMEM path block per
+    chunk evaluated against a [K, 8, s_pad] policy table, so K strikes pay
+    path generation once.  Otherwise the portable XLA generator evaluates
+    the K policies vmapped.  With ``mesh`` (1-D), chunks shard across
+    devices and pilot regression moments psum — same scheme as
+    StreamingPricer.
 
     No reference equivalent (the reference prices each CSV row with its own
     fresh 250-path simulation, PredictionGen.cpp:718-737).
     """
 
     def __init__(self, s0, xi, h, eta, rho, r, strikes, maturity,
-                 is_call: bool, config: StreamConfig):
+                 is_call: bool, config: StreamConfig, mesh=None,
+                 axis_name: str = "data"):
         dtype = jnp.dtype(config.dtype)
         fgn_dtype = jnp.dtype(config.fgn_matmul_dtype)
         n_steps, dt = config.n_steps, config.dt
         self.config = config
+        self.mesh = mesh
+        self.n_dev = 1 if mesh is None else mesh.shape[axis_name]
         self.strikes = jnp.asarray(strikes, dtype)
+        strikes_f = [float(v) for v in np.asarray(strikes)]
+        n_k = len(strikes_f)
 
-        pilot_gen = make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
-                                       config.pilot_paths, dtype, fgn_dtype,
-                                       config.cumsum_impl)
-        chunk_gen = make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
-                                       config.chunk_paths, dtype, fgn_dtype,
-                                       config.cumsum_impl)
+        pathgen_impl = config.pathgen_impl
+        if pathgen_impl == "pallas":
+            from . import pathgen_pallas
+
+            if not (pathgen_pallas.supports(n_steps) and config.fuse_policy
+                    and config.poly_order == 2):
+                pathgen_impl = "xla"
+        self._pathgen_impl = pathgen_impl
+
+        ax = axis_name if mesh is not None else None
+        if mesh is None:
+            shard_mix = lambda c: c
+        elif pathgen_impl == "pallas":
+            shard_mix = lambda c: c.at[1].add(
+                (jax.lax.axis_index(axis_name) + jnp.int32(1))
+                * jnp.int32(1 << 20))
+        else:
+            shard_mix = lambda c: jax.random.fold_in(
+                c, jax.lax.axis_index(axis_name))
+
+        if pathgen_impl == "pallas":
+            pilot_gen = pathgen_pallas.make_pallas_pathgen(
+                s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
+                block_paths=config.pallas_block_paths, fgn_dtype=fgn_dtype)
+            chain_chunk, _ = pathgen_pallas.make_pallas_priced_chain(
+                s0, xi, h, eta, rho, r, strikes_f, maturity, dt, n_steps,
+                config.chunk_paths, block_paths=config.pallas_block_paths,
+                is_call=is_call, fgn_dtype=fgn_dtype)
+        else:
+            pilot_gen = make_chunk_pathgen(
+                s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
+                dtype, fgn_dtype, config.cumsum_impl)
+            chunk_gen = make_chunk_pathgen(
+                s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
+                dtype, fgn_dtype, config.cumsum_impl)
 
         def fit_fn(k, strikes_):
-            pilot = pilot_gen(k)
+            pilot = pilot_gen(shard_mix(k))
 
             def one(strike):
                 _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call,
-                                  config.poly_order)
+                                  config.poly_order, axis_name=ax)
                 return fits
 
             return jax.vmap(one)(strikes_)
 
-        def stream_fn(k, fits, strikes_, start, count):
-            def body(i, totals):
-                paths = chunk_gen(jax.random.fold_in(k, start + i))
+        if pathgen_impl == "pallas":
+            from . import pathgen_pallas as _pp
 
-                def one(strike, fit):
-                    s, _ = lsm_policy_value(paths, fit, r, strike, maturity,
-                                            dt, is_call)
-                    return s.astype(jnp.float32)
+            def stream_fn(k, fits, strikes_, start, count):
+                k = shard_mix(k)
+                tables = jax.vmap(
+                    lambda fit, strike: _pp.policy_rows(
+                        fit, r, strike, maturity, dt, n_steps, is_call)
+                )(fits, strikes_)
 
-                return totals + jax.vmap(one)(strikes_, fits)
+                def body(i, totals):
+                    return totals + chain_chunk(k.at[1].add(start + i),
+                                                tables)
 
-            return jax.lax.fori_loop(
-                0, count, body,
-                jnp.zeros(strikes_.shape[0], jnp.float32))
+                init = jnp.zeros(n_k, jnp.float32)
+                if ax is not None:
+                    init = _pvary(init, ax)
+                totals = jax.lax.fori_loop(0, count, body, init)
+                # Per-strike time-0 exercise (every path shares S0; column
+                # 0 is decided outside the kernel, cf. StreamingPricer).
+                p0 = jnp.maximum(
+                    jnp.where(is_call, s0 - strikes_, strikes_ - s0), 0.0)
+                z0 = (s0 - fits.mu[:, 0]) / fits.sd[:, 0]
+                cont0 = ((fits.coeffs[:, 0, 2] * z0 + fits.coeffs[:, 0, 1])
+                         * z0 + fits.coeffs[:, 0, 0])
+                ex0 = (p0 > 1e-14) & (p0 >= cont0)
+                all0 = (p0 * (count * config.chunk_paths)).astype(jnp.float32)
+                return jnp.where(ex0, all0, totals)
+        else:
+            def stream_fn(k, fits, strikes_, start, count):
+                k = shard_mix(k)
 
-        self._fit = jax.jit(fit_fn)
-        self._stream = jax.jit(stream_fn)
+                def body(i, totals):
+                    paths = chunk_gen(jax.random.fold_in(k, start + i))
+
+                    def one(strike, fit):
+                        s, _ = lsm_policy_value(paths, fit, r, strike,
+                                                maturity, dt, is_call)
+                        return s.astype(jnp.float32)
+
+                    return totals + jax.vmap(one)(strikes_, fits)
+
+                init = jnp.zeros(n_k, jnp.float32)
+                if ax is not None:
+                    init = _pvary(init, ax)
+                return jax.lax.fori_loop(0, count, body, init)
+
+        if mesh is None:
+            self._fit = jax.jit(fit_fn)
+            self._stream = jax.jit(stream_fn)
+        else:
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover - jax < 0.8
+                from jax.experimental.shard_map import shard_map
+
+            fit_sm = shard_map(
+                lambda k, st: jax.tree.map(lambda a: a[None],
+                                           fit_fn(k, st)),
+                mesh=mesh, in_specs=(P(), P()), out_specs=P(axis_name))
+            stream_sm = shard_map(
+                lambda k, fits, st, start, count:
+                    stream_fn(k, fits, st, start, count)[None],
+                mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+                out_specs=P(axis_name))
+            self._fit = jax.jit(
+                lambda k, st: jax.tree.map(lambda a: a[0], fit_sm(k, st)))
+            self._stream = jax.jit(
+                lambda k, fits, st, start, count: jnp.sum(
+                    stream_sm(k, fits, st, start, count), axis=0))
 
     def price(self, key, progress=None, n_paths: Optional[int] = None):
-        """[K] prices for the strike strip on ``n_paths`` shared paths."""
+        """[K] prices for the strike strip on ``n_paths`` shared paths
+        (times the mesh size when sharded)."""
         config = self.config
         if n_paths is None:
             n_paths = config.n_paths
-        n_chunks, rem = divmod(n_paths, config.chunk_paths)
+        per_step = config.chunk_paths * self.n_dev
+        n_chunks, rem = divmod(n_paths, per_step)
         if rem:
             raise ValueError(
-                f"n_paths={n_paths} not divisible by chunk_paths="
-                f"{config.chunk_paths}")
-        if config.rng_impl != "threefry":
-            key = _rekey(key, config.rng_impl)
-        k_pilot, k_stream = jax.random.split(key)
+                f"n_paths={n_paths} not divisible by chunk_paths * devices="
+                f"{per_step}")
+        if self._pathgen_impl == "pallas":
+            if n_chunks >= 1 << 20:
+                raise ValueError(
+                    f"{n_chunks} chunks exceeds the pallas seed scheme's "
+                    "2^20 range — raise chunk_paths or use pathgen_impl="
+                    "'xla'")
+            if self.n_dev > 256:
+                raise ValueError("pallas seed scheme supports <= 256 shards")
+        k_pilot, k_stream = _pilot_stream_keys(key, self._pathgen_impl,
+                                               config.rng_impl)
         fits = self._fit(k_pilot, self.strikes)
 
         totals = np.zeros(self.strikes.shape[0], np.float64)

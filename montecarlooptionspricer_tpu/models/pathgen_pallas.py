@@ -189,6 +189,67 @@ def _policy_value(s, su_ref, pol_ref, *, is_call: bool, strike: float):
     return jnp.sum(first * p * disc)
 
 
+def _policy_value_minreduce(s, pol_row, col, *, is_call: bool,
+                            strike: float):
+    """`_policy_value` with the first-exercise step found by a min-index
+    reduction instead of the strict-upper-triangular matmul: idx = min of
+    the column index over exercising columns, then a one-hot select.  ~12
+    VPU ops per cell, no MXU work — the right form when many policies are
+    evaluated on one path block (the chain kernel).  ``col`` is the shared
+    [block, s_pad] column iota (hoisted out of the per-strike loop); the
+    per-step 1/sd is hoisted to a [s_pad] vector so the cell-level divide
+    becomes a multiply."""
+    c0, c1, c2 = pol_row[0, :], pol_row[1, :], pol_row[2, :]
+    mu, inv_sd = pol_row[3, :], 1.0 / pol_row[4, :]
+    eps, disc = pol_row[5, :], pol_row[6, :]
+    p = jnp.maximum(s - strike, 0.0) if is_call else jnp.maximum(
+        strike - s, 0.0)
+    z = (s - mu) * inv_sd
+    cont = (c2 * z + c1) * z + c0
+    exf = (p > eps) & (p >= cont)
+    big = jnp.int32(1 << 30)
+    idx = jnp.min(jnp.where(exf, col, big), axis=1, keepdims=True)
+    first = (col == idx).astype(jnp.float32)
+    return jnp.sum(first * p * disc)
+
+
+def _chain_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, pol_ref,
+                  out_ref, *, block_paths: int, is_call: bool, strikes,
+                  **kw):
+    """Fused K-strike chain kernel: one path block, K exercise policies,
+    [K] partial sums — path data never leaves VMEM and path generation is
+    paid once for the whole strike strip."""
+    pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
+    zr, zi, w = _normals3(block_paths, kw["s_pad"])
+    s = _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref, **kw)
+    out_ref[...] = _chain_values(s, pol_ref, out_ref.shape,
+                                 is_call=is_call, strikes=strikes)
+
+
+def _chain_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
+                           pol_ref, out_ref, *, block_paths: int,
+                           is_call: bool, strikes, **kw):
+    """Noise-injection variant of the chain kernel (CPU-interpretable)."""
+    s = _paths_from_noise(noise_ref[0], noise_ref[1], noise_ref[2],
+                          cr_ref, ci_ref, vd_ref, tri_ref, **kw)
+    out_ref[...] = _chain_values(s, pol_ref, out_ref.shape,
+                                 is_call=is_call, strikes=strikes)
+
+
+def _chain_values(s, pol_ref, out_shape, *, is_call: bool, strikes):
+    """[8, k_pad] tile with lane k = strike k's chunk-block payoff sum
+    (Mosaic cannot store scalars to VMEM, so the K per-strike sums are
+    composed into one vector store via lane masks)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    acc = jnp.zeros(out_shape, jnp.float32)
+    for k, strike in enumerate(strikes):
+        val = _policy_value_minreduce(s, pol_ref[k], col, is_call=is_call,
+                                      strike=float(strike))
+        acc = acc + jnp.where(lane == k, val, 0.0)
+    return acc
+
+
 def _pathgen_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, out_ref, **kw):
     """Production kernel: in-kernel hardware PRNG (zero HBM noise traffic).
     Seeded from (mix(run_word, stream_index), block_id), so runs /
@@ -473,6 +534,87 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
         return jnp.sum(out[::8, 0])
 
     return chunk_sum, s_pad
+
+
+def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
+                             dt: float, n_steps: int, chunk_paths: int,
+                             block_paths: int = 256, is_call: bool = False,
+                             interpret: bool = False,
+                             noise_input: bool = False,
+                             fgn_dtype=jnp.float32):
+    """Fused K-strike streaming unit: (seed, policy_tables [K, 8, s_pad])
+    -> [K] chunk payoff sums, sharing ONE in-VMEM path block across the
+    whole strike strip.  Policy tables are per-strike `policy_rows` stacked
+    on a leading axis.  Path generation is the dominant per-strike cost in
+    the vmapped XLA chain (models/engine.StreamingChainPricer); here it is
+    paid once per chunk regardless of K."""
+    strikes = [float(k) for k in strikes]
+    n_k = len(strikes)
+    if chunk_paths % block_paths:
+        raise ValueError("chunk_paths must divide by block_paths")
+    if not noise_input and block_paths % 16:
+        raise ValueError("block_paths must divide by 16 for in-kernel RNG")
+    if not supports(n_steps):
+        raise ValueError("n_steps too large for the fused chain kernel")
+    s_pad = _round_up(n_steps, LANE)
+    k_pad = _round_up(n_k, LANE)
+
+    from .engine import _fgn_matrices_host
+
+    cr, ci = _fgn_matrices_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
+    cr_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(cr)
+    ci_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(ci)
+    t = np.arange(n_steps, dtype=np.float64) * dt
+    vd = -0.5 * (eta * eta) * t ** (2.0 * h)
+    vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
+        jnp.asarray(vd, jnp.float32))
+    tri = np.triu(np.ones((s_pad, s_pad), np.float32))
+    tri[n_steps:, :] = 0.0
+    tri_p = jnp.asarray(tri)
+
+    kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
+              dt=float(dt), log_s0=float(math.log(s0)),
+              block_paths=block_paths, is_call=bool(is_call),
+              strikes=tuple(strikes))
+    body = _chain_kernel_noise_in if noise_input else _chain_kernel
+    kernel = functools.partial(body, **kw)
+    grid_n = chunk_paths // block_paths
+    first_spec = (
+        pl.BlockSpec((3, block_paths, s_pad), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM) if noise_input
+        else pl.BlockSpec(memory_space=pltpu.SMEM))
+    call = pl.pallas_call(
+        kernel,
+        grid=(grid_n,),
+        in_specs=[
+            first_spec,                                     # seed or noise
+            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # Cr
+            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # Ci
+            pl.BlockSpec((1, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # var drift
+            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # cumsum tri
+            pl.BlockSpec((n_k, 8, s_pad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),          # K policy tables
+        ],
+        out_specs=pl.BlockSpec((8, k_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid_n * 8, k_pad), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+
+    def chunk_sums(seed_or_noise, tables) -> jax.Array:
+        """[K] payoff sums for the chunk.  ``tables`` is [K, 8, s_pad]."""
+        if noise_input:
+            first = seed_or_noise.astype(jnp.float32)
+        else:
+            first = _as_seed_words(seed_or_noise)
+        out = call(first, cr_p, ci_p, vd_p, tri_p, tables)
+        return jnp.sum(out[::8, :n_k], axis=0)
+
+    return chunk_sums, s_pad
 
 
 def make_pallas_pathgen_from_noise(s0, xi, h, eta, rho, r, n_steps: int,

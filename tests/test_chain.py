@@ -1,0 +1,114 @@
+"""Strike-chain pricer: fused K-policy kernel correctness (noise-injected,
+CPU interpreter) and mesh sharding of chain / control-variate / Greeks
+(virtual 8-device CPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from montecarlooptionspricer_tpu.models import engine, pathgen_pallas
+from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+from montecarlooptionspricer_tpu.parallel import make_mesh
+
+MKT = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04)
+
+
+def test_chain_kernel_matches_vmapped_policy(rng):
+    """Fused K-policy chain kernel == XLA generator + per-strike
+    lsm_policy_value on identical injected noise."""
+    n_steps, chunk, dt = 48, 256, 1 / 252.0
+    strikes = [94.0, 100.0, 106.0]
+    maturity, is_call = 48 / 252.0, False
+
+    pilot = engine.make_chunk_pathgen(**MKT, n_steps=n_steps, dt=dt,
+                                      chunk_paths=1 << 11)(jax.random.key(0))
+
+    def one_fit(strike):
+        _, fits = lsm_fit(pilot, MKT["r"], strike, maturity, dt, is_call, 2)
+        return fits
+
+    fits = jax.vmap(one_fit)(jnp.asarray(strikes))
+
+    gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
+        **MKT, n_steps=n_steps, dt=dt, chunk_paths=chunk, block_paths=64,
+        interpret=True)
+    noise = jnp.asarray(rng.standard_normal((3, chunk, s_pad)), jnp.float32)
+    paths = gen(noise)
+
+    want = []
+    for k, strike in enumerate(strikes):
+        fit_k = jax.tree.map(lambda a: a[k], fits)
+        s, _ = engine.lsm_policy_value(paths, fit_k, MKT["r"], strike,
+                                       maturity, dt, is_call)
+        want.append(float(s))
+
+    chain, s_pad2 = pathgen_pallas.make_pallas_priced_chain(
+        **MKT, strikes=strikes, maturity=maturity, dt=dt, n_steps=n_steps,
+        chunk_paths=chunk, block_paths=64, is_call=is_call, interpret=True,
+        noise_input=True)
+    assert s_pad2 == s_pad
+    tables = jax.vmap(
+        lambda fit, strike: pathgen_pallas.policy_rows(
+            fit, MKT["r"], strike, maturity, dt, n_steps, is_call)
+    )(fits, jnp.asarray(strikes))
+    got = np.asarray(chain(noise, tables))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4)
+
+
+def test_chain_pricer_sharded_matches_single_device():
+    """Mesh-sharded chain (XLA path) within MC error of the single-device
+    chain; shapes/finiteness exact."""
+    strikes = [95.0, 100.0, 105.0]
+    cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=24,
+                              chunk_paths=1 << 10, pilot_paths=1 << 9)
+    single = engine.StreamingChainPricer(**MKT, strikes=strikes,
+                                         maturity=24 / 252.0, is_call=False,
+                                         config=cfg)
+    p1 = single.price(jax.random.key(3))
+
+    mesh = make_mesh(8)
+    cfg8 = engine.StreamConfig(n_paths=1 << 14, n_steps=24,
+                               chunk_paths=1 << 7, pilot_paths=1 << 6)
+    sharded = engine.StreamingChainPricer(**MKT, strikes=strikes,
+                                          maturity=24 / 252.0, is_call=False,
+                                          config=cfg8, mesh=mesh)
+    p8 = sharded.price(jax.random.key(3))
+    assert p8.shape == (3,)
+    assert np.all(np.diff(p8) > 0)  # put prices increase with strike
+    np.testing.assert_allclose(p8, p1, rtol=0.15, atol=0.1)
+
+
+def test_control_variate_sharded_matches_single_device():
+    kwargs = dict(**MKT, strike=102.0, maturity=24 / 252.0, is_call=False)
+    cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=24,
+                              chunk_paths=1 << 10, pilot_paths=1 << 10,
+                              control_variate=True)
+    p1 = engine.StreamingPricer(**kwargs, config=cfg).price(jax.random.key(5))
+
+    mesh = make_mesh(8)
+    cfg8 = engine.StreamConfig(n_paths=1 << 14, n_steps=24,
+                               chunk_paths=1 << 7, pilot_paths=1 << 7,
+                               control_variate=True)
+    p8 = engine.StreamingPricer(**kwargs, config=cfg8,
+                                mesh=mesh).price(jax.random.key(5))
+    assert np.isfinite(p8)
+    np.testing.assert_allclose(p8, p1, rtol=0.1, atol=0.06)
+
+
+def test_streaming_greeks_sharded_matches_single_device():
+    kwargs = dict(**MKT, strike=102.0, maturity=24 / 252.0, is_call=False)
+    cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=24,
+                              chunk_paths=1 << 10, pilot_paths=1 << 10)
+    g1 = engine.StreamingPricer(**kwargs, config=cfg).price_and_greeks(
+        jax.random.key(6))
+
+    mesh = make_mesh(8)
+    cfg8 = engine.StreamConfig(n_paths=1 << 14, n_steps=24,
+                               chunk_paths=1 << 7, pilot_paths=1 << 7)
+    g8 = engine.StreamingPricer(**kwargs, config=cfg8,
+                                mesh=mesh).price_and_greeks(jax.random.key(6))
+    assert all(np.isfinite(v) for v in g8)
+    # put delta negative on both, price/delta within MC error
+    assert g1[1] < 0 and g8[1] < 0
+    np.testing.assert_allclose(g8[0], g1[0], rtol=0.1, atol=0.06)
+    np.testing.assert_allclose(g8[1], g1[1], rtol=0.25, atol=0.1)
