@@ -1,0 +1,57 @@
+"""Literal compiled-C++ head-to-head (BASELINE.md accuracy criterion).
+
+Compiles the unmodified reference pricer sources with the local Eigen shim
+and compares per-pricer means against the rebuild at matched config.  The
+heavyweight report lives in parity/run_parity.py; this test runs a reduced
+rep count and gates at 3 combined stderr (a 2-stderr gate on 8 independent
+comparisons has a ~27% false-failure rate; PARITY_CPP.md records the full
+2-stderr table, currently worst |z| = 0.82)."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+PARITY = os.path.join(os.path.dirname(HERE), "parity")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference") or shutil.which("g++") is None,
+    reason="needs the reference checkout and g++")
+def test_compiled_reference_head_to_head():
+    sys.path.insert(0, PARITY)
+    import run_parity
+
+    exe = run_parity.build_harness()
+    hist = run_parity.make_history()
+    hist_file = "/tmp/parity_hist_test.txt"
+    np.savetxt(hist_file, hist)
+
+    reps, steps, paths = 8, 63, 2000
+    cpp, strike = run_parity.run_cpp(exe, hist_file, steps, paths, reps,
+                                     0.02)
+    ours, _ = run_parity.run_ours(hist, steps, paths, reps, strike)
+    lines, worst = run_parity.compare(cpp, ours, reps)
+    assert worst <= 3.0, lines
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference") or shutil.which("g++") is None,
+    reason="needs the reference checkout and g++")
+def test_compiled_reference_bench_runs():
+    sys.path.insert(0, PARITY)
+    import run_parity
+
+    exe = run_parity.build_harness()
+    hist = run_parity.make_history()
+    hist_file = "/tmp/parity_hist_test.txt"
+    np.savetxt(hist_file, hist)
+    out = subprocess.run([exe, "bench", hist_file, "4"], check=True,
+                         capture_output=True, text=True)
+    import json
+    row = json.loads(out.stdout)
+    assert row["rows_per_sec"] > 0
