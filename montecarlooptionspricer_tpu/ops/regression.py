@@ -89,22 +89,50 @@ def fit_poly_masked(x, y, w, order: int, axis_name: Optional[str] = None,
     sd = jnp.sqrt(jnp.maximum(var, sd_floor * sd_floor))
 
     z = (x - mu) / sd
+    # Snap z to exactly 0 when the variance floor engaged (constant
+    # regressor).  The floor alone is not enough: TPU reduces compute mu
+    # with O(1e-5) relative roundoff, so x - mu is a nonzero *constant*
+    # ~1e-4 and z becomes a constant ~0.1 instead of 0 — a rank-1 design
+    # NOT at the origin, whose near-singular solve amplifies f32 noise into
+    # garbage coefficients (measured: cont ~4x the true continuation at a
+    # constant step, ratcheted into +300% call prices via max(p, cont)).
+    # With z == 0 the fit degrades to the pure intercept the floor intended.
+    z = jnp.where(var > sd_floor * sd_floor, z, 0.0)
     basis = poly_basis(z, order)                     # [n, p+1]
     wb = basis * w[..., None]
-    gram = _psum_if(wb.T @ basis, axis_name)         # [p+1, p+1]
-    rhs = _psum_if(wb.T @ y, axis_name)              # [p+1]
+    # precision=HIGHEST: TPU matmuls default to bf16 inputs, and the ~0.4%
+    # relative error that injects into the Gram/rhs moments is NOT benign
+    # here — LSM carries max(payoff, fitted continuation) backward
+    # (LSMPricer.cpp:78-85), a ratchet that rectifies zero-mean fit noise
+    # into a systematic upward price bias (measured +50% on ITM calls at
+    # 2000x63 on v5e).  These are [n, order+1] matmuls; full precision is
+    # free next to the surrounding work.
+    hi = jax.lax.Precision.HIGHEST
+    gram = _psum_if(jnp.matmul(wb.T, basis, precision=hi), axis_name)
+    rhs = _psum_if(jnp.matmul(wb.T, y, precision=hi), axis_name)
 
-    # Trace-scaled Tikhonov: gram is PSD by construction, so gram + lam*I is
-    # SPD and the solve cannot produce NaN in float32 even for
-    # rank-deficient designs (constant or all-masked regressors).
+    # Diagonal-scaled Tikhonov: gram is PSD by construction, so gram + lam*D
+    # is SPD and the solve cannot produce NaN in float32 even for
+    # rank-deficient designs (constant or all-masked regressors).  lam is
+    # sized for float32: the moment products that feed the factorization
+    # carry ~1e-7 relative noise, so regularization much below ~1e-6 of the
+    # diagonal is pure noise (the round-1 1e-7-of-mean-trace choice was
+    # ~3e-8 of the leading entry — below machine eps, i.e. no
+    # regularization at all in f32).  1e-6 of the diagonal perturbs a
+    # well-conditioned quadratic fit in its 6th digit — far inside MC noise.
     eye = jnp.eye(order + 1, dtype=gram.dtype)
-    lam = ridge * (jnp.trace(gram) / (order + 1) + 1.0)
-    a = gram + lam * eye
+    lam = jnp.maximum(ridge, 1e-6)
+    diag = jnp.diagonal(gram, axis1=-2, axis2=-1)
+    a = gram + (lam * (diag + 1.0))[..., None, :] * eye
     if order + 1 <= 3:
-        # Closed-form adjugate solve: pure elementwise ops that XLA fuses
+        # Closed-form Cholesky solve: pure elementwise ops that XLA fuses
         # into the surrounding scan body — the factored LAPACK-style solve
         # costs several extra kernel launches per LSM backward step, which
-        # dominates the latency-bound per-row pipeline workload.
+        # dominates the latency-bound per-row pipeline workload.  Cholesky,
+        # not the adjugate: the adjugate's det is a difference of cofactor
+        # products that cancel catastrophically for near-rank-1 designs
+        # (near-constant price columns), producing solutions far outside
+        # the ||rhs||/lam_min stability bound; Cholesky is backward-stable.
         coeffs = _solve_spd_small(a, rhs)
     else:
         chol = jax.scipy.linalg.cho_factor(a, lower=True)
@@ -115,30 +143,48 @@ def fit_poly_masked(x, y, w, order: int, axis_name: Optional[str] = None,
 
 
 def _solve_spd_small(a, b):
-    """Solve a x = b for symmetric positive-definite a of size 1..3 via the
-    explicit adjugate — branch-free, fully fusible."""
+    """Solve a x = b for symmetric positive-definite a of size 1..3 via an
+    explicit (unrolled) Cholesky factorization — branch-free, fully fusible
+    elementwise ops, and backward-stable where the previous adjugate form
+    was not: for near-rank-1 gram matrices the adjugate's det/cofactors are
+    differences of cancelling products, and the f32 cancellation noise is
+    amplified by 1/det into unbounded coefficients.  Cholesky keeps the
+    solution within the regularized system's ||b||/lam_min bound.
+
+    The sqrt/divide pivots are clamped to a tiny positive floor so a
+    rank-deficient `a` (possible only if the caller skipped the ridge)
+    yields finite output instead of NaN.
+    """
     n = a.shape[-1]
+    tiny = jnp.asarray(1e-30, a.dtype)
     if n == 1:
-        return b / a[..., 0, 0:1]
+        return b / jnp.maximum(a[..., 0, 0:1], tiny)
     if n == 2:
         a00, a01, a11 = a[..., 0, 0], a[..., 0, 1], a[..., 1, 1]
-        det = a00 * a11 - a01 * a01
-        x0 = (a11 * b[..., 0] - a01 * b[..., 1]) / det
-        x1 = (a00 * b[..., 1] - a01 * b[..., 0]) / det
+        l00 = jnp.sqrt(jnp.maximum(a00, tiny))
+        l10 = a01 / l00
+        l11 = jnp.sqrt(jnp.maximum(a11 - l10 * l10, tiny))
+        # Forward substitution L y = b, then back substitution L^T x = y.
+        y0 = b[..., 0] / l00
+        y1 = (b[..., 1] - l10 * y0) / l11
+        x1 = y1 / l11
+        x0 = (y0 - l10 * x1) / l00
         return jnp.stack([x0, x1], axis=-1)
     a00, a01, a02 = a[..., 0, 0], a[..., 0, 1], a[..., 0, 2]
     a11, a12, a22 = a[..., 1, 1], a[..., 1, 2], a[..., 2, 2]
-    c00 = a11 * a22 - a12 * a12
-    c01 = a02 * a12 - a01 * a22
-    c02 = a01 * a12 - a02 * a11
-    c11 = a00 * a22 - a02 * a02
-    c12 = a01 * a02 - a00 * a12
-    c22 = a00 * a11 - a01 * a01
-    det = a00 * c00 + a01 * c01 + a02 * c02
+    l00 = jnp.sqrt(jnp.maximum(a00, tiny))
+    l10 = a01 / l00
+    l20 = a02 / l00
+    l11 = jnp.sqrt(jnp.maximum(a11 - l10 * l10, tiny))
+    l21 = (a12 - l20 * l10) / l11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l20 * l20 - l21 * l21, tiny))
     b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
-    x0 = (c00 * b0 + c01 * b1 + c02 * b2) / det
-    x1 = (c01 * b0 + c11 * b1 + c12 * b2) / det
-    x2 = (c02 * b0 + c12 * b1 + c22 * b2) / det
+    y0 = b0 / l00
+    y1 = (b1 - l10 * y0) / l11
+    y2 = (b2 - l20 * y0 - l21 * y1) / l22
+    x2 = y2 / l22
+    x1 = (y1 - l21 * x2) / l11
+    x0 = (y0 - l10 * x1 - l20 * x2) / l00
     return jnp.stack([x0, x1, x2], axis=-1)
 
 

@@ -46,6 +46,46 @@ def test_masked_polyfit_matches_lstsq(rng):
     np.testing.assert_allclose(ours[idx], ref[idx], rtol=2e-3, atol=2e-2)
 
 
+def test_masked_polyfit_constant_regressor_is_pure_intercept():
+    """A constant price column (every path at S0, LSM step 0) must fit the
+    weighted mean of y exactly — even when mu carries reduce roundoff.
+
+    Regression guard for a real TPU failure: the on-device mean of 2000
+    copies of 100.0 came back as 100.0000076, the sd floor then produced a
+    constant z = -0.0755 instead of 0, and the old adjugate solve of the
+    resulting near-rank-1 gram amplified f32 cancellation noise into
+    coefficients of O(1000) — ratcheted by LSM's max(payoff, continuation)
+    into +300% call prices.  The fix snaps z to 0 whenever the variance
+    floor engages; this test drives the same path by constructing the same
+    off-center constant design directly."""
+    n = 2000
+    x = jnp.full((n,), 100.0, jnp.float32)
+    y = jnp.asarray(np.random.default_rng(0).normal(5.8, 1.0, n), jnp.float32)
+    w = jnp.ones((n,), jnp.float32)
+    fit = fit_poly_masked(x, y, w, 2)
+    cont = np.asarray(eval_poly(fit, x))
+    np.testing.assert_allclose(cont, float(jnp.mean(y)), rtol=1e-5)
+    # Off-center variant: simulate the TPU's inexact mean by shifting the
+    # evaluation points relative to the fit's own center.  The z-snap makes
+    # the fit constant, so any eval point must return the same intercept.
+    cont_off = np.asarray(eval_poly(fit, x + 0.001))
+    np.testing.assert_allclose(cont_off, float(jnp.mean(y)), rtol=1e-5)
+
+
+def test_masked_polyfit_near_rank1_design_is_stable():
+    """A nearly-constant regressor (price moved ~1e-4 relative in one step)
+    must yield a bounded fit: predictions within the data range, not the
+    O(1000) blowups the adjugate solve produced on near-singular grams."""
+    rng = np.random.default_rng(7)
+    x = (100.0 + 1e-3 * rng.normal(size=2000)).astype(np.float32)
+    y = rng.normal(5.8, 1.0, 2000).astype(np.float32)
+    fit = fit_poly_masked(jnp.asarray(x), jnp.asarray(y),
+                          jnp.ones(2000, jnp.float32), 2)
+    cont = np.asarray(eval_poly(fit, jnp.asarray(x)))
+    assert np.all(np.isfinite(cont))
+    assert cont.min() > y.min() - 1.0 and cont.max() < y.max() + 1.0
+
+
 def test_masked_polyfit_zero_weight_never_exercises():
     """A fit with no in-the-money samples must evaluate to a huge
     continuation (nothing beats it => a policy never exercises there),
