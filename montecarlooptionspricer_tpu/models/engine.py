@@ -77,6 +77,12 @@ class StreamConfig:
     # evaluation into the kernel too: each grid block emits one partial
     # payoff sum and path data never leaves VMEM.
     fuse_policy: bool = True
+    # Randomized QMC for the price Brownian: scrambled Sobol + per-chunk
+    # digital shift + Brownian PCA (see make_chunk_pathgen).  Forces the
+    # XLA generator (the fused kernels' in-kernel PRNG can't consume a
+    # precomputed point set).  Measured ~3-5x stderr reduction per path at
+    # 1e6 paths for near-the-money contracts.
+    qmc: bool = False
     # Martingale control variate: corrects the streamed estimate with
     # beta * (mean e^{-rT} S_T - s0), beta fitted on the pilot block.
     # Unbiased (the control's mean is exactly s0 under this model) with
@@ -121,7 +127,8 @@ def _fgn_matrices_host(n_steps: int, h: float, eta: float, dt: float,
 
 def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                        chunk_paths: int, dtype=jnp.float32,
-                       fgn_dtype=jnp.float32, cumsum_impl: str = "cumsum"):
+                       fgn_dtype=jnp.float32, cumsum_impl: str = "cumsum",
+                       qmc: bool = False):
     """Build chunk_paths-sized rBergomi generator key -> [chunk, steps+1]
     using the MXU fGN matmul.  Statistically identical to
     rough_volatility.generate_paths (different RNG stream layout).
@@ -129,7 +136,21 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     cumsum_impl="matmul" computes the log-price accumulation as a product
     with an upper-triangular ones matrix — MXU work instead of the VPU
     associative scan, measurably faster on TPU for step counts in the
-    hundreds."""
+    hundreds.
+
+    qmc=True drives the PRICE Brownian from randomized quasi-Monte Carlo:
+    one scrambled-Sobol base set per (chunk_paths, n_steps) shape (host-
+    cached device constant), digitally shifted per chunk key, mapped to
+    normals by inverse CDF and rotated through the Brownian PCA matrix so
+    the low Sobol dimensions carry the path's dominant variance modes
+    (ops/qmc.py).  Only the price Brownian — which carries nearly all the
+    payoff variance at production vol-of-vol levels — is low-discrepancy;
+    the two fGN planes stay pseudo-random (QMC-ing 2 more n_steps-dim
+    planes would triple the base-set footprint for the residual variance).
+    Per-chunk shifts are independent, so chunk estimates stay independent
+    and unbiased — streaming accumulation and stderr logic are unchanged.
+    Capability upgrade over the reference's plain pseudo-random MC
+    (src/models/RoughVolatility.cpp:238-262) at streaming scale."""
     cr, ci = _fgn_matrices_host(n_steps, h, eta, dt, fgn_dtype)
     t = jnp.arange(n_steps + 1, dtype=dtype) * dt
     var_drift = -0.5 * (eta * eta) * jnp.power(t[:n_steps], 2.0 * h)
@@ -149,18 +170,34 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     else:
         raise ValueError(f"unknown cumsum_impl: {cumsum_impl!r}")
 
+    if qmc:
+        from ..ops import qmc as qmc_mod
+
+        sobol_bits = jnp.asarray(qmc_mod.sobol_base(chunk_paths, n_steps))
+        # PCA map already carries the sqrt(dt) scale: rows of the Brownian
+        # covariance factor, differenced to increments (M M^T = dt*I).
+        pca_t = jnp.asarray(qmc_mod.brownian_pca_matrix(n_steps, dt)).T
+
     def gen_with_params(key, s0_, xi_, r_):
         """(s0, xi, r) as call-time (possibly traced) scalars — the AD
         surface for streaming Greeks; h/eta/rho stay baked into the host-
         precomputed spectral matrices."""
         kz, kw = jax.random.split(key)
         z = jax.random.normal(kz, (2, chunk_paths, n_steps), fgn_dtype)
-        w = jax.random.normal(kw, (chunk_paths, n_steps), dtype)
+        if qmc:
+            zq = qmc_mod.normals(sobol_bits, kw)
+            # Full precision: the PCA rotation realizes the low-discrepancy
+            # structure; bf16 matmul noise (~0.4% relative) would drown the
+            # sub-MC-noise accuracy QMC exists to deliver.
+            dw = jnp.matmul(zq, pca_t, precision=jax.lax.Precision.HIGHEST)
+            dw = dw.astype(dtype)
+        else:
+            dw = jax.random.normal(kw, (chunk_paths, n_steps),
+                                   dtype) * sqrt_dt
         x = (jnp.matmul(z[0], cr, preferred_element_type=jnp.float32)
              - jnp.matmul(z[1], ci, preferred_element_type=jnp.float32))
         v = xi_ * jnp.exp(x + var_drift)
-        inc = (r_ - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * (
-            w * sqrt_dt)
+        inc = (r_ - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
         log_s = jnp.log(s0_) + cumsum(inc)
         s = jnp.exp(log_s).astype(dtype)
         s0_col = jnp.full((chunk_paths, 1), 1.0, dtype) * s0_
@@ -296,6 +333,11 @@ class StreamingPricer:
         self.n_dev = 1 if mesh is None else mesh.shape[axis_name]
 
         pathgen_impl = config.pathgen_impl
+        if config.qmc:
+            # The fused kernels draw noise in-kernel; a Sobol point set is
+            # a device constant they can't consume.  QMC rides the XLA
+            # generator (still MXU fGN + matmul cumsum).
+            pathgen_impl = "xla"
         tiled = False
         if pathgen_impl == "pallas":
             from . import pathgen_pallas, pathgen_pallas_tiled
@@ -338,10 +380,10 @@ class StreamingPricer:
         elif pathgen_impl == "xla":
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                dtype, fgn_dtype, config.cumsum_impl)
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc)
             chunk_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
-                dtype, fgn_dtype, config.cumsum_impl)
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc)
             next_carrier = jax.random.fold_in
         else:
             raise ValueError(f"unknown pathgen_impl: {config.pathgen_impl!r}")
@@ -466,11 +508,11 @@ class StreamingPricer:
         xla_gen = (chunk_gen if pathgen_impl == "xla" else
                    make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
                                       config.chunk_paths, dtype, fgn_dtype,
-                                      config.cumsum_impl))
+                                      config.cumsum_impl, qmc=config.qmc))
         xla_pilot = (pilot_gen if pathgen_impl == "xla" else
                      make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
                                         config.pilot_paths, dtype, fgn_dtype,
-                                        config.cumsum_impl))
+                                        config.cumsum_impl, qmc=config.qmc))
         self._market = (float(s0), float(xi), float(r))
 
         # Greeks always ride threefry keys (the AD surface is the XLA
@@ -687,6 +729,8 @@ class StreamingChainPricer:
         n_k = len(strikes_f)
 
         pathgen_impl = config.pathgen_impl
+        if config.qmc:
+            pathgen_impl = "xla"  # see StreamingPricer: QMC is XLA-only
         if pathgen_impl == "pallas":
             from . import pathgen_pallas
 
@@ -717,10 +761,10 @@ class StreamingChainPricer:
         else:
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                dtype, fgn_dtype, config.cumsum_impl)
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc)
             chunk_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
-                dtype, fgn_dtype, config.cumsum_impl)
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc)
 
         def fit_fn(k, strikes_):
             pilot = pilot_gen(shard_mix(k))

@@ -91,3 +91,69 @@ def test_pipeline_qmc_flag(tmp_path, rng, monkeypatch):
         rows = f.read().strip().splitlines()
     vals = [float(v) for v in rows[1].split(",")[-6:]]
     assert all(np.isfinite(vals)) and any(abs(v) > 0 for v in vals[:4])
+
+
+def test_streaming_qmc_beats_prng_and_is_unbiased():
+    """StreamConfig(qmc=True): randomized-Sobol price Brownian with a
+    per-chunk digital shift (engine.make_chunk_pathgen).  Across independent
+    keys, the streamed LSM price's spread must be well below the
+    pseudo-random generator's at the same path count, with agreeing means
+    (unbiasedness).  VERDICT r01 item 7."""
+    from montecarlooptionspricer_tpu.models import engine
+
+    kw = dict(n_paths=1 << 15, n_steps=32, chunk_paths=1 << 13,
+              pilot_paths=1 << 12, dt=1 / 252, poly_order=2,
+              chunks_per_call=4, pathgen_impl="xla")
+    vals = {}
+    for use_qmc in (False, True):
+        cfg = engine.StreamConfig(qmc=use_qmc, **kw)
+        pricer = engine.StreamingPricer(100.0, 0.04, 0.1, 1.5, -0.4, 0.04,
+                                        105.0, 32 / 252, False, cfg)
+        vals[use_qmc] = np.array(
+            [pricer.price(jax.random.key(i)) for i in range(8)])
+    std_prng, std_qmc = vals[False].std(), vals[True].std()
+    # Observed ~4x at this shape; require a conservative 1.8x.
+    assert std_qmc < std_prng / 1.8, (std_prng, std_qmc)
+    se = np.sqrt(std_prng ** 2 + std_qmc ** 2) / np.sqrt(8)
+    assert abs(vals[True].mean() - vals[False].mean()) < 4 * se + 1e-3
+
+
+def test_streaming_qmc_mesh_matches_single_device():
+    """qmc=True under an 8-device mesh: every shard digitally shifts the
+    shared Sobol base with its own folded key, so shards stay independent
+    and the mesh estimate must agree with the single-device one
+    statistically."""
+    from montecarlooptionspricer_tpu.models import engine
+    from montecarlooptionspricer_tpu.parallel.mesh import make_mesh
+
+    kw = dict(n_steps=16, chunk_paths=1 << 11, pilot_paths=1 << 11,
+              dt=1 / 252, poly_order=2, chunks_per_call=2,
+              pathgen_impl="xla", qmc=True)
+    single = engine.StreamingPricer(
+        100.0, 0.04, 0.1, 1.5, -0.4, 0.04, 105.0, 16 / 252, False,
+        engine.StreamConfig(n_paths=1 << 14, **kw))
+    mesh = make_mesh(8)
+    sharded = engine.StreamingPricer(
+        100.0, 0.04, 0.1, 1.5, -0.4, 0.04, 105.0, 16 / 252, False,
+        engine.StreamConfig(n_paths=1 << 14, **kw), mesh=mesh)
+    ps = single.price(jax.random.key(3))
+    pm = sharded.price(jax.random.key(3))
+    assert np.isfinite(pm)
+    assert abs(ps - pm) < 0.05  # both ~5.0; QMC stderr here is ~0.005
+
+
+def test_chain_qmc_runs_and_is_monotone():
+    """StreamingChainPricer with qmc=True: shared QMC paths across the
+    strip; put prices must rise in strike."""
+    from montecarlooptionspricer_tpu.models import engine
+
+    cfg = engine.StreamConfig(n_paths=1 << 13, n_steps=16,
+                              chunk_paths=1 << 12, pilot_paths=1 << 11,
+                              dt=1 / 252, chunks_per_call=2,
+                              pathgen_impl="xla", qmc=True)
+    chain = engine.StreamingChainPricer(
+        100.0, 0.04, 0.1, 1.5, -0.4, 0.04, [95.0, 100.0, 105.0],
+        16 / 252, False, cfg)
+    prices = chain.price(jax.random.key(0))
+    assert np.all(np.isfinite(prices))
+    assert prices[0] < prices[1] < prices[2]
