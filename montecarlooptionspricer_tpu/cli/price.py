@@ -52,7 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--call", dest="is_call", action="store_true")
     p.set_defaults(is_call=False)
     p.add_argument("--greeks", action="store_true",
-                   help="also report pathwise delta / vega_xi / rho")
+                   help="also report pathwise delta / vega_xi / vega_eta "
+                        "/ rho")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--chunk-paths", type=int, default=1 << 17)
     p.add_argument("--pathgen", choices=("pallas", "xla"), default="pallas",
@@ -126,9 +127,11 @@ def main(argv=None) -> int:
             **market, strike=args.strike, maturity=args.maturity,
             is_call=args.is_call, config=cfg)
         if args.greeks:
-            price, delta, vega_xi, rho_rate = pricer.price_and_greeks(key)
+            (price, delta, vega_xi, vega_eta,
+             rho_rate) = pricer.price_and_greeks(key)
             out = {"price": round(price, 6), "delta": round(delta, 6),
                    "vega_xi": round(vega_xi, 6),
+                   "vega_eta": round(vega_eta, 6),
                    "rho_rate": round(rho_rate, 6)}
         else:
             out = {"price": round(pricer.price(key), 6)}

@@ -151,9 +151,15 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     and unbiased — streaming accumulation and stderr logic are unchanged.
     Capability upgrade over the reference's plain pseudo-random MC
     (src/models/RoughVolatility.cpp:238-262) at streaming scale."""
-    cr, ci = _fgn_matrices_host(n_steps, h, eta, dt, fgn_dtype)
+    # Unit-eta spectral matrices: the fGN is LINEAR in eta (X = eta * Xhat,
+    # RoughVolatility.cpp:264-292 scale factor) and the variance-curve
+    # compensator -eta^2 t^{2H}/2 is analytic, so factoring eta out of the
+    # host-precomputed matrices makes it a call-time (traceable) scalar —
+    # the AD surface for the vol-of-vol vega users actually hedge.  Only H
+    # stays baked in (it shapes the kernel itself).
+    cr, ci = _fgn_matrices_host(n_steps, h, 1.0, dt, fgn_dtype)
     t = jnp.arange(n_steps + 1, dtype=dtype) * dt
-    var_drift = -0.5 * (eta * eta) * jnp.power(t[:n_steps], 2.0 * h)
+    t_pow = jnp.power(t[:n_steps], 2.0 * h)
     sqrt_dt = float(np.sqrt(dt))
     # The reference's price Brownian rho*w1 + sqrt(1-rho^2)*w2 is built from
     # two normals both independent of the fGN driver (RoughVolatility.cpp:
@@ -178,10 +184,10 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         # covariance factor, differenced to increments (M M^T = dt*I).
         pca_t = jnp.asarray(qmc_mod.brownian_pca_matrix(n_steps, dt)).T
 
-    def gen_with_params(key, s0_, xi_, r_):
-        """(s0, xi, r) as call-time (possibly traced) scalars — the AD
-        surface for streaming Greeks; h/eta/rho stay baked into the host-
-        precomputed spectral matrices."""
+    def gen_with_params(key, s0_, xi_, r_, eta_):
+        """(s0, xi, r, eta) as call-time (possibly traced) scalars — the AD
+        surface for streaming Greeks; h (and the irrelevant rho, see above)
+        stays baked into the host-precomputed spectral matrices."""
         kz, kw = jax.random.split(key)
         z = jax.random.normal(kz, (2, chunk_paths, n_steps), fgn_dtype)
         if qmc:
@@ -194,9 +200,9 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         else:
             dw = jax.random.normal(kw, (chunk_paths, n_steps),
                                    dtype) * sqrt_dt
-        x = (jnp.matmul(z[0], cr, preferred_element_type=jnp.float32)
-             - jnp.matmul(z[1], ci, preferred_element_type=jnp.float32))
-        v = xi_ * jnp.exp(x + var_drift)
+        x_hat = (jnp.matmul(z[0], cr, preferred_element_type=jnp.float32)
+                 - jnp.matmul(z[1], ci, preferred_element_type=jnp.float32))
+        v = xi_ * jnp.exp(eta_ * x_hat - 0.5 * (eta_ * eta_) * t_pow)
         inc = (r_ - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
         log_s = jnp.log(s0_) + cumsum(inc)
         s = jnp.exp(log_s).astype(dtype)
@@ -204,7 +210,7 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         return jnp.concatenate([s0_col, s], axis=-1)
 
     def gen(key):
-        return gen_with_params(key, s0, xi, r)
+        return gen_with_params(key, s0, xi, r, eta)
 
     gen.with_params = gen_with_params
     return gen
@@ -513,7 +519,7 @@ class StreamingPricer:
                      make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
                                         config.pilot_paths, dtype, fgn_dtype,
                                         config.cumsum_impl, qmc=config.qmc))
-        self._market = (float(s0), float(xi), float(r))
+        self._market = (float(s0), float(xi), float(r), float(eta))
 
         # Greeks always ride threefry keys (the AD surface is the XLA
         # generator), so their shard mix is key-based even when the price
@@ -534,11 +540,12 @@ class StreamingPricer:
             k = xla_shard_mix(k)
 
             def value(params):
-                s0_, xi_, r_ = params
+                s0_, xi_, r_, eta_ = params
 
                 def body(i, total):
                     paths = xla_gen.with_params(
-                        jax.random.fold_in(k, start + i), s0_, xi_, r_)
+                        jax.random.fold_in(k, start + i), s0_, xi_, r_,
+                        eta_)
                     s, _ = lsm_policy_value(paths, fits, r_, strike,
                                             maturity, dt, is_call)
                     return total + s.astype(jnp.float32)
@@ -548,19 +555,21 @@ class StreamingPricer:
                     init = _pvary(init, ax)
                 return jax.lax.fori_loop(0, count, body, init)
 
-            # One vmapped jvp over the three basis tangents: the primal
+            # One vmapped jvp over the four basis tangents: the primal
             # computation is tangent-independent, so vmap leaves it
-            # unbatched (computed once) and only the tangent path runs x3 —
-            # ~primal + 3 tangents instead of 3 x (primal + tangent).
+            # unbatched (computed once) and only the tangent path runs x4 —
+            # ~primal + 4 tangents instead of 4 x (primal + tangent).
             # (jax.linearize would share the primal too, but it has to
             # store per-iteration residuals of the chunk fori_loop — the
             # O(n_chunks * chunk) memory this streaming design exists to
             # avoid.)
-            eye = jnp.eye(3, dtype=jnp.float32)
-            tangents = (eye[:, 0], eye[:, 1], eye[:, 2])
+            eye = jnp.eye(4, dtype=jnp.float32)
+            tangents = tuple(eye[:, j] for j in range(4))
             vals, grads = jax.vmap(
                 lambda t: jax.jvp(value, (market,), (t,)))(tangents)
-            return vals[0], grads[0], grads[1], grads[2]
+            # params order is (s0, xi, r, eta); report order is
+            # (price, delta, vega_xi, vega_eta, rho_rate).
+            return vals[0], grads[0], grads[1], grads[3], grads[2]
 
         if mesh is None:
             self._fit = jax.jit(fit_fn)
@@ -660,13 +669,18 @@ class StreamingPricer:
         return total / n_paths
 
     def price_and_greeks(self, key, n_paths: Optional[int] = None):
-        """(price, delta, vega_xi, rho_rate) at streaming scale: forward-
-        mode pathwise derivatives w.r.t. (s0, xi, r) accumulated chunk by
-        chunk — Greeks on 1e8+ paths in O(chunk) memory, with the exercise
-        policy fixed from the pilot fit.  Uses the XLA generator (threefry
-        keys) regardless of ``pathgen_impl``; with a mesh, chunks shard
-        across devices (the jvp composes with shard_map; partial sums
-        stack and reduce on the host).  No reference equivalent."""
+        """(price, delta, vega_xi, vega_eta, rho_rate) at streaming scale:
+        forward-mode pathwise derivatives w.r.t. (s0, xi, r, eta)
+        accumulated chunk by chunk — Greeks on 1e8+ paths in O(chunk)
+        memory, with the exercise policy fixed from the pilot fit.
+        vega_eta (vol-of-vol sensitivity, the rough-vol hedge users
+        actually run) is possible because the fGN is linear in eta, so eta
+        factors out of the host-precomputed spectral matrices; only H (and
+        the distribution-irrelevant rho) remain non-differentiable.  Uses
+        the XLA generator (threefry keys) regardless of ``pathgen_impl``;
+        with a mesh, chunks shard across devices (the jvp composes with
+        shard_map; partial sums stack and reduce on the host).  No
+        reference equivalent."""
         config = self.config
         if n_paths is None:
             n_paths = config.n_paths
@@ -679,15 +693,16 @@ class StreamingPricer:
         fits = self._greek_fit(k_pilot)
         market = tuple(jnp.float32(v) for v in self._market)
 
-        totals = np.zeros(4, np.float64)
+        totals = np.zeros(5, np.float64)
         done = 0
         while done < n_chunks:
             count = min(config.chunks_per_call, n_chunks - done)
             out = self._greek_stream(k_stream, fits, done, count, market)
             totals += np.asarray(jax.device_get(out), np.float64)
             done += count
-        price, delta, vega_xi, rho_rate = totals / n_paths
-        return float(price), float(delta), float(vega_xi), float(rho_rate)
+        price, delta, vega_xi, vega_eta, rho_rate = totals / n_paths
+        return (float(price), float(delta), float(vega_xi),
+                float(vega_eta), float(rho_rate))
 
 
 class StreamingChainPricer:

@@ -31,6 +31,16 @@ if not _ON_HW:
     except AttributeError:  # older jax: XLA_FLAGS path above covers it
         pass
 
+if _ON_HW:
+    # Hardware runs pay 20-460 s per jitted program through the axon
+    # tunnel; the persistent cache makes whole-file TPU sweeps (the
+    # cross-platform numerics check, cf. the LSM near-singular-solve bug)
+    # feasible across sessions.
+    from montecarlooptionspricer_tpu.utils import (  # noqa: E402
+        enable_persistent_cache)
+
+    enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -221,7 +221,8 @@ def test_streaming_greeks_match_in_memory_ad():
     kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
                   strike=102.0, maturity=32 / 252.0, is_call=False)
     p = engine.StreamingPricer(**kwargs, config=cfg)
-    price, delta, vega_xi, rho_rate = p.price_and_greeks(jax.random.key(7))
+    (price, delta, vega_xi, vega_eta,
+     rho_rate) = p.price_and_greeks(jax.random.key(7))
     assert price > 0 and -1.0 <= delta <= 0.0 and vega_xi > 0.0
     g = greeks_mod.lsm_greeks(jax.random.key(7), s0=100.0, xi=0.04, h=0.2,
                               eta=1.0, rho=-0.4, r=0.04, strike=102.0,
@@ -230,9 +231,31 @@ def test_streaming_greeks_match_in_memory_ad():
     assert abs(price - g.price) < 0.15
     assert abs(delta - g.delta) < 0.1
     assert abs(vega_xi - g.vega_xi) < 0.2 * max(1.0, abs(g.vega_xi))
+    assert np.isfinite(vega_eta)
     # deterministic per seed
-    assert p.price_and_greeks(jax.random.key(7)) == (price, delta, vega_xi,
-                                                     rho_rate)
+    assert p.price_and_greeks(jax.random.key(7)) == (
+        price, delta, vega_xi, vega_eta, rho_rate)
+
+
+def test_streaming_vega_eta_matches_finite_difference():
+    """The pathwise vol-of-vol vega must match a central finite difference
+    of the streamed price in eta (same keys => common random numbers, so
+    the FD is low-noise at small h_eta).  The exercise policy is refit per
+    eta in the FD, but at this bump size the envelope term is second-order
+    (that's the point of envelope differentiation)."""
+    def make(eta):
+        cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=32,
+                                  chunk_paths=1 << 12, pilot_paths=1 << 12)
+        return engine.StreamingPricer(100.0, 0.04, 0.2, eta, -0.4, 0.04,
+                                      102.0, 32 / 252.0, False, cfg)
+
+    key = jax.random.key(11)
+    eta0, h_eta = 1.0, 0.05
+    vega_eta = make(eta0).price_and_greeks(key)[3]
+    p_up = make(eta0 + h_eta).price_and_greeks(key)[0]
+    p_dn = make(eta0 - h_eta).price_and_greeks(key)[0]
+    fd = (p_up - p_dn) / (2 * h_eta)
+    assert vega_eta == pytest.approx(fd, abs=0.02 + 0.15 * abs(fd))
 
 
 def test_chain_pricer_matches_single_strike_runs():

@@ -76,3 +76,64 @@ def test_sharded_rejects_indivisible_paths():
     with pytest.raises(ValueError):
         sharded_price_rbergomi(mesh, PricerSpec(), 100.0, 0.04, 0.1, 1.0,
                                -0.3, 16, 1001)
+
+
+def test_init_distributed_single_process_and_idempotent():
+    """init_distributed (parallel/mesh.py) actually initializes a 1-process
+    jax.distributed runtime (coordinator on localhost), tolerates a second
+    call (idempotent), and leaves devices usable.  Runs in a subprocess so
+    the coordinator's global state can't leak into this test session."""
+    import subprocess
+    import sys
+
+    prog = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from montecarlooptionspricer_tpu.parallel.mesh import init_distributed
+init_distributed(coordinator_address="localhost:49377",
+                 num_processes=1, process_id=0)
+init_distributed(coordinator_address="localhost:49377",
+                 num_processes=1, process_id=0)  # idempotent no-op
+assert jax.process_count() == 1 and jax.process_index() == 0
+import jax.numpy as jnp
+assert float(jnp.sum(jnp.ones(8))) == 8.0
+print("OK")
+"""
+    out = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
+
+
+def test_init_distributed_bad_coordinator_fails_loudly():
+    """A genuinely bad multi-host bootstrap must fail LOUDLY — either a
+    Python exception from init_distributed or the coordination client's
+    fatal process abort — never continue single-host (a silent fallback
+    would psum over a fraction of the intended paths and return wrong
+    results)."""
+    import subprocess
+    import sys
+
+    prog = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from montecarlooptionspricer_tpu.parallel.mesh import init_distributed
+try:
+    init_distributed(coordinator_address="256.0.0.1:1",
+                     num_processes=2, process_id=0,
+                     initialization_timeout=3)
+except Exception:
+    print("RAISED")
+else:
+    print("SILENT")
+"""
+    out = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                         text=True, timeout=300)
+    # Current XLA aborts the process (rc != 0) before Python can catch;
+    # a future version that raises instead prints RAISED with rc == 0.
+    # Both are loud failures; only SILENT (rc == 0) is a bug.
+    assert not (out.returncode == 0 and "SILENT" in out.stdout), out.stdout
