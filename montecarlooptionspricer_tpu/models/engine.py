@@ -62,6 +62,12 @@ class StreamConfig:
     # "matmul" (product with an upper-triangular ones matrix — runs on the
     # MXU, measured ~1.5x faster end-to-end on v5e at 365 steps).
     cumsum_impl: str = "cumsum"
+    # fGN synthesis inside the XLA generator: "matmul" (MXU, O(steps^2) per
+    # path), "fft" (batched spectral form, O(steps log steps) per path), or
+    # "auto" (matmul up to 512 steps, fft beyond — the measured crossover
+    # regime on v5e, where the [s, s] matmul's quadratic FLOPs start to
+    # dominate the generator).  Ignored by the Pallas kernels.
+    fgn_impl: str = "auto"
     # Path generator: "xla" (portable, counter-based keys) or "pallas"
     # (fused TPU kernel, in-kernel hardware PRNG — noise planes never touch
     # HBM; fastest measured form, TPU only).  Distribution-equivalent,
@@ -128,7 +134,7 @@ def _fgn_matrices_host(n_steps: int, h: float, eta: float, dt: float,
 def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                        chunk_paths: int, dtype=jnp.float32,
                        fgn_dtype=jnp.float32, cumsum_impl: str = "cumsum",
-                       qmc: bool = False):
+                       qmc: bool = False, fgn_impl: str = "matmul"):
     """Build chunk_paths-sized rBergomi generator key -> [chunk, steps+1]
     using the MXU fGN matmul.  Statistically identical to
     rough_volatility.generate_paths (different RNG stream layout).
@@ -157,7 +163,32 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     # host-precomputed matrices makes it a call-time (traceable) scalar —
     # the AD surface for the vol-of-vol vega users actually hedge.  Only H
     # stays baked in (it shapes the kernel itself).
-    cr, ci = _fgn_matrices_host(n_steps, h, 1.0, dt, fgn_dtype)
+    #
+    # fgn_impl selects the synthesis algorithm (identical distribution and
+    # noise layout, same math to accumulation order):
+    #   "matmul" — X = Z @ C on the MXU, O(s^2)/path.  Fastest for the
+    #       step counts where the [s, s] matrices tile well (<= ~512).
+    #   "fft"    — the reference's own batched spectral form
+    #       Re(FFT(phi * Z))/M2 (ops/fgn.py), O(s log s)/path.  For long
+    #       horizons (1825 steps) the matmul form's quadratic FLOPs
+    #       dominate the whole generator; the FFT form trades them for one
+    #       batched complex64 FFT.
+    if fgn_impl == "fft":
+        t64 = np.arange(n_steps + 1, dtype=np.float64) * dt
+        lam = 0.5 * t64 ** (2.0 * h)
+        m1 = 1
+        while m1 < lam.size:
+            m1 <<= 1
+        phi_host = np.conj(np.fft.fft(lam, n=m1))[:n_steps]
+        m2 = 1
+        while m2 < n_steps:
+            m2 <<= 1
+        phi_dev = jnp.asarray(phi_host, jnp.complex64)
+        fft_scale = float(np.sqrt(2.0 * h)) / m2
+    elif fgn_impl == "matmul":
+        cr, ci = _fgn_matrices_host(n_steps, h, 1.0, dt, fgn_dtype)
+    else:
+        raise ValueError(f"unknown fgn_impl: {fgn_impl!r}")
     t = jnp.arange(n_steps + 1, dtype=dtype) * dt
     t_pow = jnp.power(t[:n_steps], 2.0 * h)
     sqrt_dt = float(np.sqrt(dt))
@@ -189,7 +220,12 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         surface for streaming Greeks; h (and the irrelevant rho, see above)
         stays baked into the host-precomputed spectral matrices."""
         kz, kw = jax.random.split(key)
-        z = jax.random.normal(kz, (2, chunk_paths, n_steps), fgn_dtype)
+        if fgn_impl == "fft":
+            zf = jax.random.normal(kz, (2, chunk_paths, n_steps),
+                                   jnp.float32)
+            a = phi_dev[None, :] * jax.lax.complex(zf[0], zf[1])
+            x_hat = (jnp.real(jnp.fft.fft(a, n=m2, axis=-1))[..., :n_steps]
+                     * fft_scale)
         if qmc:
             zq = qmc_mod.normals(sobol_bits, kw)
             # Full precision: the PCA rotation realizes the low-discrepancy
@@ -200,8 +236,12 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         else:
             dw = jax.random.normal(kw, (chunk_paths, n_steps),
                                    dtype) * sqrt_dt
-        x_hat = (jnp.matmul(z[0], cr, preferred_element_type=jnp.float32)
-                 - jnp.matmul(z[1], ci, preferred_element_type=jnp.float32))
+        if fgn_impl == "matmul":
+            z = jax.random.normal(kz, (2, chunk_paths, n_steps), fgn_dtype)
+            x_hat = (jnp.matmul(z[0], cr,
+                                preferred_element_type=jnp.float32)
+                     - jnp.matmul(z[1], ci,
+                                  preferred_element_type=jnp.float32))
         v = xi_ * jnp.exp(eta_ * x_hat - 0.5 * (eta_ * eta_) * t_pow)
         inc = (r_ - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
         log_s = jnp.log(s0_) + cumsum(inc)
@@ -214,6 +254,12 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
 
     gen.with_params = gen_with_params
     return gen
+
+
+def _resolve_fgn_impl(config: "StreamConfig", n_steps: int) -> str:
+    if config.fgn_impl != "auto":
+        return config.fgn_impl
+    return "matmul" if n_steps <= 512 else "fft"
 
 
 def lsm_policy_value(paths, fits: PolyFit, r, strike, maturity, dt,
@@ -386,10 +432,12 @@ class StreamingPricer:
         elif pathgen_impl == "xla":
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc)
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+                fgn_impl=_resolve_fgn_impl(config, n_steps))
             chunk_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc)
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+                fgn_impl=_resolve_fgn_impl(config, n_steps))
             next_carrier = jax.random.fold_in
         else:
             raise ValueError(f"unknown pathgen_impl: {config.pathgen_impl!r}")
@@ -514,11 +562,13 @@ class StreamingPricer:
         xla_gen = (chunk_gen if pathgen_impl == "xla" else
                    make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
                                       config.chunk_paths, dtype, fgn_dtype,
-                                      config.cumsum_impl, qmc=config.qmc))
+                                      config.cumsum_impl, qmc=config.qmc,
+                fgn_impl=_resolve_fgn_impl(config, n_steps)))
         xla_pilot = (pilot_gen if pathgen_impl == "xla" else
                      make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
                                         config.pilot_paths, dtype, fgn_dtype,
-                                        config.cumsum_impl, qmc=config.qmc))
+                                        config.cumsum_impl, qmc=config.qmc,
+                fgn_impl=_resolve_fgn_impl(config, n_steps)))
         self._market = (float(s0), float(xi), float(r), float(eta))
 
         # Greeks always ride threefry keys (the AD surface is the XLA
@@ -776,10 +826,12 @@ class StreamingChainPricer:
         else:
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc)
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+                fgn_impl=_resolve_fgn_impl(config, n_steps))
             chunk_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc)
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+                fgn_impl=_resolve_fgn_impl(config, n_steps))
 
         def fit_fn(k, strikes_):
             pilot = pilot_gen(shard_mix(k))

@@ -96,15 +96,21 @@ def jax_exp_i(ang):
     return jnp.cos(ang) + 1j * jnp.sin(ang)
 
 
-def fractional_gaussian_matmul(cr, ci, zr, zi):
+def fractional_gaussian_matmul(cr, ci, zr, zi, precision=None):
     """MXU form of `fractional_gaussian`: X = Zr @ Cr - Zi @ Ci.
 
     Args:
       cr, ci: [N, N] from `fgn_matrices` (scale folded in).
       zr, zi: [..., N] real/imag gaussian draws.
+      precision: jax.lax.Precision override.  The default (backend default:
+        bf16 inputs on TPU, ~1e-3 abs noise on the fGN — immaterial next to
+        MC error) is the production setting; tests pass HIGHEST to check
+        algorithmic equivalence with the FFT form tightly.
     """
-    return (jnp.matmul(zr, cr, preferred_element_type=jnp.float32)
-            - jnp.matmul(zi, ci, preferred_element_type=jnp.float32))
+    return (jnp.matmul(zr, cr, preferred_element_type=jnp.float32,
+                       precision=precision)
+            - jnp.matmul(zi, ci, preferred_element_type=jnp.float32,
+                         precision=precision))
 
 
 def forward_variance(x, time_grid, xi, h, eta):

@@ -2,6 +2,7 @@
 that mirrors the C++ FFT conventions (RoughVolatility.cpp:171-292)."""
 
 import numpy as np
+import jax.lax
 import jax.numpy as jnp
 
 from montecarlooptionspricer_tpu.ops import fgn
@@ -16,12 +17,28 @@ def _setup(n_steps, h=0.1, dt=1.0 / 252.0):
     return t, lam, phi
 
 
+def _to_complex_device(z):
+    """Host complex -> device complex64 via two real transfers.  The axon
+    TPU tunnel cannot transfer complex arrays host<->device (UNIMPLEMENTED,
+    and a failed transfer wedges the backend for the rest of the process);
+    real planes + on-device lax.complex keeps these tests runnable in the
+    MCOP_TPU_TESTS=1 cross-platform sweep."""
+    return jax.lax.complex(jnp.asarray(np.real(z), jnp.float32),
+                           jnp.asarray(np.imag(z), jnp.float32))
+
+
+def _fetch_complex(x):
+    """Device complex -> host complex via two real fetches (see above)."""
+    return (np.asarray(jnp.real(x), np.float64)
+            + 1j * np.asarray(jnp.imag(x), np.float64))
+
+
 def test_phi_matches_cpp_forward_fft():
     for n_steps in [5, 37, 63, 252, 255]:
         t, lam, phi_ref = _setup(n_steps)
-        phi = fgn.rbergomi_phi(jnp.asarray(lam))
+        phi = fgn.rbergomi_phi(jnp.asarray(lam, jnp.float32))
         assert phi.shape[0] == oracles.next_pow2(n_steps + 1)
-        np.testing.assert_allclose(np.asarray(phi), phi_ref, rtol=1e-5,
+        np.testing.assert_allclose(_fetch_complex(phi), phi_ref, rtol=1e-5,
                                    atol=1e-5)
 
 
@@ -30,8 +47,8 @@ def test_fractional_gaussian_matches_oracle(rng):
     for n_steps in [37, 64, 200]:
         t, lam, phi = _setup(n_steps, h)
         z = rng.normal(size=(4, n_steps)) + 1j * rng.normal(size=(4, n_steps))
-        ours = fgn.fractional_gaussian(jnp.asarray(phi, jnp.complex64),
-                                       jnp.asarray(z, jnp.complex64), h, eta)
+        ours = fgn.fractional_gaussian(_to_complex_device(phi),
+                                       _to_complex_device(z), h, eta)
         for i in range(4):
             ref = oracles.fractional_gaussian(phi, z[i], h, eta)
             np.testing.assert_allclose(np.asarray(ours[i]), ref, rtol=1e-3,
@@ -43,11 +60,15 @@ def test_fgn_matmul_matches_fft(rng):
     n_steps = 100
     t, lam, phi = _setup(n_steps, h)
     z = rng.normal(size=(8, n_steps)) + 1j * rng.normal(size=(8, n_steps))
-    phi_j = jnp.asarray(phi, jnp.complex64)
-    ref = fgn.fractional_gaussian(phi_j, jnp.asarray(z, jnp.complex64), h, eta)
-    cr, ci = fgn.fgn_matrices(jnp.asarray(phi, jnp.complex128), n_steps, h, eta)
+    phi_j = _to_complex_device(phi)
+    ref = fgn.fractional_gaussian(phi_j, _to_complex_device(z), h, eta)
+    # jit: eager complex arithmetic is UNIMPLEMENTED on the axon TPU
+    # backend; compiled complex graphs work fine.
+    cr, ci = jax.jit(fgn.fgn_matrices,
+                     static_argnums=(1, 2, 3))(phi_j, n_steps, h, eta)
     out = fgn.fractional_gaussian_matmul(
-        cr, ci, jnp.asarray(z.real, jnp.float32), jnp.asarray(z.imag, jnp.float32))
+        cr, ci, jnp.asarray(z.real, jnp.float32),
+        jnp.asarray(z.imag, jnp.float32), precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3,
                                atol=1e-4)
 
