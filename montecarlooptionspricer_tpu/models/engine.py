@@ -64,9 +64,11 @@ class StreamConfig:
     cumsum_impl: str = "cumsum"
     # fGN synthesis inside the XLA generator: "matmul" (MXU, O(steps^2) per
     # path), "fft" (batched spectral form, O(steps log steps) per path), or
-    # "auto" (matmul up to 512 steps, fft beyond — the measured crossover
-    # regime on v5e, where the [s, s] matmul's quadratic FLOPs start to
-    # dominate the generator).  Ignored by the Pallas kernels.
+    # "auto" (= matmul).  Measured v5e, 1e6x1825 streamed LSM: matmul 2.97M
+    # paths/s vs fft 1.64M — despite ~25x fewer FLOPs, XLA's TPU FFT is
+    # VPU/transpose-bound and loses to the systolic array; on CPU the two
+    # are within ~15%.  "fft" stays available for memory-constrained cases
+    # (no [steps, steps] constants resident).  Ignored by Pallas kernels.
     fgn_impl: str = "auto"
     # Path generator: "xla" (portable, counter-based keys) or "pallas"
     # (fused TPU kernel, in-kernel hardware PRNG — noise planes never touch
@@ -183,7 +185,11 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         m2 = 1
         while m2 < n_steps:
             m2 <<= 1
-        phi_dev = jnp.asarray(phi_host, jnp.complex64)
+        # Two real planes, not one complex constant: complex host->device
+        # transfers are UNIMPLEMENTED on the axon TPU backend; the complex
+        # value is assembled inside the jitted generator instead.
+        phi_re = jnp.asarray(phi_host.real, jnp.float32)
+        phi_im = jnp.asarray(phi_host.imag, jnp.float32)
         fft_scale = float(np.sqrt(2.0 * h)) / m2
     elif fgn_impl == "matmul":
         cr, ci = _fgn_matrices_host(n_steps, h, 1.0, dt, fgn_dtype)
@@ -223,7 +229,8 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         if fgn_impl == "fft":
             zf = jax.random.normal(kz, (2, chunk_paths, n_steps),
                                    jnp.float32)
-            a = phi_dev[None, :] * jax.lax.complex(zf[0], zf[1])
+            phi_c = jax.lax.complex(phi_re, phi_im)[None, :]
+            a = phi_c * jax.lax.complex(zf[0], zf[1])
             x_hat = (jnp.real(jnp.fft.fft(a, n=m2, axis=-1))[..., :n_steps]
                      * fft_scale)
         if qmc:
@@ -257,9 +264,11 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
 
 
 def _resolve_fgn_impl(config: "StreamConfig", n_steps: int) -> str:
+    """"auto" resolves to the measured-fastest synthesis (see StreamConfig
+    .fgn_impl): matmul at every step count on both TPU and CPU."""
     if config.fgn_impl != "auto":
         return config.fgn_impl
-    return "matmul" if n_steps <= 512 else "fft"
+    return "matmul"
 
 
 def lsm_policy_value(paths, fits: PolyFit, r, strike, maturity, dt,

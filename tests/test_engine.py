@@ -329,3 +329,33 @@ def test_chain_pricer_honors_rng_impl():
                                         cfg)
     prices = chain.price(jax.random.key(0))
     assert np.all(np.isfinite(prices)) and prices[0] < prices[1]
+
+
+def test_fgn_fft_impl_matches_matmul_paths():
+    """fgn_impl="fft" (batched spectral form) and "matmul" (MXU form) draw
+    the same noise from the same key and must produce identical paths to
+    f32 roundoff — they are the same synthesis to accumulation order."""
+    gm = engine.make_chunk_pathgen(100.0, 0.04, 0.1, 1.5, -0.4, 0.04,
+                                   63, 1 / 252, 512, fgn_impl="matmul")
+    gf = engine.make_chunk_pathgen(100.0, 0.04, 0.1, 1.5, -0.4, 0.04,
+                                   63, 1 / 252, 512, fgn_impl="fft")
+    k = jax.random.key(5)
+    pm, pf = np.asarray(gm(k)), np.asarray(gf(k))
+    np.testing.assert_allclose(pm, pf, rtol=2e-5, atol=1e-4)
+
+
+def test_streaming_price_fft_impl_agrees():
+    """A streamed LSM price under fgn_impl="fft" agrees with the default
+    within MC-trivial tolerance (same keys, same noise layout)."""
+    kw = dict(n_paths=1 << 13, n_steps=32, chunk_paths=1 << 12,
+              pilot_paths=1 << 11, dt=1 / 252, chunks_per_call=2,
+              pathgen_impl="xla")
+    pa = engine.StreamingPricer(100.0, 0.04, 0.1, 1.5, -0.4, 0.04, 105.0,
+                                32 / 252, False,
+                                engine.StreamConfig(fgn_impl="auto", **kw))
+    pf = engine.StreamingPricer(100.0, 0.04, 0.1, 1.5, -0.4, 0.04, 105.0,
+                                32 / 252, False,
+                                engine.StreamConfig(fgn_impl="fft", **kw))
+    a = pa.price(jax.random.key(1))
+    b = pf.price(jax.random.key(1))
+    assert abs(a - b) < 5e-3, (a, b)
