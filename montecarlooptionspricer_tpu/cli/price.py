@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="randomized quasi-Monte Carlo price Brownian "
                         "(scrambled Sobol + per-chunk digital shift; "
                         "several-x lower stderr per path; XLA generator)")
+    p.add_argument("--serve", action="store_true",
+                   help="serve mode: read JSON-lines pricing requests from "
+                        "stdin, write JSON-lines responses to stdout; "
+                        "compiled programs persist across requests (fresh "
+                        "strike strips of the same length never recompile)")
     return p
 
 
@@ -76,6 +81,8 @@ def main(argv=None) -> int:
     from ..models import engine, implied_vol
 
     mkt = MarketDefaults()
+    if args.serve:
+        return serve(args, mkt)
     n_steps = args.steps or max(1, int(args.maturity * mkt.trading_days))
     if args.paths < 1:
         print("error: --paths must be >= 1", file=sys.stderr)
@@ -139,6 +146,116 @@ def main(argv=None) -> int:
                 "is_call": args.is_call,
                 "elapsed_s": round(time.time() - t0, 3)})
     print(json.dumps(out))
+    return 0
+
+
+def serve(args, mkt) -> int:
+    """JSON-lines pricing server on stdin/stdout.
+
+    Request (one JSON object per line):
+      {"id": any, "strikes": [..] | "strike": x, "put": bool | "call": bool,
+       "maturity": yrs, "steps"?: int, "paths"?: n, "seed"?: int,
+       "s0"/"xi"/"hurst"/"eta"/"rho"/"r"?: market overrides}
+    Response: {"id", "strikes", "prices", "implied_vols", "elapsed_s",
+               "compiled"} — or {"id", "error"} (the server keeps running).
+
+    Compiled programs persist for the process lifetime, keyed by
+    (market, maturity, steps, strip length, path budget): a fresh strike
+    strip of the same length NEVER recompiles (strikes are traced inputs
+    all the way into the fused chain kernel's policy tables).  Changing
+    market parameters or shapes compiles once per distinct key.  CLI flags
+    provide the defaults a request may override.
+
+    No reference equivalent; this is the production-serving surface the
+    reference's one-shot CSV pipeline lacks."""
+    import jax
+
+    from ..models import engine, implied_vol
+
+    pricers: dict = {}
+    made = 0
+
+    def respond(obj):
+        sys.stdout.write(json.dumps(obj) + "\n")
+        sys.stdout.flush()
+
+    log.info("serve: ready (JSON lines on stdin)")
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        t0 = time.time()
+        try:
+            req = json.loads(line)
+            rid = req.get("id")
+            if "strikes" in req:
+                strikes = [float(v) for v in req["strikes"]]
+            else:
+                strikes = [float(req.get("strike", args.strike))]
+            if not strikes:
+                raise ValueError("empty strike strip")
+            if "call" in req:
+                is_call = bool(req["call"])
+            elif "put" in req:
+                is_call = not bool(req["put"])
+            else:
+                is_call = args.is_call
+            maturity = float(req.get("maturity", args.maturity))
+            n_steps = int(req.get("steps", args.steps)
+                          or max(1, int(maturity * mkt.trading_days)))
+            n_paths = int(req.get("paths", args.paths))
+            seed = int(req.get("seed", args.seed))
+            market = tuple(
+                float(req.get(name, getattr(args, attr)))
+                for name, attr in (("s0", "s0"), ("xi", "xi"),
+                                   ("hurst", "hurst"), ("eta", "eta"),
+                                   ("rho", "rho"), ("r", "r")))
+
+            pathgen = args.pathgen
+            if jax.devices()[0].platform != "tpu" and pathgen == "pallas":
+                pathgen = "xla"
+            block = 256
+            chunk = max(block,
+                        (min(args.chunk_paths, n_paths) // block) * block)
+            n_paths = max(chunk, (n_paths // chunk) * chunk)
+            cache_key = (market, maturity, n_steps, len(strikes), is_call,
+                         n_paths, chunk, pathgen, args.qmc)
+            pricer = pricers.get(cache_key)
+            compiled = pricer is None
+            if compiled:
+                cfg = engine.StreamConfig(
+                    n_paths=n_paths, n_steps=n_steps, chunk_paths=chunk,
+                    pilot_paths=min(1 << 16, chunk), chunks_per_call=64,
+                    pathgen_impl=pathgen, cumsum_impl="matmul",
+                    qmc=args.qmc)
+                s0, xi, h, eta, rho, r = market
+                pricer = engine.StreamingChainPricer(
+                    s0, xi, h, eta, rho, r, strikes=strikes,
+                    maturity=maturity, is_call=is_call, config=cfg)
+                pricers[cache_key] = pricer
+                made += 1
+            prices = pricer.price(jax.random.key(seed), strikes=strikes)
+            s0, _, _, _, _, r = market
+            ivs = [implied_vol(float(v), s0, k, r, maturity, is_call)
+                   for v, k in zip(prices, strikes)]
+            respond({
+                "id": rid,
+                "strikes": strikes,
+                "prices": [round(float(v), 6) for v in prices],
+                "implied_vols": [None if math.isnan(v) else round(v, 6)
+                                 for v in ivs],
+                "n_paths": n_paths, "n_steps": n_steps, "is_call": is_call,
+                "compiled": compiled,
+                "elapsed_s": round(time.time() - t0, 3),
+            })
+        except Exception as e:  # noqa: BLE001 — a bad request must not
+            # take the server down; containment mirrors the pipeline's
+            # per-row sentinel philosophy (PredictionGen.cpp:825-847).
+            log.warning("serve: request failed: %s", e)
+            respond({"id": req.get("id") if isinstance(req, dict) else None,
+                     "error": str(e)})
+    log.info("serve: stdin closed after %d compiled pricer(s); exiting",
+             made)
     return 0
 
 

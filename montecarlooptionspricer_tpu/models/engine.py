@@ -924,10 +924,25 @@ class StreamingChainPricer:
                 lambda k, fits, st, start, count: jnp.sum(
                     stream_sm(k, fits, st, start, count), axis=0))
 
-    def price(self, key, progress=None, n_paths: Optional[int] = None):
+    def price(self, key, progress=None, n_paths: Optional[int] = None,
+              strikes=None):
         """[K] prices for the strike strip on ``n_paths`` shared paths
-        (times the mesh size when sharded)."""
+        (times the mesh size when sharded).
+
+        ``strikes`` (default: the construction-time strip) may be any
+        fresh strip of the SAME length — strikes are traced inputs
+        everywhere (the fused chain kernel reads them from its policy
+        tables), so repricing a new strip reuses the compiled programs.
+        This is the serving fast path (cli/price.py --serve)."""
         config = self.config
+        if strikes is None:
+            strikes = self.strikes
+        else:
+            strikes = jnp.asarray(strikes, jnp.dtype(config.dtype))
+            if strikes.shape != self.strikes.shape:
+                raise ValueError(
+                    f"strike strip length {strikes.shape} != compiled "
+                    f"length {self.strikes.shape}; build a new pricer")
         if n_paths is None:
             n_paths = config.n_paths
         per_step = config.chunk_paths * self.n_dev
@@ -946,14 +961,14 @@ class StreamingChainPricer:
                 raise ValueError("pallas seed scheme supports <= 256 shards")
         k_pilot, k_stream = _pilot_stream_keys(key, self._pathgen_impl,
                                                config.rng_impl)
-        fits = self._fit(k_pilot, self.strikes)
+        fits = self._fit(k_pilot, strikes)
 
-        totals = np.zeros(self.strikes.shape[0], np.float64)
+        totals = np.zeros(strikes.shape[0], np.float64)
         done = 0
         while done < n_chunks:
             count = min(config.chunks_per_call, n_chunks - done)
             totals += np.asarray(
-                jax.device_get(self._stream(k_stream, fits, self.strikes,
+                jax.device_get(self._stream(k_stream, fits, strikes,
                                             done, count)), np.float64)
             done += count
             if progress is not None:

@@ -189,8 +189,7 @@ def _policy_value(s, su_ref, pol_ref, *, is_call: bool, strike: float):
     return jnp.sum(first * p * disc)
 
 
-def _policy_value_minreduce(s, pol_row, col, *, is_call: bool,
-                            strike: float):
+def _policy_value_minreduce(s, pol_row, col, *, is_call: bool):
     """`_policy_value` with the first-exercise step found by a min-index
     reduction instead of the strict-upper-triangular matmul: idx = min of
     the column index over exercising columns, then a one-hot select.  ~12
@@ -198,10 +197,15 @@ def _policy_value_minreduce(s, pol_row, col, *, is_call: bool,
     evaluated on one path block (the chain kernel).  ``col`` is the shared
     [block, s_pad] column iota (hoisted out of the per-strike loop); the
     per-step 1/sd is hoisted to a [s_pad] vector so the cell-level divide
-    becomes a multiply."""
+    becomes a multiply.
+
+    The strike comes from the policy table (row 7, replicated across
+    columns), NOT a compile-time constant: a serving process can then
+    price fresh strike strips against the same compiled kernel."""
     c0, c1, c2 = pol_row[0, :], pol_row[1, :], pol_row[2, :]
     mu, inv_sd = pol_row[3, :], 1.0 / pol_row[4, :]
     eps, disc = pol_row[5, :], pol_row[6, :]
+    strike = pol_row[7, :]
     p = jnp.maximum(s - strike, 0.0) if is_call else jnp.maximum(
         strike - s, 0.0)
     z = (s - mu) * inv_sd
@@ -214,7 +218,7 @@ def _policy_value_minreduce(s, pol_row, col, *, is_call: bool,
 
 
 def _chain_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, pol_ref,
-                  out_ref, *, block_paths: int, is_call: bool, strikes,
+                  out_ref, *, block_paths: int, is_call: bool, n_k: int,
                   **kw):
     """Fused K-strike chain kernel: one path block, K exercise policies,
     [K] partial sums — path data never leaves VMEM and path generation is
@@ -223,29 +227,29 @@ def _chain_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, pol_ref,
     zr, zi, w = _normals3(block_paths, kw["s_pad"])
     s = _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref, **kw)
     out_ref[...] = _chain_values(s, pol_ref, out_ref.shape,
-                                 is_call=is_call, strikes=strikes)
+                                 is_call=is_call, n_k=n_k)
 
 
 def _chain_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
                            pol_ref, out_ref, *, block_paths: int,
-                           is_call: bool, strikes, **kw):
+                           is_call: bool, n_k: int, **kw):
     """Noise-injection variant of the chain kernel (CPU-interpretable)."""
     s = _paths_from_noise(noise_ref[0], noise_ref[1], noise_ref[2],
                           cr_ref, ci_ref, vd_ref, tri_ref, **kw)
     out_ref[...] = _chain_values(s, pol_ref, out_ref.shape,
-                                 is_call=is_call, strikes=strikes)
+                                 is_call=is_call, n_k=n_k)
 
 
-def _chain_values(s, pol_ref, out_shape, *, is_call: bool, strikes):
+def _chain_values(s, pol_ref, out_shape, *, is_call: bool, n_k: int):
     """[8, k_pad] tile with lane k = strike k's chunk-block payoff sum
     (Mosaic cannot store scalars to VMEM, so the K per-strike sums are
-    composed into one vector store via lane masks)."""
+    composed into one vector store via lane masks).  Strikes live in the
+    policy tables; only the strip LENGTH is compiled in."""
     lane = jax.lax.broadcasted_iota(jnp.int32, out_shape, 1)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     acc = jnp.zeros(out_shape, jnp.float32)
-    for k, strike in enumerate(strikes):
-        val = _policy_value_minreduce(s, pol_ref[k], col, is_call=is_call,
-                                      strike=float(strike))
+    for k in range(n_k):
+        val = _policy_value_minreduce(s, pol_ref[k], col, is_call=is_call)
         acc = acc + jnp.where(lane == k, val, 0.0)
     return acc
 
@@ -438,8 +442,11 @@ def policy_rows(fits, r, strike, maturity, dt, n_steps: int, is_call: bool):
     eps = jnp.pad(eps, (0, s_pad - n_steps), constant_values=1e30)
     disc = jnp.exp(-r * t).astype(dtf)
     disc = jnp.pad(disc, (0, s_pad - n_steps))
-    pad_row = jnp.zeros(s_pad, dtf)
-    return jnp.stack([c0, c1, c2, mu, sd, eps, disc, pad_row])
+    # Row 7 carries the (possibly traced) strike, replicated across
+    # columns: the chain kernel reads it from the table instead of baking
+    # it in, so fresh strike strips reuse the compiled kernel (serving).
+    strike_row = jnp.broadcast_to(jnp.asarray(strike, dtf), (s_pad,))
+    return jnp.stack([c0, c1, c2, mu, sd, eps, disc, strike_row])
 
 
 def time0_value(fits, s0, strike, is_call: bool):
@@ -548,8 +555,7 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
     on a leading axis.  Path generation is the dominant per-strike cost in
     the vmapped XLA chain (models/engine.StreamingChainPricer); here it is
     paid once per chunk regardless of K."""
-    strikes = [float(k) for k in strikes]
-    n_k = len(strikes)
+    n_k = int(strikes) if isinstance(strikes, int) else len(strikes)
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
     if not noise_input and block_paths % 16:
@@ -574,8 +580,7 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
 
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
               dt=float(dt), log_s0=float(math.log(s0)),
-              block_paths=block_paths, is_call=bool(is_call),
-              strikes=tuple(strikes))
+              block_paths=block_paths, is_call=bool(is_call), n_k=n_k)
     body = _chain_kernel_noise_in if noise_input else _chain_kernel
     kernel = functools.partial(body, **kw)
     grid_n = chunk_paths // block_paths

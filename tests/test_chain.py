@@ -112,3 +112,25 @@ def test_streaming_greeks_sharded_matches_single_device():
     assert g1[1] < 0 and g8[1] < 0
     np.testing.assert_allclose(g8[0], g1[0], rtol=0.1, atol=0.06)
     np.testing.assert_allclose(g8[1], g1[1], rtol=0.25, atol=0.1)
+
+
+def test_chain_reprices_fresh_strikes_without_rebuild():
+    """price(key, strikes=...) on a fresh strip must equal a pricer built
+    with that strip (strikes are traced inputs end to end — the serving
+    fast path), and reject length mismatches."""
+    import pytest
+
+    cfg = engine.StreamConfig(n_paths=1 << 13, n_steps=24,
+                              chunk_paths=1 << 12, pilot_paths=1 << 11)
+    base = engine.StreamingChainPricer(
+        **MKT, strikes=[95.0, 100.0, 105.0], maturity=24 / 252.0,
+        is_call=False, config=cfg)
+    fresh = [90.0, 98.0, 110.0]
+    got = base.price(jax.random.key(2), strikes=fresh)
+    want = engine.StreamingChainPricer(
+        **MKT, strikes=fresh, maturity=24 / 252.0, is_call=False,
+        config=cfg).price(jax.random.key(2))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert got[0] < got[1] < got[2]  # put prices rise in strike
+    with pytest.raises(ValueError):
+        base.price(jax.random.key(2), strikes=[95.0, 100.0])

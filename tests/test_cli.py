@@ -130,3 +130,46 @@ def test_price_cli_argument_validation(capsys):
     import json
     out = json.loads(capsys.readouterr().out.strip())
     assert out["n_paths"] == 768  # 1000 -> 768 (3 blocks of 256)
+
+
+def test_price_cli_serve_mode():
+    """--serve: JSON-lines in, JSON-lines out; repricing a fresh strike
+    strip of the same length reuses the compiled programs (compiled=false
+    on the second response); a bad request yields an error response without
+    killing the server."""
+    import json
+    import subprocess
+    import sys
+
+    reqs = "\n".join([
+        json.dumps({"id": 1, "strikes": [95.0, 100.0, 105.0], "put": True,
+                    "maturity": 0.1, "steps": 8, "paths": 1024}),
+        json.dumps({"id": 2, "strikes": [92.0, 99.0, 111.0], "put": True,
+                    "maturity": 0.1, "steps": 8, "paths": 1024}),
+        json.dumps({"id": 3, "strikes": [], "put": True}),
+        json.dumps({"id": 4, "strikes": [100.0, 103.0, 106.0], "put": True,
+                    "maturity": 0.1, "steps": 8, "paths": 1024,
+                    "xi": 0.09}),
+    ]) + "\n"
+    # jax.config, not the env var: the ambient axon plugin ignores
+    # JAX_PLATFORMS, so a bare subprocess would price through the TPU
+    # tunnel (slow, and racy against other tests' device work).
+    prog = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+            "from montecarlooptionspricer_tpu.cli.price import main; "
+            "sys.exit(main(['--serve', '--chunk-paths', '1024', "
+            "'--pathgen', 'xla']))")
+    out = subprocess.run(
+        [sys.executable, "-c", prog],
+        input=reqs, capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert [r["id"] for r in lines] == [1, 2, 3, 4]
+    r1, r2, r3, r4 = lines
+    assert r1["compiled"] and len(r1["prices"]) == 3
+    assert r1["prices"][0] < r1["prices"][1] < r1["prices"][2]
+    assert not r2["compiled"]            # fresh strikes, same programs
+    assert r2["prices"][0] < r2["prices"][2]
+    assert "error" in r3
+    assert r4["compiled"]                # new market params -> new pricer
+    assert r4["prices"][1] > r2["prices"][1] - 1.0
