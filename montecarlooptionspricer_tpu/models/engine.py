@@ -94,8 +94,9 @@ class StreamConfig:
     # Martingale control variate: corrects the streamed estimate with
     # beta * (mean e^{-rT} S_T - s0), beta fitted on the pilot block.
     # Unbiased (the control's mean is exactly s0 under this model) with
-    # ~2-4x lower variance for near-the-money contracts.  Disables the
-    # fused kernel (the generic stream needs the path block).
+    # ~2-4x lower variance for near-the-money contracts.  Rides the fused
+    # kernel (which emits the control sum alongside the payoff sum) at
+    # single-tile step counts; elsewhere the generic path stream.
     control_variate: bool = False
     # Chunks per device program: the chunk loop runs as an on-device
     # fori_loop, so host<->device round-trips happen once per
@@ -524,6 +525,43 @@ class StreamingPricer:
                 if ax is not None:
                     zero = _pvary(zero, ax)
                 return jax.lax.fori_loop(0, count, body, (zero, zero))
+
+        if (pathgen_impl == "pallas" and config.fuse_policy
+                and config.poly_order == 2 and self._cv and not tiled):
+            # Control variate WITHOUT leaving the fused kernel: the kernel
+            # emits (policy payoff sum, e^{-rT} S_T sum) per chunk, so CV
+            # users keep the ~2x fused-vs-generic throughput edge.
+            from . import pathgen_pallas
+
+            priced_chunk_cv, _ = pathgen_pallas.make_pallas_priced_chunk(
+                s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
+                config.chunk_paths, block_paths=config.pallas_block_paths,
+                is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True)
+
+            def stream_fn(k, fits_beta, start, count):  # noqa: F811
+                fits, _ = fits_beta
+                k = shard_mix(k)
+                rows = pathgen_pallas.policy_rows(fits, r, strike, maturity,
+                                                  dt, n_steps, is_call)
+                ex0, p0 = pathgen_pallas.time0_value(fits, s0, strike,
+                                                     is_call)
+
+                def body(i, carry):
+                    a, c = carry
+                    da, dc = priced_chunk_cv(k.at[1].add(start + i), rows)
+                    return a + da, c + dc
+
+                zero = jnp.zeros((), jnp.float32)
+                if ax is not None:
+                    zero = _pvary(zero, ax)
+                a, c = jax.lax.fori_loop(0, count, body, (zero, zero))
+                # Time-0 exercise: the run is the deterministic immediate
+                # payoff; returning cv == count*chunk*s0 makes the beta
+                # correction vanish exactly instead of adding noise.
+                n_f = (count * config.chunk_paths).astype(jnp.float32)
+                a = jnp.where(ex0, jnp.float32(p0) * n_f, a)
+                c = jnp.where(ex0, jnp.float32(self._s0) * n_f, c)
+                return a, c
 
         if (pathgen_impl == "pallas" and config.fuse_policy
                 and config.poly_order == 2 and not self._cv):

@@ -276,28 +276,49 @@ def _pathgen_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
                       cr_ref, ci_ref, vd_ref, tri_ref, out_ref, **kw)
 
 
+def _store_priced(out_ref, s, val, cv_disc, n_steps: int):
+    """Write the block's partial sums into the [8, LANE] output stripe.
+    Lane 0 = policy payoff sum; with cv_disc set, lane 1 = the martingale
+    control sum cv_disc * sum(S_T) (terminal step n_steps is column
+    n_steps - 1 of the in-kernel price block)."""
+    if cv_disc is None:
+        out_ref[...] = jnp.full(out_ref.shape, val, jnp.float32)
+        return
+    # Lane-masked full reduce, not a column slice: Mosaic's layouts handle
+    # a whole-block masked sum; s[:, j] extracts one lane with a vpad
+    # layout its multi_reduction lowering rejects.
+    scol = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    cv = cv_disc * jnp.sum(jnp.where(scol == n_steps - 1, s, 0.0))
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    out_ref[...] = (jnp.where(lane == 0, val, 0.0)
+                    + jnp.where(lane == 1, cv, 0.0))
+
+
 def _priced_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, su_ref,
                    pol_ref, out_ref, *, block_paths: int, is_call: bool,
-                   strike: float, **kw):
+                   strike: float, cv_disc=None, **kw):
     """Fully fused kernel: RNG + paths + LSM policy value, emitting ONE
-    partial sum per grid block — path data never leaves VMEM."""
+    partial sum per grid block — path data never leaves VMEM.  With
+    cv_disc, also emits the martingale-control partial sum so the control
+    variate rides the fused kernel instead of the generic path stream."""
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
     zr, zi, w = _normals3(block_paths, kw["s_pad"])
     s = _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref,
                           **kw)
     val = _policy_value(s, su_ref, pol_ref, is_call=is_call, strike=strike)
-    out_ref[...] = jnp.full(out_ref.shape, val, jnp.float32)
+    _store_priced(out_ref, s, val, cv_disc, kw["n_steps"])
 
 
 def _priced_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
                             su_ref, pol_ref, out_ref, *, block_paths: int,
-                            is_call: bool, strike: float, **kw):
+                            is_call: bool, strike: float, cv_disc=None,
+                            **kw):
     """Test variant of the fused kernel with injected noise (3 planes)."""
     s = _paths_from_noise(noise_ref[0], noise_ref[1], noise_ref[2],
                           cr_ref, ci_ref, vd_ref, tri_ref,
                           **kw)
     val = _policy_value(s, su_ref, pol_ref, is_call=is_call, strike=strike)
-    out_ref[...] = jnp.full(out_ref.shape, val, jnp.float32)
+    _store_priced(out_ref, s, val, cv_disc, kw["n_steps"])
 
 
 MAX_KERNEL_STEPS = 512
@@ -466,10 +487,16 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                              block_paths: int = 256, is_call: bool = False,
                              interpret: bool = False,
                              noise_input: bool = False,
-                             fgn_dtype=jnp.float32):
+                             fgn_dtype=jnp.float32,
+                             with_cv: bool = False):
     """Fully fused streaming unit: (seed, policy_rows) -> chunk payoff sum
     under the fitted exercise policy.  Paths live and die in VMEM; HBM
-    traffic is one float per grid block."""
+    traffic is one float per grid block.
+
+    with_cv=True additionally returns the martingale-control partial sum
+    sum(e^{-r T} S_T) per chunk (engine.martingale_control semantics), so
+    StreamConfig(control_variate=True) keeps the fused kernel instead of
+    falling back to the ~2x slower generic path stream."""
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
     if not noise_input and block_paths % 16:
@@ -499,6 +526,8 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
               dt=float(dt), log_s0=float(math.log(s0)),
               block_paths=block_paths, is_call=bool(is_call),
               strike=float(strike))
+    if with_cv:
+        kw["cv_disc"] = float(math.exp(-r * n_steps * dt))
     body = _priced_kernel_noise_in if noise_input else _priced_kernel
     kernel = functools.partial(body, **kw)
     grid_n = chunk_paths // block_paths
@@ -532,12 +561,14 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
         interpret=pltpu.InterpretParams() if interpret else False,
     )
 
-    def chunk_sum(seed_or_noise, rows) -> jax.Array:
+    def chunk_sum(seed_or_noise, rows):
         if noise_input:
             first = seed_or_noise.astype(jnp.float32)
         else:
             first = _as_seed_words(seed_or_noise)
         out = call(first, cr_p, ci_p, vd_p, tri_p, su_p, rows)
+        if with_cv:
+            return jnp.sum(out[::8, 0]), jnp.sum(out[::8, 1])
         return jnp.sum(out[::8, 0])
 
     return chunk_sum, s_pad

@@ -359,3 +359,20 @@ def test_streaming_price_fft_impl_agrees():
     a = pa.price(jax.random.key(1))
     b = pf.price(jax.random.key(1))
     assert abs(a - b) < 5e-3, (a, b)
+
+
+def test_pallas_cv_streaming_matches_xla_cv():
+    """Control variate riding the fused kernel agrees with the generic XLA
+    CV stream within MC error (real TPU only)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("requires a real TPU for in-kernel PRNG")
+    base = dict(n_paths=1 << 15, n_steps=32, chunk_paths=1 << 13,
+                pilot_paths=1 << 12, control_variate=True)
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    p_xla = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base)).price(jax.random.key(5))
+    p_pal = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base, pathgen_impl="pallas")
+    ).price(jax.random.key(5))
+    assert abs(p_xla - p_pal) < 0.1  # CV-reduced stderr at 32k paths

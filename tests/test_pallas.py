@@ -137,3 +137,43 @@ def test_pathgen_lane_multiple_steps(rng):
     assert paths.shape == (64, 129)
     assert np.all(np.asarray(paths[:, 0]) == 100.0)
     assert np.all(np.isfinite(np.asarray(paths)))
+
+
+def test_fused_kernel_cv_output_matches_path_block(rng):
+    """with_cv=True: the kernel's second output lane must equal the
+    martingale control e^{-rT} sum(S_T) computed from the same paths, and
+    lane 0 must be unchanged from the CV-less kernel (CPU interpreter)."""
+    import jax
+    import jax.numpy as jnp
+    from montecarlooptionspricer_tpu.models import engine
+    from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.2, 1.0, -0.4, 0.04
+    n_steps, chunk, dt = 48, 256, 1 / 252.0
+    strike, maturity, is_call = 97.0, 48 / 252.0, False
+
+    pilot = engine.make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                      1 << 11)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call, 2)
+    rows = pathgen_pallas.policy_rows(fits, r, strike, maturity, dt,
+                                      n_steps, is_call)
+
+    gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
+        s0, xi, h, eta, rho, r, n_steps, dt, chunk, block_paths=64,
+        interpret=True)
+    noise = jnp.asarray(rng.standard_normal((3, chunk, s_pad)), jnp.float32)
+    paths = gen(noise)
+    want_cv = float(jnp.sum(engine.martingale_control(
+        paths[:, :n_steps + 1], r, dt)))
+
+    kw = dict(strike=strike, maturity=maturity, dt=dt, n_steps=n_steps,
+              chunk_paths=chunk, block_paths=64, is_call=is_call,
+              interpret=True, noise_input=True)
+    plain, _ = pathgen_pallas.make_pallas_priced_chunk(
+        s0, xi, h, eta, rho, r, **kw)
+    cv, _ = pathgen_pallas.make_pallas_priced_chunk(
+        s0, xi, h, eta, rho, r, **kw, with_cv=True)
+    got_plain = float(plain(noise, rows))
+    got_a, got_c = cv(noise, rows)
+    np.testing.assert_allclose(float(got_a), got_plain, rtol=1e-6)
+    np.testing.assert_allclose(float(got_c), want_cv, rtol=2e-5)
