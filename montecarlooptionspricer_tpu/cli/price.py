@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="randomized quasi-Monte Carlo price Brownian "
                         "(scrambled Sobol + per-chunk digital shift; "
                         "several-x lower stderr per path; XLA generator)")
+    p.add_argument("--bounds", action="store_true",
+                   help="report a rigorous [lower, upper] price bracket "
+                        "(LSM policy value + delta-hedge duality upper "
+                        "bound) with the duality gap as an accuracy "
+                        "certificate")
     p.add_argument("--serve", action="store_true",
                    help="serve mode: read JSON-lines pricing requests from "
                         "stdin, write JSON-lines responses to stdout; "
@@ -87,9 +92,14 @@ def main(argv=None) -> int:
     if args.paths < 1:
         print("error: --paths must be >= 1", file=sys.stderr)
         return 2
-    if args.strikes and (args.greeks or args.control_variate):
-        print("error: --greeks/--control-variate apply to single-strike "
-              "pricing, not --strikes chains", file=sys.stderr)
+    if args.strikes and (args.greeks or args.control_variate or args.bounds):
+        print("error: --greeks/--control-variate/--bounds apply to "
+              "single-strike pricing, not --strikes chains",
+              file=sys.stderr)
+        return 2
+    if args.bounds and (args.greeks or args.control_variate):
+        print("error: --bounds cannot combine with --greeks/"
+              "--control-variate", file=sys.stderr)
         return 2
     n_paths = int(args.paths)
     pathgen = args.pathgen
@@ -140,6 +150,11 @@ def main(argv=None) -> int:
                    "vega_xi": round(vega_xi, 6),
                    "vega_eta": round(vega_eta, 6),
                    "rho_rate": round(rho_rate, 6)}
+        elif args.bounds:
+            lower, upper = pricer.price_with_bounds(key)
+            out = {"price": round(lower, 6), "lower": round(lower, 6),
+                   "upper": round(upper, 6),
+                   "duality_gap": round(upper - lower, 6)}
         else:
             out = {"price": round(pricer.price(key), 6)}
     out.update({"n_paths": n_paths, "n_steps": n_steps,

@@ -122,6 +122,8 @@ def test_price_cli_argument_validation(capsys):
 
     assert price_cli.main(["--paths", "0"]) == 2
     assert price_cli.main(["--strikes", "95,100", "--greeks"]) == 2
+    assert price_cli.main(["--strikes", "95,100", "--bounds"]) == 2
+    assert price_cli.main(["--bounds", "--greeks"]) == 2
     capsys.readouterr()
     # non-block-aligned paths/chunks round down instead of crashing
     rc = price_cli.main(["--paths", "1000", "--chunk-paths", "1000",

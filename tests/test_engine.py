@@ -376,3 +376,46 @@ def test_pallas_cv_streaming_matches_xla_cv():
         **kwargs, config=engine.StreamConfig(**base, pathgen_impl="pallas")
     ).price(jax.random.key(5))
     assert abs(p_xla - p_pal) < 0.1  # CV-reduced stderr at 32k paths
+
+
+def test_price_with_bounds_brackets_binomial_on_gbm():
+    """The streamed duality bracket must contain the binomial American
+    value on the GBM limit: the policy value is a valid lower bound and
+    the delta-hedge dual a valid upper bound for ANY hedge quality."""
+    s0, strike, r, sigma, t = 100.0, 105.0, 0.04, 0.25, 0.25
+    n_steps = 63
+    cfg = engine.StreamConfig(n_paths=1 << 15, n_steps=n_steps,
+                              chunk_paths=1 << 13, pilot_paths=1 << 13,
+                              dt=t / n_steps)
+    p = engine.StreamingPricer(s0, sigma * sigma, 0.5, 1e-6, -0.3, r,
+                               strike, t, False, cfg)
+    lo, up = p.price_with_bounds(jax.random.key(0))
+    amer = binomial_american(s0, strike, r, sigma, t, False, steps=1000)
+    se = 0.05                      # ~3 MC stderr at 32k paths
+    assert lo - se <= amer <= up + se, (lo, amer, up)
+    assert up - lo < 0.08 * amer   # quartic hedge: ~4% gap measured
+    # deterministic per seed
+    assert p.price_with_bounds(jax.random.key(0)) == (lo, up)
+
+
+def test_price_with_bounds_rbergomi_and_mesh():
+    """Bounds under rough vol: upper >= lower, and the 8-device mesh run
+    agrees with single-device statistically (fits/deltas/lam replicate via
+    psum'd moments; partial sums reduce across shards)."""
+    from montecarlooptionspricer_tpu.parallel import make_mesh
+
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=32,
+                              chunk_paths=1 << 12, pilot_paths=1 << 12)
+    lo, up = engine.StreamingPricer(**kwargs, config=cfg).price_with_bounds(
+        jax.random.key(1))
+    assert np.isfinite(lo) and np.isfinite(up) and lo < up
+    assert up - lo < 0.15 * lo
+
+    mesh = make_mesh(8)
+    cfg8 = engine.StreamConfig(n_paths=1 << 14, n_steps=32,
+                               chunk_paths=1 << 9, pilot_paths=1 << 9)
+    lo8, up8 = engine.StreamingPricer(
+        **kwargs, config=cfg8, mesh=mesh).price_with_bounds(jax.random.key(1))
+    assert abs(lo8 - lo) < 0.15 and abs(up8 - up) < 0.2, (lo, lo8, up, up8)
