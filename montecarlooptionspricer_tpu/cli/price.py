@@ -174,12 +174,14 @@ def serve(args, mkt) -> int:
     Response: {"id", "strikes", "prices", "implied_vols", "elapsed_s",
                "compiled"} — or {"id", "error"} (the server keeps running).
 
-    Compiled programs persist for the process lifetime, keyed by
+    Compiled pricers are cached (bounded LRU, 16 entries) keyed by
     (market, maturity, steps, strip length, path budget): a fresh strike
     strip of the same length NEVER recompiles (strikes are traced inputs
     all the way into the fused chain kernel's policy tables).  Changing
-    market parameters or shapes compiles once per distinct key.  CLI flags
-    provide the defaults a request may override.
+    market parameters or shapes compiles once per distinct key; least-
+    recently-used pricers are evicted so a client sweeping market params
+    (e.g. per-quote spot updates) cannot grow device memory without
+    bound.  CLI flags provide the defaults a request may override.
 
     No reference equivalent; this is the production-serving surface the
     reference's one-shot CSV pipeline lacks."""
@@ -187,7 +189,10 @@ def serve(args, mkt) -> int:
 
     from ..models import engine, implied_vol
 
-    pricers: dict = {}
+    import collections
+
+    pricers: collections.OrderedDict = collections.OrderedDict()
+    max_pricers = 16
     made = 0
 
     def respond(obj):
@@ -200,9 +205,12 @@ def serve(args, mkt) -> int:
         if not line:
             continue
         t0 = time.time()
+        rid = None
         try:
             req = json.loads(line)
-            rid = req.get("id")
+            rid = req.get("id") if isinstance(req, dict) else None
+            if not isinstance(req, dict):
+                raise ValueError("request must be a JSON object")
             if "strikes" in req:
                 strikes = [float(v) for v in req["strikes"]]
             else:
@@ -237,7 +245,9 @@ def serve(args, mkt) -> int:
                          n_paths, chunk, pathgen, args.qmc)
             pricer = pricers.get(cache_key)
             compiled = pricer is None
-            if compiled:
+            if not compiled:
+                pricers.move_to_end(cache_key)
+            else:
                 cfg = engine.StreamConfig(
                     n_paths=n_paths, n_steps=n_steps, chunk_paths=chunk,
                     pilot_paths=min(1 << 16, chunk), chunks_per_call=64,
@@ -249,6 +259,8 @@ def serve(args, mkt) -> int:
                     maturity=maturity, is_call=is_call, config=cfg)
                 pricers[cache_key] = pricer
                 made += 1
+                if len(pricers) > max_pricers:
+                    pricers.popitem(last=False)   # evict LRU
             prices = pricer.price(jax.random.key(seed), strikes=strikes)
             s0, _, _, _, _, r = market
             ivs = [implied_vol(float(v), s0, k, r, maturity, is_call)
@@ -266,9 +278,10 @@ def serve(args, mkt) -> int:
         except Exception as e:  # noqa: BLE001 — a bad request must not
             # take the server down; containment mirrors the pipeline's
             # per-row sentinel philosophy (PredictionGen.cpp:825-847).
+            # rid comes from THIS line's parse (None if parsing itself
+            # failed) — never from a previous request.
             log.warning("serve: request failed: %s", e)
-            respond({"id": req.get("id") if isinstance(req, dict) else None,
-                     "error": str(e)})
+            respond({"id": rid, "error": str(e)})
     log.info("serve: stdin closed after %d compiled pricer(s); exiting",
              made)
     return 0

@@ -509,6 +509,58 @@ def _rekey(key, impl: str):
     return jax.random.wrap_key_data(bits.astype(tmpl.dtype), impl=impl)
 
 
+def _check_pallas_chunk_range(pathgen_impl: str, n_chunks: int,
+                              n_dev: int) -> None:
+    """Guard the pallas (run_word, stream_index) seed scheme's ranges: the
+    stream-index word reserves a < 2^20 chunk range per shard (shard
+    offsets are (index+1) << 20, pilot marker 3 << 28); violating a bound
+    would silently duplicate RNG streams across chunks or shards."""
+    if pathgen_impl != "pallas":
+        return
+    if n_chunks >= 1 << 20:
+        raise ValueError(
+            f"{n_chunks} chunks exceeds the pallas seed scheme's "
+            "2^20 range — raise chunk_paths or use pathgen_impl='xla'")
+    if n_dev > 256:
+        raise ValueError("pallas seed scheme supports <= 256 shards")
+
+
+def _shard_map_wrappers(mesh, axis_name: str):
+    """(replicated_out, summed_out) builders for running per-shard
+    functions under shard_map on a 1-D mesh.
+
+    replicated_out wraps a function whose outputs are replicated across
+    shards (e.g. regression fits from psum'd moments) and exposes one
+    copy; summed_out wraps a function emitting per-shard partial sums
+    (scalars or pytrees thereof) and reduces them.  Shared by
+    StreamingPricer and StreamingChainPricer so shard_map plumbing changes
+    land in exactly one place."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - jax < 0.8
+        from jax.experimental.shard_map import shard_map
+
+    def replicated_out(fn, n_in: int):
+        sm = shard_map(
+            lambda *a: jax.tree.map(lambda x: x[None], fn(*a)),
+            mesh=mesh, in_specs=(P(),) * n_in,
+            out_specs=P(axis_name))
+        return jax.jit(
+            lambda *a: jax.tree.map(lambda x: x[0], sm(*a)))
+
+    def summed_out(fn, n_in: int):
+        sm = shard_map(
+            lambda *a: jax.tree.map(lambda x: x[None], fn(*a)),
+            mesh=mesh, in_specs=(P(),) * n_in,
+            out_specs=P(axis_name))
+        return jax.jit(
+            lambda *a: jax.tree.map(lambda x: jnp.sum(x, axis=0),
+                                    sm(*a)))
+
+    return replicated_out, summed_out
+
+
 class StreamingPricer:
     """Reusable fit-then-stream pricer: builds its two jitted programs ONCE
     per (market params, contract, config) and reuses them across ``price``
@@ -856,34 +908,7 @@ class StreamingPricer:
             self._bounds_fit = jax.jit(bounds_fit_fn)
             self._bounds_stream = jax.jit(bounds_stream_fn)
         else:
-            from jax.sharding import PartitionSpec as P
-            try:
-                from jax import shard_map
-            except ImportError:  # pragma: no cover - jax < 0.8
-                from jax.experimental.shard_map import shard_map
-
-            def replicated_out(fn, n_in: int):
-                """shard_map a function whose outputs are replicated (the
-                psum'd regression moments make every shard's fit
-                identical); expose one copy via a leading device axis."""
-                sm = shard_map(
-                    lambda *a: jax.tree.map(lambda x: x[None], fn(*a)),
-                    mesh=mesh, in_specs=(P(),) * n_in,
-                    out_specs=P(axis_name))
-                return jax.jit(
-                    lambda *a: jax.tree.map(lambda x: x[0], sm(*a)))
-
-            def summed_out(fn, n_in: int):
-                """shard_map a function whose outputs are per-shard partial
-                sums (scalars or pytrees thereof); sum across shards."""
-                sm = shard_map(
-                    lambda *a: jax.tree.map(lambda x: x[None], fn(*a)),
-                    mesh=mesh, in_specs=(P(),) * n_in,
-                    out_specs=P(axis_name))
-                return jax.jit(
-                    lambda *a: jax.tree.map(lambda x: jnp.sum(x, axis=0),
-                                            sm(*a)))
-
+            replicated_out, summed_out = _shard_map_wrappers(mesh, axis_name)
             self._fit = replicated_out(fit_fn, 1)
             self._stream = summed_out(stream_fn, 4)
             self._greek_fit = replicated_out(greek_fit_fn, 1)
@@ -908,17 +933,7 @@ class StreamingPricer:
             raise ValueError(
                 f"n_paths={n_paths} not divisible by chunk_paths * devices="
                 f"{per_step}")
-        if self._pathgen_impl == "pallas":
-            # The stream-index word reserves a < 2^20 chunk range per shard
-            # (shard offsets are (index+1) << 20, pilot marker 3 << 28);
-            # violating a bound would silently duplicate RNG streams.
-            if n_chunks >= 1 << 20:
-                raise ValueError(
-                    f"{n_chunks} chunks exceeds the pallas seed scheme's "
-                    "2^20 range — raise chunk_paths or use pathgen_impl="
-                    "'xla'")
-            if self.n_dev > 256:
-                raise ValueError("pallas seed scheme supports <= 256 shards")
+        _check_pallas_chunk_range(self._pathgen_impl, n_chunks, self.n_dev)
         k_pilot, k_stream = self._keys(key)
         fits = self._fit(k_pilot)
 
@@ -967,6 +982,7 @@ class StreamingPricer:
             raise ValueError(
                 f"n_paths={n_paths} not divisible by chunk_paths * devices="
                 f"{per_step}")
+        _check_pallas_chunk_range(self._pathgen_impl, n_chunks, self.n_dev)
         k_pilot, k_stream = self._keys(key)
         fits_lam = self._bounds_fit(k_pilot)
 
@@ -1156,26 +1172,9 @@ class StreamingChainPricer:
             self._fit = jax.jit(fit_fn)
             self._stream = jax.jit(stream_fn)
         else:
-            from jax.sharding import PartitionSpec as P
-            try:
-                from jax import shard_map
-            except ImportError:  # pragma: no cover - jax < 0.8
-                from jax.experimental.shard_map import shard_map
-
-            fit_sm = shard_map(
-                lambda k, st: jax.tree.map(lambda a: a[None],
-                                           fit_fn(k, st)),
-                mesh=mesh, in_specs=(P(), P()), out_specs=P(axis_name))
-            stream_sm = shard_map(
-                lambda k, fits, st, start, count:
-                    stream_fn(k, fits, st, start, count)[None],
-                mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
-                out_specs=P(axis_name))
-            self._fit = jax.jit(
-                lambda k, st: jax.tree.map(lambda a: a[0], fit_sm(k, st)))
-            self._stream = jax.jit(
-                lambda k, fits, st, start, count: jnp.sum(
-                    stream_sm(k, fits, st, start, count), axis=0))
+            replicated_out, summed_out = _shard_map_wrappers(mesh, axis_name)
+            self._fit = replicated_out(fit_fn, 2)
+            self._stream = summed_out(stream_fn, 5)
 
     def price(self, key, progress=None, n_paths: Optional[int] = None,
               strikes=None):
@@ -1204,14 +1203,7 @@ class StreamingChainPricer:
             raise ValueError(
                 f"n_paths={n_paths} not divisible by chunk_paths * devices="
                 f"{per_step}")
-        if self._pathgen_impl == "pallas":
-            if n_chunks >= 1 << 20:
-                raise ValueError(
-                    f"{n_chunks} chunks exceeds the pallas seed scheme's "
-                    "2^20 range — raise chunk_paths or use pathgen_impl="
-                    "'xla'")
-            if self.n_dev > 256:
-                raise ValueError("pallas seed scheme supports <= 256 shards")
+        _check_pallas_chunk_range(self._pathgen_impl, n_chunks, self.n_dev)
         k_pilot, k_stream = _pilot_stream_keys(key, self._pathgen_impl,
                                                config.rng_impl)
         fits = self._fit(k_pilot, strikes)

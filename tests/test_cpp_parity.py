@@ -5,7 +5,7 @@ and compares per-pricer means against the rebuild at matched config.  The
 heavyweight report lives in parity/run_parity.py; this test runs a reduced
 rep count and gates at 3 combined stderr (a 2-stderr gate on 8 independent
 comparisons has a ~27% false-failure rate; PARITY_CPP.md records the full
-2-stderr table, currently worst |z| = 0.82)."""
+2-stderr table, currently worst |z| = 1.18)."""
 
 import os
 import shutil
