@@ -175,13 +175,18 @@ def serve(args, mkt) -> int:
                "compiled"} — or {"id", "error"} (the server keeps running).
 
     Compiled pricers are cached (bounded LRU, 16 entries) keyed by
-    (market, maturity, steps, strip length, path budget): a fresh strike
+    (market, STEP BUCKET, strip length, path budget): a fresh strike
     strip of the same length NEVER recompiles (strikes are traced inputs
-    all the way into the fused chain kernel's policy tables).  Changing
-    market parameters or shapes compiles once per distinct key; least-
-    recently-used pricers are evicted so a client sweeping market params
-    (e.g. per-quote spot updates) cannot grow device memory without
-    bound.  CLI flags provide the defaults a request may override.
+    end to end), and neither does a fresh MATURITY — steps quantize to a
+    pow2 bucket and the pricer is built bucketed (engine
+    StreamingChainPricer(bucketed=True)), with the true step count and
+    maturity as traced per-request inputs.  A whole option board costs
+    one compile per bucket (<= 9 for anything out to ~8 years), not one
+    per expiry.  Changing market parameters compiles once per distinct
+    key; least-recently-used pricers are evicted so a client sweeping
+    market params (e.g. per-quote spot updates) cannot grow device
+    memory without bound.  CLI flags provide the defaults a request may
+    override.
 
     No reference equivalent; this is the production-serving surface the
     reference's one-shot CSV pipeline lacks."""
@@ -241,7 +246,10 @@ def serve(args, mkt) -> int:
             chunk = max(block,
                         (min(args.chunk_paths, n_paths) // block) * block)
             n_paths = max(chunk, (n_paths // chunk) * chunk)
-            cache_key = (market, maturity, n_steps, len(strikes), is_call,
+            bucket = 8
+            while bucket < n_steps:
+                bucket <<= 1
+            cache_key = (market, bucket, len(strikes), is_call,
                          n_paths, chunk, pathgen, args.qmc)
             pricer = pricers.get(cache_key)
             compiled = pricer is None
@@ -249,19 +257,21 @@ def serve(args, mkt) -> int:
                 pricers.move_to_end(cache_key)
             else:
                 cfg = engine.StreamConfig(
-                    n_paths=n_paths, n_steps=n_steps, chunk_paths=chunk,
+                    n_paths=n_paths, n_steps=bucket, chunk_paths=chunk,
                     pilot_paths=min(1 << 16, chunk), chunks_per_call=64,
                     pathgen_impl=pathgen, cumsum_impl="matmul",
                     qmc=args.qmc)
                 s0, xi, h, eta, rho, r = market
                 pricer = engine.StreamingChainPricer(
                     s0, xi, h, eta, rho, r, strikes=strikes,
-                    maturity=maturity, is_call=is_call, config=cfg)
+                    maturity=bucket / mkt.trading_days, is_call=is_call,
+                    config=cfg, bucketed=True)
                 pricers[cache_key] = pricer
                 made += 1
                 if len(pricers) > max_pricers:
                     pricers.popitem(last=False)   # evict LRU
-            prices = pricer.price(jax.random.key(seed), strikes=strikes)
+            prices = pricer.price(jax.random.key(seed), strikes=strikes,
+                                  n_steps_live=n_steps, maturity=maturity)
             s0, _, _, _, _, r = market
             ivs = [implied_vol(float(v), s0, k, r, maturity, is_call)
                    for v, k in zip(prices, strikes)]

@@ -222,10 +222,17 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         # covariance factor, differenced to increments (M M^T = dt*I).
         pca_t = jnp.asarray(qmc_mod.brownian_pca_matrix(n_steps, dt)).T
 
-    def gen_with_params(key, s0_, xi_, r_, eta_):
+    def gen_with_params(key, s0_, xi_, r_, eta_, n_live=None):
         """(s0, xi, r, eta) as call-time (possibly traced) scalars — the AD
         surface for streaming Greeks; h (and the irrelevant rho, see above)
-        stays baked into the host-precomputed spectral matrices."""
+        stays baked into the host-precomputed spectral matrices.
+
+        ``n_live`` (optional traced int): zero the log-price increments at
+        steps >= n_live, so the path stays FLAT past its true horizon — the
+        padding contract that lets one compiled program at a bucketed step
+        count price any shorter-dated contract exactly (cf.
+        rough_volatility.generate_paths_bucketed / lsm.lsm_fit's
+        pad-step-identity semantics)."""
         kz, kw = jax.random.split(key)
         if fgn_impl == "fft":
             zf = jax.random.normal(kz, (2, chunk_paths, n_steps),
@@ -252,13 +259,16 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                                   preferred_element_type=jnp.float32))
         v = xi_ * jnp.exp(eta_ * x_hat - 0.5 * (eta_ * eta_) * t_pow)
         inc = (r_ - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
+        if n_live is not None:
+            col = jnp.arange(n_steps, dtype=jnp.int32)[None, :]
+            inc = jnp.where(col < jnp.asarray(n_live, jnp.int32), inc, 0.0)
         log_s = jnp.log(s0_) + cumsum(inc)
         s = jnp.exp(log_s).astype(dtype)
         s0_col = jnp.full((chunk_paths, 1), 1.0, dtype) * s0_
         return jnp.concatenate([s0_col, s], axis=-1)
 
-    def gen(key):
-        return gen_with_params(key, s0, xi, r, eta)
+    def gen(key, n_live=None):
+        return gen_with_params(key, s0, xi, r, eta, n_live)
 
     gen.with_params = gen_with_params
     return gen
@@ -273,7 +283,7 @@ def _resolve_fgn_impl(config: "StreamConfig", n_steps: int) -> str:
 
 
 def lsm_policy_value(paths, fits: PolyFit, r, strike, maturity, dt,
-                     is_call: bool):
+                     is_call: bool, n_steps_live=None):
     """Per-chunk sum of discounted payoffs under the fitted exercise policy.
 
     Exercise at the first step j < n_steps that is in the money and whose
@@ -288,13 +298,19 @@ def lsm_policy_value(paths, fits: PolyFit, r, strike, maturity, dt,
     streamed estimate against the fit whenever n_steps*dt > maturity.
     """
     value = lsm_policy_path_values(paths, fits, r, strike, maturity, dt,
-                                   is_call)
+                                   is_call, n_steps_live)
     return jnp.sum(value), paths.shape[0]
 
 
 def lsm_policy_path_values(paths, fits: PolyFit, r, strike, maturity, dt,
-                           is_call: bool):
-    """Per-path discounted payoff under the fitted exercise policy [n]."""
+                           is_call: bool, n_steps_live=None):
+    """Per-path discounted payoff under the fitted exercise policy [n].
+
+    ``n_steps_live`` (optional traced int): the contract's true horizon
+    when ``paths`` is a step-bucketed block (flat past n_steps_live; see
+    make_chunk_pathgen's n_live).  The terminal exercise is forced at
+    column n_steps_live and pad columns can never exercise, so the padded
+    program prices exactly as the exact-shape one."""
     n, m = paths.shape
     t = jnp.arange(m, dtype=paths.dtype) * dt
     p = payoff(is_call, paths, strike)
@@ -309,6 +325,10 @@ def lsm_policy_path_values(paths, fits: PolyFit, r, strike, maturity, dt,
     # Terminal step always "exercises" whatever payoff remains.
     exercise = jnp.concatenate(
         [exercise, jnp.ones((n, 1), bool)], axis=-1)
+    if n_steps_live is not None:
+        col = jnp.arange(m, dtype=jnp.int32)[None, :]
+        nl = jnp.asarray(n_steps_live, jnp.int32)
+        exercise = (exercise & (col < nl)) | (col == nl)
     stop = jnp.argmax(exercise, axis=-1)
     disc = jnp.exp(-r * t)
     return jnp.take_along_axis(p * disc[None, :], stop[:, None], axis=-1)[:, 0]
@@ -1060,7 +1080,18 @@ class StreamingChainPricer:
 
     def __init__(self, s0, xi, h, eta, rho, r, strikes, maturity,
                  is_call: bool, config: StreamConfig, mesh=None,
-                 axis_name: str = "data"):
+                 axis_name: str = "data", bucketed: bool = False):
+        """``bucketed=True`` compiles the pricer at config.n_steps as a
+        step BUCKET: ``price(..., n_steps_live=, maturity=)`` then prices
+        any contract with n_steps_live <= n_steps against the same
+        compiled programs — paths stay flat past the live horizon
+        (make_chunk_pathgen n_live) and the policy's terminal exercise is
+        forced at the live step (lsm_policy_path_values n_steps_live), so
+        the padded program prices exactly like an exact-shape one.  A
+        whole option board then costs one compile per bucket instead of
+        one per distinct expiry (the serving analogue of the pipeline's
+        pow2 dte quantization).  Forces the XLA generator (the fused
+        kernels bake their step count)."""
         dtype = jnp.dtype(config.dtype)
         fgn_dtype = jnp.dtype(config.fgn_matmul_dtype)
         n_steps, dt = config.n_steps, config.dt
@@ -1070,9 +1101,11 @@ class StreamingChainPricer:
         self.strikes = jnp.asarray(strikes, dtype)
         strikes_f = [float(v) for v in np.asarray(strikes)]
         n_k = len(strikes_f)
+        self._bucketed = bool(bucketed)
+        self._maturity = float(maturity)
 
         pathgen_impl = config.pathgen_impl
-        if config.qmc:
+        if config.qmc or bucketed:
             pathgen_impl = "xla"  # see StreamingPricer: QMC is XLA-only
         if pathgen_impl == "pallas":
             from . import pathgen_pallas
@@ -1111,15 +1144,28 @@ class StreamingChainPricer:
                 dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
                 fgn_impl=_resolve_fgn_impl(config, n_steps))
 
-        def fit_fn(k, strikes_):
-            pilot = pilot_gen(shard_mix(k))
+        if bucketed:
+            def fit_fn(k, strikes_, n_live, mat):
+                pilot = pilot_gen(shard_mix(k), n_live)
 
-            def one(strike):
-                _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call,
-                                  config.poly_order, axis_name=ax)
-                return fits
+                def one(strike):
+                    _, fits = lsm_fit(pilot, r, strike, mat, dt, is_call,
+                                      config.poly_order, axis_name=ax,
+                                      n_steps=n_live)
+                    return fits
 
-            return jax.vmap(one)(strikes_)
+                return jax.vmap(one)(strikes_)
+        else:
+            def fit_fn(k, strikes_):
+                pilot = pilot_gen(shard_mix(k))
+
+                def one(strike):
+                    _, fits = lsm_fit(pilot, r, strike, maturity, dt,
+                                      is_call, config.poly_order,
+                                      axis_name=ax)
+                    return fits
+
+                return jax.vmap(one)(strikes_)
 
         if pathgen_impl == "pallas":
             from . import pathgen_pallas as _pp
@@ -1149,6 +1195,26 @@ class StreamingChainPricer:
                 ex0 = (p0 > 1e-14) & (p0 >= cont0)
                 all0 = (p0 * (count * config.chunk_paths)).astype(jnp.float32)
                 return jnp.where(ex0, all0, totals)
+        elif bucketed:
+            def stream_fn(k, fits, strikes_, start, count, n_live, mat):
+                k = shard_mix(k)
+
+                def body(i, totals):
+                    paths = chunk_gen(jax.random.fold_in(k, start + i),
+                                      n_live)
+
+                    def one(strike, fit):
+                        s, _ = lsm_policy_value(paths, fit, r, strike,
+                                                mat, dt, is_call,
+                                                n_steps_live=n_live)
+                        return s.astype(jnp.float32)
+
+                    return totals + jax.vmap(one)(strikes_, fits)
+
+                init = jnp.zeros(n_k, jnp.float32)
+                if ax is not None:
+                    init = _pvary(init, ax)
+                return jax.lax.fori_loop(0, count, body, init)
         else:
             def stream_fn(k, fits, strikes_, start, count):
                 k = shard_mix(k)
@@ -1173,11 +1239,14 @@ class StreamingChainPricer:
             self._stream = jax.jit(stream_fn)
         else:
             replicated_out, summed_out = _shard_map_wrappers(mesh, axis_name)
-            self._fit = replicated_out(fit_fn, 2)
-            self._stream = summed_out(stream_fn, 5)
+            n_fit_in = 4 if bucketed else 2
+            n_stream_in = 7 if bucketed else 5
+            self._fit = replicated_out(fit_fn, n_fit_in)
+            self._stream = summed_out(stream_fn, n_stream_in)
 
     def price(self, key, progress=None, n_paths: Optional[int] = None,
-              strikes=None):
+              strikes=None, n_steps_live: Optional[int] = None,
+              maturity: Optional[float] = None):
         """[K] prices for the strike strip on ``n_paths`` shared paths
         (times the mesh size when sharded).
 
@@ -1185,8 +1254,24 @@ class StreamingChainPricer:
         fresh strip of the SAME length — strikes are traced inputs
         everywhere (the fused chain kernel reads them from its policy
         tables), so repricing a new strip reuses the compiled programs.
-        This is the serving fast path (cli/price.py --serve)."""
+        This is the serving fast path (cli/price.py --serve).
+
+        With ``bucketed=True`` at construction, ``n_steps_live`` (the
+        contract's true step count, <= config.n_steps) and ``maturity``
+        are also traced per-call inputs: any shorter-dated contract prices
+        against the same compiled programs."""
         config = self.config
+        if self._bucketed:
+            if n_steps_live is None:
+                raise ValueError("bucketed pricer needs n_steps_live")
+            if not 1 <= n_steps_live <= config.n_steps:
+                raise ValueError(
+                    f"n_steps_live={n_steps_live} outside [1, "
+                    f"{config.n_steps}] bucket")
+        elif n_steps_live is not None or maturity is not None:
+            raise ValueError(
+                "n_steps_live/maturity are per-call inputs only for a "
+                "bucketed pricer (construct with bucketed=True)")
         if strikes is None:
             strikes = self.strikes
         else:
@@ -1206,7 +1291,14 @@ class StreamingChainPricer:
         _check_pallas_chunk_range(self._pathgen_impl, n_chunks, self.n_dev)
         k_pilot, k_stream = _pilot_stream_keys(key, self._pathgen_impl,
                                                config.rng_impl)
-        fits = self._fit(k_pilot, strikes)
+        if self._bucketed:
+            nl = jnp.int32(n_steps_live)
+            mat = jnp.float32(self._maturity if maturity is None
+                              else maturity)
+            fit_args = (nl, mat)
+        else:
+            fit_args = ()
+        fits = self._fit(k_pilot, strikes, *fit_args)
 
         totals = np.zeros(strikes.shape[0], np.float64)
         done = 0
@@ -1214,7 +1306,8 @@ class StreamingChainPricer:
             count = min(config.chunks_per_call, n_chunks - done)
             totals += np.asarray(
                 jax.device_get(self._stream(k_stream, fits, strikes,
-                                            done, count)), np.float64)
+                                            done, count, *fit_args)),
+                np.float64)
             done += count
             if progress is not None:
                 progress(done, n_chunks)

@@ -101,14 +101,18 @@ def lsm_price(paths, r, strike, maturity, dt, is_call: bool,
 
 
 def lsm_fit(paths, r, strike, maturity, dt, is_call: bool,
-            poly_order: int = 2, axis_name: Optional[str] = None):
+            poly_order: int = 2, axis_name: Optional[str] = None,
+            n_steps=None):
     """LSM price plus the per-step regression fits, for use as an exercise
     *policy* on an independent (and arbitrarily large) path set — the
     scale path of this framework (see models/engine.py).
 
     Returns (price, fits) where fits is a PolyFit pytree with leading axis
-    of length n_steps in *forward* time order (index j covers step j)."""
+    of length n_steps in *forward* time order (index j covers step j).
+    ``n_steps`` (optionally traced) marks columns past the true horizon as
+    padding, exactly as in ``lsm_price`` — for step-bucketed path blocks
+    that are flat past n_steps."""
     price, fits_rev = _lsm_backward(paths, r, strike, maturity, dt, is_call,
-                                    poly_order, axis_name)
+                                    poly_order, axis_name, n_steps=n_steps)
     fits = jax.tree.map(lambda a: jnp.flip(a, axis=0), fits_rev)
     return price, fits

@@ -134,3 +134,36 @@ def test_chain_reprices_fresh_strikes_without_rebuild():
     assert got[0] < got[1] < got[2]  # put prices rise in strike
     with pytest.raises(ValueError):
         base.price(jax.random.key(2), strikes=[95.0, 100.0])
+
+
+def test_bucketed_chain_matches_exact_shape():
+    """A chain pricer compiled at a step BUCKET (bucketed=True) pricing a
+    shorter contract via traced (n_steps_live, maturity) must agree with
+    the exact-shape pricer within MC error, be deterministic, and reject
+    out-of-bucket step counts."""
+    import pytest
+
+    cfg24 = engine.StreamConfig(n_paths=1 << 14, n_steps=24,
+                                chunk_paths=1 << 12, pilot_paths=1 << 12)
+    exact = engine.StreamingChainPricer(
+        **MKT, strikes=[95.0, 100.0, 105.0], maturity=24 / 252,
+        is_call=False, config=cfg24)
+    pe = exact.price(jax.random.key(3))
+
+    cfg32 = engine.StreamConfig(n_paths=1 << 14, n_steps=32,
+                                chunk_paths=1 << 12, pilot_paths=1 << 12)
+    buck = engine.StreamingChainPricer(
+        **MKT, strikes=[95.0, 100.0, 105.0], maturity=32 / 252,
+        is_call=False, config=cfg32, bucketed=True)
+    pb = buck.price(jax.random.key(3), n_steps_live=24, maturity=24 / 252)
+    np.testing.assert_allclose(pb, pe, atol=0.12)   # different draws
+    assert np.all(pb == buck.price(jax.random.key(3), n_steps_live=24,
+                                   maturity=24 / 252))
+    # shorter-dated put strip is cheaper at every strike (same draws)
+    pb16 = buck.price(jax.random.key(3), n_steps_live=16,
+                      maturity=16 / 252)
+    assert np.all(pb16 <= pb + 0.05)
+    with pytest.raises(ValueError):
+        buck.price(jax.random.key(3), n_steps_live=33)
+    with pytest.raises(ValueError):
+        exact.price(jax.random.key(3), n_steps_live=16)

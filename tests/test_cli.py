@@ -175,3 +175,35 @@ def test_price_cli_serve_mode():
     assert "error" in r3
     assert r4["compiled"]                # new market params -> new pricer
     assert r4["prices"][1] > r2["prices"][1] - 1.0
+
+
+def test_price_cli_serve_buckets_maturities():
+    """Serve-mode step bucketing: maturities quantize to pow2 step
+    buckets, so a second expiry in the same bucket reuses the compiled
+    programs (compiled=false) with the true step count as a traced
+    input."""
+    import json
+    import subprocess
+    import sys
+
+    reqs = "\n".join([
+        json.dumps({"id": 1, "strikes": [95.0, 105.0], "put": True,
+                    "maturity": 0.08, "paths": 1024}),   # 20 steps -> 32
+        json.dumps({"id": 2, "strikes": [95.0, 105.0], "put": True,
+                    "maturity": 0.12, "paths": 1024}),   # 30 steps -> 32
+    ]) + "\n"
+    prog = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+            "from montecarlooptionspricer_tpu.cli.price import main; "
+            "sys.exit(main(['--serve', '--chunk-paths', '1024', "
+            "'--pathgen', 'xla']))")
+    out = subprocess.run(
+        [sys.executable, "-c", prog],
+        input=reqs, capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    r1, r2 = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert r1["compiled"] and r1["n_steps"] == 20
+    assert not r2["compiled"] and r2["n_steps"] == 30
+    # longer-dated puts are worth more at the same strikes
+    assert r2["prices"][0] > r1["prices"][0] - 0.05
+    assert r2["prices"][1] > r1["prices"][1] - 0.05
