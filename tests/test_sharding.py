@@ -137,3 +137,52 @@ else:
     # a future version that raises instead prints RAISED with rc == 0.
     # Both are loud failures; only SILENT (rc == 0) is a bug.
     assert not (out.returncode == 0 and "SILENT" in out.stdout), out.stdout
+
+
+def test_two_process_distributed_pricing():
+    """GENUINE multi-process pricing: two OS processes bootstrap
+    jax.distributed (Gloo collectives — the CPU stand-in for DCN), build a
+    mesh over both processes' devices, and run the full 4-pricer sharded
+    computation.  Both ranks must succeed and print IDENTICAL prices (the
+    psum'd moments and means replicate across the process boundary).
+    This is the multi-host path SURVEY section 5.8 calls for, exercised
+    for real rather than emulated."""
+    import subprocess
+    import sys
+
+    prog = r"""
+import os, sys
+rank = int(sys.argv[1])
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from montecarlooptionspricer_tpu.parallel.mesh import init_distributed
+init_distributed(coordinator_address="localhost:49421", num_processes=2,
+                 process_id=rank)
+import numpy as np
+from jax.sharding import Mesh
+from montecarlooptionspricer_tpu.parallel import sharded_price_rbergomi
+from montecarlooptionspricer_tpu.models.pricing import PricerSpec
+mesh = Mesh(np.array(jax.devices()), ("data",))
+spec = PricerSpec(maturity=16 / 252.0, is_call=False, sigma=0.3)
+run = sharded_price_rbergomi(mesh, spec, 100.0, 0.04, 0.15, 1.2, -0.3,
+                             n_steps=16, n_paths=512)
+prices = run(jax.random.key(0))
+print("PRICES", rank, ",".join(f"{float(v):.6f}" for v in prices.values()))
+"""
+    procs = [subprocess.Popen([sys.executable, "-c", prog, str(rank)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True)
+             for rank in (0, 1)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (_, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2000:]
+    lines = {}
+    for out, _ in outs:
+        for line in out.splitlines():
+            if line.startswith("PRICES"):
+                _, rank, vals = line.split(" ")
+                lines[rank] = vals
+    assert set(lines) == {"0", "1"}
+    assert lines["0"] == lines["1"]   # replicated across processes
+    assert all(float(v) > 0 for v in lines["0"].split(","))
