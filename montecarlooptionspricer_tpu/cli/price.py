@@ -231,7 +231,15 @@ def serve(args, mkt) -> int:
             maturity = float(req.get("maturity", args.maturity))
             n_steps = int(req.get("steps", args.steps)
                           or max(1, int(maturity * mkt.trading_days)))
+            if n_steps < 1 or maturity <= 0:
+                # Validate BEFORE touching the pricer cache: a stream of
+                # malformed requests must not construct-and-cache junk
+                # pricers that evict hot compiled ones from the LRU.
+                raise ValueError(
+                    f"invalid steps={n_steps} / maturity={maturity}")
             n_paths = int(req.get("paths", args.paths))
+            if n_paths < 1:
+                raise ValueError(f"invalid paths={n_paths}")
             seed = int(req.get("seed", args.seed))
             market = tuple(
                 float(req.get(name, getattr(args, attr)))
@@ -246,9 +254,9 @@ def serve(args, mkt) -> int:
             chunk = max(block,
                         (min(args.chunk_paths, n_paths) // block) * block)
             n_paths = max(chunk, (n_paths // chunk) * chunk)
-            bucket = 8
-            while bucket < n_steps:
-                bucket <<= 1
+            from ..ops.fgn import next_pow2
+
+            bucket = max(8, next_pow2(n_steps))
             cache_key = (market, bucket, len(strikes), is_call,
                          n_paths, chunk, pathgen, args.qmc)
             pricer = pricers.get(cache_key)

@@ -167,3 +167,27 @@ def test_bucketed_chain_matches_exact_shape():
         buck.price(jax.random.key(3), n_steps_live=33)
     with pytest.raises(ValueError):
         exact.price(jax.random.key(3), n_steps_live=16)
+
+
+def test_bucketed_chain_on_mesh_matches_single_device():
+    """Bucketed chain under an 8-device mesh: the (n_live, maturity)
+    traced scalars must thread through the shard_map wrappers (the
+    n_fit_in=4 / n_stream_in=7 arity path) and agree with the
+    single-device bucketed run statistically."""
+    cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=32,
+                              chunk_paths=1 << 12, pilot_paths=1 << 12)
+    single = engine.StreamingChainPricer(
+        **MKT, strikes=[95.0, 100.0, 105.0], maturity=32 / 252,
+        is_call=False, config=cfg, bucketed=True)
+    p1 = single.price(jax.random.key(4), n_steps_live=24, maturity=24 / 252)
+
+    mesh = make_mesh(8)
+    cfg8 = engine.StreamConfig(n_paths=1 << 14, n_steps=32,
+                               chunk_paths=1 << 9, pilot_paths=1 << 9)
+    sharded = engine.StreamingChainPricer(
+        **MKT, strikes=[95.0, 100.0, 105.0], maturity=32 / 252,
+        is_call=False, config=cfg8, mesh=mesh, bucketed=True)
+    p8 = sharded.price(jax.random.key(4), n_steps_live=24,
+                       maturity=24 / 252)
+    assert np.all(np.isfinite(p8))
+    np.testing.assert_allclose(p8, p1, rtol=0.1, atol=0.12)

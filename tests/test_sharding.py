@@ -157,8 +157,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
 from montecarlooptionspricer_tpu.parallel.mesh import init_distributed
-init_distributed(coordinator_address="localhost:49421", num_processes=2,
-                 process_id=rank)
+init_distributed(coordinator_address="localhost:" + sys.argv[2],
+                 num_processes=2, process_id=rank)
 import numpy as np
 from jax.sharding import Mesh
 from montecarlooptionspricer_tpu.parallel import sharded_price_rbergomi
@@ -170,11 +170,24 @@ run = sharded_price_rbergomi(mesh, spec, 100.0, 0.04, 0.15, 1.2, -0.3,
 prices = run(jax.random.key(0))
 print("PRICES", rank, ",".join(f"{float(v):.6f}" for v in prices.values()))
 """
-    procs = [subprocess.Popen([sys.executable, "-c", prog, str(rank)],
+    import socket
+
+    # Ephemeral free port: a hardcoded one collides across concurrent runs
+    # (or with a leftover coordinator), hanging both ranks at the barrier.
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = [subprocess.Popen([sys.executable, "-c", prog, str(rank),
+                               str(port)],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.PIPE, text=True)
              for rank in (0, 1)]
-    outs = [p.communicate(timeout=300) for p in procs]
+    try:
+        outs = [p.communicate(timeout=300) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, (_, err) in zip(procs, outs):
         assert p.returncode == 0, err[-2000:]
     lines = {}
