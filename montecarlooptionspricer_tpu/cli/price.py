@@ -188,6 +188,12 @@ def serve(args, mkt) -> int:
     memory without bound.  CLI flags provide the defaults a request may
     override.
 
+    Bucketed pricers ride the XLA generator (the fused kernels bake their
+    step count); at serving path budgets (1e3-1e6 paths/request) the
+    response time is dominated by dispatch, not generation, so this costs
+    ~nothing — bulk 1e7+ workloads wanting the fused kernel should use
+    the one-shot CLI or the engine API with exact shapes.
+
     No reference equivalent; this is the production-serving surface the
     reference's one-shot CSV pipeline lacks."""
     import jax
