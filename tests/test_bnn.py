@@ -180,7 +180,12 @@ def test_mc_prediction_batch_shape(rng):
     draws = t.predict_mc(x, n_samples=12, key=jax.random.key(3))
     assert draws.shape == (12, 6)
 
+needs_mesh = pytest.mark.skipif(
+    jax.device_count() < 8,
+    reason="needs the 8-device virtual CPU mesh (hardware runs see 1 chip)")
 
+
+@needs_mesh
 def test_train_model_mesh_data_parallel(rng, tmp_path):
     """Data-parallel training over the virtual 8-device mesh produces a
     finite loss trajectory and the same API surface as single-chip."""

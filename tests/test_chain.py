@@ -4,6 +4,7 @@ CPU interpreter) and mesh sharding of chain / control-variate / Greeks
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from montecarlooptionspricer_tpu.models import engine, pathgen_pallas
@@ -54,7 +55,12 @@ def test_chain_kernel_matches_vmapped_policy(rng):
     got = np.asarray(chain(noise, tables))
     np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4)
 
+needs_mesh = pytest.mark.skipif(
+    jax.device_count() < 8,
+    reason="needs the 8-device virtual CPU mesh (hardware runs see 1 chip)")
 
+
+@needs_mesh
 def test_chain_pricer_sharded_matches_single_device():
     """Mesh-sharded chain (XLA path) within MC error of the single-device
     chain; shapes/finiteness exact."""
@@ -78,6 +84,7 @@ def test_chain_pricer_sharded_matches_single_device():
     np.testing.assert_allclose(p8, p1, rtol=0.15, atol=0.1)
 
 
+@needs_mesh
 def test_control_variate_sharded_matches_single_device():
     kwargs = dict(**MKT, strike=102.0, maturity=24 / 252.0, is_call=False)
     cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=24,
@@ -95,6 +102,7 @@ def test_control_variate_sharded_matches_single_device():
     np.testing.assert_allclose(p8, p1, rtol=0.1, atol=0.06)
 
 
+@needs_mesh
 def test_streaming_greeks_sharded_matches_single_device():
     kwargs = dict(**MKT, strike=102.0, maturity=24 / 252.0, is_call=False)
     cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=24,
@@ -169,6 +177,7 @@ def test_bucketed_chain_matches_exact_shape():
         exact.price(jax.random.key(3), n_steps_live=16)
 
 
+@needs_mesh
 def test_bucketed_chain_on_mesh_matches_single_device():
     """Bucketed chain under an 8-device mesh: the (n_live, maturity)
     traced scalars must thread through the shard_map wrappers (the

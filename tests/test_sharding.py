@@ -12,11 +12,17 @@ from montecarlooptionspricer_tpu.models.pricing import PricerSpec, price_all
 from montecarlooptionspricer_tpu.parallel import (
     make_mesh, sharded_mean_payoff, sharded_price_rbergomi)
 
+needs_mesh = pytest.mark.skipif(
+    jax.device_count() < 8,
+    reason="needs the 8-device virtual CPU mesh (hardware runs see 1 chip)")
 
+
+@needs_mesh
 def test_eight_devices_available():
     assert jax.device_count() >= 8
 
 
+@needs_mesh
 def test_sharded_mean_payoff_european_call():
     s0, k, r, sigma, t = 100.0, 100.0, 0.04, 0.2, 0.5
     n_steps = 32
@@ -33,6 +39,7 @@ def test_sharded_mean_payoff_european_call():
     assert abs(price - ref) < 0.15, (price, ref)
 
 
+@needs_mesh
 def test_sharded_prices_match_unsharded_distribution():
     # 8-way sharded pricing must agree with single-device pricing within MC
     # error at equal path counts (different RNG streams by construction).
@@ -60,6 +67,7 @@ def test_sharded_prices_match_unsharded_distribution():
         assert abs(a - b) < 0.05 * max(1.0, abs(b)), (name, a, b)
 
 
+@needs_mesh
 def test_sharded_deterministic():
     spec = PricerSpec(maturity=32 / 252.0, is_call=False, sigma=0.3)
     mesh = make_mesh(8)
@@ -71,6 +79,7 @@ def test_sharded_deterministic():
         assert float(a[k]) == float(b[k])
 
 
+@needs_mesh
 def test_sharded_rejects_indivisible_paths():
     mesh = make_mesh(8)
     with pytest.raises(ValueError):
