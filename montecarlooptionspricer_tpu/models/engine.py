@@ -745,16 +745,26 @@ class StreamingPricer:
                 return jax.lax.fori_loop(0, count, body, (zero, zero))
 
         if (pathgen_impl == "pallas" and config.fuse_policy
-                and config.poly_order == 2 and self._cv and not tiled):
+                and config.poly_order == 2 and self._cv):
             # Control variate WITHOUT leaving the fused kernel: the kernel
             # emits (policy payoff sum, e^{-rT} S_T sum) per chunk, so CV
-            # users keep the ~2x fused-vs-generic throughput edge.
+            # users keep the fused-vs-generic throughput edge at both the
+            # single-tile and step-tiled horizons.
             from . import pathgen_pallas
 
-            priced_chunk_cv, _ = pathgen_pallas.make_pallas_priced_chunk(
-                s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
-                config.chunk_paths, block_paths=config.pallas_block_paths,
-                is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True)
+            if tiled:
+                priced_chunk_cv, _ = (
+                    pathgen_pallas_tiled.make_tiled_priced_chunk(
+                        s0, xi, h, eta, rho, r, strike, maturity, dt,
+                        n_steps, config.chunk_paths,
+                        block_paths=config.pallas_block_paths,
+                        is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True))
+            else:
+                priced_chunk_cv, _ = pathgen_pallas.make_pallas_priced_chunk(
+                    s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
+                    config.chunk_paths,
+                    block_paths=config.pallas_block_paths,
+                    is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True)
 
             def stream_fn(k, fits_beta, start, count):  # noqa: F811
                 fits, _ = fits_beta

@@ -201,10 +201,26 @@ def _tiled_pathgen_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref,
         log_s0=kw["log_s0"])
 
 
+def _accumulate_priced(out_ref, s, val, cv_disc, j, *, n_steps: int):
+    """Accumulate the tile's policy value into lane 0 of the [8, LANE]
+    output stripe — and, with cv_disc set, the martingale-control
+    contribution cv_disc * sum(S at the terminal step) into lane 1 (only
+    the tile containing global column n_steps - 1 contributes; the masked
+    sum is zero elsewhere).  Mirrors pathgen_pallas._store_priced."""
+    if cv_disc is None:
+        out_ref[...] = out_ref[...] + val
+        return
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * TILE
+    cv = cv_disc * jnp.sum(jnp.where(col == n_steps - 1, s, 0.0))
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    out_ref[...] = (out_ref[...] + jnp.where(lane == 0, val, 0.0)
+                    + jnp.where(lane == 1, cv, 0.0))
+
+
 def _tiled_priced_kernel(seed_ref, cr_ref, ci_ref, vd_ref, pol_ref, tri_ref,
                          su_ref, out_ref, zr_ref, zi_ref, carry_ref,
                          stop_ref, *, block: int, n_tiles: int, fgn_dtype,
-                         is_call: bool, strike: float, **kw):
+                         is_call: bool, strike: float, cv_disc=None, **kw):
     i, j = pl.program_id(0), pl.program_id(1)
     _seed_tile(seed_ref, i, j, n_tiles)
 
@@ -222,14 +238,15 @@ def _tiled_priced_kernel(seed_ref, cr_ref, ci_ref, vd_ref, pol_ref, tri_ref,
                     dt=kw["dt"], log_s0=kw["log_s0"])
     val = _policy_tile(s, pol_ref, su_ref, stop_ref, is_call=is_call,
                        strike=strike)
-    out_ref[...] = out_ref[...] + val
+    _accumulate_priced(out_ref, s, val, cv_disc, j, n_steps=kw["n_steps"])
 
 
 def _tiled_priced_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref,
                                   pol_ref, tri_ref, su_ref, out_ref, zr_ref,
                                   zi_ref, carry_ref, stop_ref, *,
                                   block: int, n_tiles: int, fgn_dtype,
-                                  is_call: bool, strike: float, **kw):
+                                  is_call: bool, strike: float,
+                                  cv_disc=None, **kw):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -247,7 +264,7 @@ def _tiled_priced_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref,
                     dt=kw["dt"], log_s0=kw["log_s0"])
     val = _policy_tile(s, pol_ref, su_ref, stop_ref, is_call=is_call,
                        strike=strike)
-    out_ref[...] = out_ref[...] + val
+    _accumulate_priced(out_ref, s, val, cv_disc, j, n_steps=kw["n_steps"])
 
 
 def _validate(chunk_paths: int, block_paths: int, n_steps: int,
@@ -325,7 +342,8 @@ def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                             block_paths: int = 256, is_call: bool = False,
                             interpret: bool = False,
                             noise_input: bool = False,
-                            fgn_dtype=jnp.float32):
+                            fgn_dtype=jnp.float32,
+                            with_cv: bool = False):
     """Step-tiled fully fused streaming unit: (seed, policy_rows) -> chunk
     payoff sum under the fitted exercise policy, at ANY horizon the VMEM
     noise scratch allows (policy-table semantics match
@@ -337,10 +355,12 @@ def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
     grid_n = chunk_paths // block_paths
     body = (_tiled_priced_kernel_noise_in if noise_input
             else _tiled_priced_kernel)
+    extra = ({"cv_disc": float(math.exp(-r * n_steps * dt))}
+             if with_cv else {})
     kernel = functools.partial(body, block=block_paths, n_tiles=n_tiles,
                                fgn_dtype=jnp.dtype(fgn_dtype),
                                is_call=bool(is_call), strike=float(strike),
-                               **kw)
+                               **extra, **kw)
     first_spec = (
         pl.BlockSpec((3, block_paths, s_pad), lambda i, j: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
@@ -377,10 +397,12 @@ def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
         interpret=pltpu.InterpretParams() if interpret else False,
     )
 
-    def chunk_sum(seed_or_noise, rows) -> jax.Array:
+    def chunk_sum(seed_or_noise, rows):
         first = (seed_or_noise.astype(jnp.float32) if noise_input
                  else _as_seed_words(seed_or_noise))
         out = call(first, cr_p, ci_p, vd_p, rows, tri, su)
+        if with_cv:
+            return jnp.sum(out[::8, 0]), jnp.sum(out[::8, 1])
         return jnp.sum(out[::8, 0])
 
     return chunk_sum, s_pad

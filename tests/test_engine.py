@@ -436,3 +436,22 @@ def test_price_with_bounds_rbergomi_and_mesh():
     lo8, up8 = engine.StreamingPricer(
         **kwargs, config=cfg8, mesh=mesh).price_with_bounds(jax.random.key(1))
     assert abs(lo8 - lo) < 0.15 and abs(up8 - up) < 0.2, (lo, lo8, up, up8)
+
+
+def test_tiled_cv_streaming_matches_xla_cv():
+    """Control variate on the step-tiled kernel (long horizons) agrees
+    with the generic XLA CV stream within numeric tolerance (real TPU
+    only; bf16 fGN slabs carry ~0.4% systematic noise)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("requires a real TPU for in-kernel PRNG")
+    base = dict(n_paths=1 << 15, n_steps=600, chunk_paths=1 << 13,
+                pilot_paths=1 << 12, control_variate=True,
+                fgn_matmul_dtype="bfloat16")
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=600 / 252.0, is_call=False)
+    p_xla = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base)).price(jax.random.key(5))
+    p_til = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base, pathgen_impl="pallas")
+    ).price(jax.random.key(5))
+    assert abs(p_xla - p_til) < 0.25, (p_xla, p_til)

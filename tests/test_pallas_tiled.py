@@ -125,3 +125,40 @@ def test_tiled_rejects_past_vmem_budget():
         pathgen_pallas_tiled.make_tiled_pathgen(
             **KW, n_steps=40_000, dt=1 / 252, chunk_paths=256,
             block_paths=256)
+
+
+def test_tiled_priced_kernel_cv_output(rng):
+    """with_cv=True on the tiled kernel: lane 1 equals the martingale
+    control e^{-rT} sum(S_T) from the same paths (the terminal column
+    lives mid-tile for this horizon), and lane 0 is unchanged."""
+    from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.2, 1.0, -0.4, 0.04
+    n_steps, chunk, dt = 200, 128, 1 / 252.0
+    strike, maturity, is_call = 97.0, 200 / 252.0, False
+
+    pilot = engine.make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                      1 << 11)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call, 2)
+    rows = pathgen_pallas.policy_rows(fits, r, strike, maturity, dt,
+                                      n_steps, is_call)
+
+    gen, s_pad = pathgen_pallas_tiled.make_tiled_pathgen(
+        s0, xi, h, eta, rho, r, n_steps, dt, chunk, block_paths=64,
+        interpret=True, noise_input=True)
+    noise = jnp.asarray(rng.standard_normal((3, chunk, s_pad)), jnp.float32)
+    paths = gen(noise)
+    want_cv = float(jnp.sum(engine.martingale_control(
+        paths[:, :n_steps + 1], r, dt)))
+
+    kw = dict(strike=strike, maturity=maturity, dt=dt, n_steps=n_steps,
+              chunk_paths=chunk, block_paths=64, is_call=is_call,
+              interpret=True, noise_input=True)
+    plain, _ = pathgen_pallas_tiled.make_tiled_priced_chunk(
+        s0, xi, h, eta, rho, r, **kw)
+    cv, _ = pathgen_pallas_tiled.make_tiled_priced_chunk(
+        s0, xi, h, eta, rho, r, **kw, with_cv=True)
+    got_plain = float(plain(noise, rows))
+    got_a, got_c = cv(noise, rows)
+    np.testing.assert_allclose(float(got_a), got_plain, rtol=1e-6)
+    np.testing.assert_allclose(float(got_c), want_cv, rtol=2e-5)
