@@ -77,7 +77,8 @@ class StreamConfig:
     pathgen_impl: str = "xla"
     # Grid block height for the Pallas kernels.  At 365 steps on v5e the
     # fused kernel measures 36.3M paths/s at 512 vs 32.7M at 256 (fewer
-    # grid launches, better VPU occupancy); 1024 blows VMEM.  256 stays the
+    # grid launches, better VPU occupancy); 768+ exceeds the 16M scoped
+    # VMEM limit (768 needs 17.7M).  256 stays the
     # default because 512's VMEM headroom at the single-tile kernel's upper
     # step range (~512 steps) is untested; bench.py runs 512.
     pallas_block_paths: int = 256
