@@ -284,8 +284,9 @@ def serve(args, mkt) -> int:
                 made += 1
                 if len(pricers) > max_pricers:
                     pricers.popitem(last=False)   # evict LRU
-            prices = pricer.price(jax.random.key(seed), strikes=strikes,
-                                  n_steps_live=n_steps, maturity=maturity)
+            prices, stderrs = pricer.price(
+                jax.random.key(seed), strikes=strikes,
+                n_steps_live=n_steps, maturity=maturity, with_stderr=True)
             s0, _, _, _, _, r = market
             ivs = [implied_vol(float(v), s0, k, r, maturity, is_call)
                    for v, k in zip(prices, strikes)]
@@ -293,6 +294,7 @@ def serve(args, mkt) -> int:
                 "id": rid,
                 "strikes": strikes,
                 "prices": [round(float(v), 6) for v in prices],
+                "stderrs": [round(float(v), 6) for v in stderrs],
                 "implied_vols": [None if math.isnan(v) else round(v, 6)
                                  for v in ivs],
                 "n_paths": n_paths, "n_steps": n_steps, "is_call": is_call,

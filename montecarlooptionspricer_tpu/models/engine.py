@@ -1188,14 +1188,19 @@ class StreamingChainPricer:
                         fit, r, strike, maturity, dt, n_steps, is_call)
                 )(fits, strikes_)
 
-                def body(i, totals):
-                    return totals + chain_chunk(k.at[1].add(start + i),
-                                                tables)
+                def body(i, carry):
+                    tot, sq = carry
+                    c = chain_chunk(k.at[1].add(start + i), tables)
+                    # Chunk totals are iid across chunks: their second
+                    # moment yields an exact stderr for the streamed mean
+                    # (price() aggregates across calls/shards on the host).
+                    return tot + c, sq + c * c
 
                 init = jnp.zeros(n_k, jnp.float32)
                 if ax is not None:
                     init = _pvary(init, ax)
-                totals = jax.lax.fori_loop(0, count, body, init)
+                totals, sumsq = jax.lax.fori_loop(0, count, body,
+                                                  (init, init))
                 # Per-strike time-0 exercise (every path shares S0; column
                 # 0 is decided outside the kernel, cf. StreamingPricer).
                 p0 = jnp.maximum(
@@ -1204,8 +1209,14 @@ class StreamingChainPricer:
                 cont0 = ((fits.coeffs[:, 0, 2] * z0 + fits.coeffs[:, 0, 1])
                          * z0 + fits.coeffs[:, 0, 0])
                 ex0 = (p0 > 1e-14) & (p0 >= cont0)
-                all0 = (p0 * (count * config.chunk_paths)).astype(jnp.float32)
-                return jnp.where(ex0, all0, totals)
+                nchunk = (count * config.chunk_paths).astype(jnp.float32)
+                all0 = (p0 * nchunk).astype(jnp.float32)
+                # Deterministic time-0 value: every chunk total equals
+                # p0 * chunk_paths, so the variance estimate is exactly 0.
+                c0_tot = p0 * jnp.float32(config.chunk_paths)
+                sq0 = count.astype(jnp.float32) * c0_tot * c0_tot
+                return (jnp.where(ex0, all0, totals),
+                        jnp.where(ex0, sq0, sumsq))
         elif bucketed:
             def stream_fn(k, fits, strikes_, start, count, n_live, mat):
                 k = shard_mix(k)
@@ -1220,12 +1231,17 @@ class StreamingChainPricer:
                                                 n_steps_live=n_live)
                         return s.astype(jnp.float32)
 
-                    return totals + jax.vmap(one)(strikes_, fits)
+                    return jax.vmap(one)(strikes_, fits)
+
+                def acc(i, carry):
+                    tot, sq = carry
+                    c = body(i, tot)
+                    return tot + c, sq + c * c
 
                 init = jnp.zeros(n_k, jnp.float32)
                 if ax is not None:
                     init = _pvary(init, ax)
-                return jax.lax.fori_loop(0, count, body, init)
+                return jax.lax.fori_loop(0, count, acc, (init, init))
         else:
             def stream_fn(k, fits, strikes_, start, count):
                 k = shard_mix(k)
@@ -1238,12 +1254,17 @@ class StreamingChainPricer:
                                                 maturity, dt, is_call)
                         return s.astype(jnp.float32)
 
-                    return totals + jax.vmap(one)(strikes_, fits)
+                    return jax.vmap(one)(strikes_, fits)
+
+                def acc(i, carry):
+                    tot, sq = carry
+                    c = body(i, tot)
+                    return tot + c, sq + c * c
 
                 init = jnp.zeros(n_k, jnp.float32)
                 if ax is not None:
                     init = _pvary(init, ax)
-                return jax.lax.fori_loop(0, count, body, init)
+                return jax.lax.fori_loop(0, count, acc, (init, init))
 
         if mesh is None:
             self._fit = jax.jit(fit_fn)
@@ -1257,9 +1278,15 @@ class StreamingChainPricer:
 
     def price(self, key, progress=None, n_paths: Optional[int] = None,
               strikes=None, n_steps_live: Optional[int] = None,
-              maturity: Optional[float] = None):
+              maturity: Optional[float] = None, with_stderr: bool = False):
         """[K] prices for the strike strip on ``n_paths`` shared paths
-        (times the mesh size when sharded).
+        (times the mesh size when sharded).  ``with_stderr=True`` returns
+        (prices, stderrs): per-strike standard errors of the streamed
+        means, computed from the empirical variance of the iid per-chunk
+        totals — a free byproduct of the stream (the extra accumulator is
+        one multiply-add per chunk).  The stderr is conditional on the
+        pilot's fitted policy (the standard LSM convention): it measures
+        path-sampling noise, not pilot-to-pilot policy variation.
 
         ``strikes`` (default: the construction-time strip) may be any
         fresh strip of the SAME length — strikes are traced inputs
@@ -1312,17 +1339,30 @@ class StreamingChainPricer:
         fits = self._fit(k_pilot, strikes, *fit_args)
 
         totals = np.zeros(strikes.shape[0], np.float64)
+        sumsq = np.zeros(strikes.shape[0], np.float64)
         done = 0
         while done < n_chunks:
             count = min(config.chunks_per_call, n_chunks - done)
-            totals += np.asarray(
-                jax.device_get(self._stream(k_stream, fits, strikes,
-                                            done, count, *fit_args)),
-                np.float64)
+            t, sq = jax.device_get(self._stream(k_stream, fits, strikes,
+                                                done, count, *fit_args))
+            totals += np.asarray(t, np.float64)
+            sumsq += np.asarray(sq, np.float64)
             done += count
             if progress is not None:
                 progress(done, n_chunks)
-        return totals / n_paths
+        prices = totals / n_paths
+        if not with_stderr:
+            return prices
+        # Chunk totals are iid; n_chunks * n_dev of them were summed.  The
+        # stderr of the per-path mean follows from their sample variance.
+        m = n_chunks * self.n_dev
+        per_chunk = config.chunk_paths
+        mean_c = totals / m
+        var_c = np.maximum(sumsq / m - mean_c ** 2, 0.0)
+        if m > 1:
+            var_c *= m / (m - 1.0)
+        stderr = np.sqrt(var_c / m) / per_chunk
+        return prices, stderr
 
 
 @functools.lru_cache(maxsize=16)

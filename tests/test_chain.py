@@ -200,3 +200,24 @@ def test_bucketed_chain_on_mesh_matches_single_device():
                        maturity=24 / 252)
     assert np.all(np.isfinite(p8))
     np.testing.assert_allclose(p8, p1, rtol=0.1, atol=0.12)
+
+
+def test_chain_stderr_calibrated():
+    """with_stderr=True: the chunk-total-based stderr must be on the order
+    of (and not exceed by much) the empirical spread of prices across
+    independent keys at a FIXED policy scale; since the empirical spread
+    also includes pilot-policy variation, stderr <= ~empirical + noise."""
+    cfg = engine.StreamConfig(n_paths=1 << 15, n_steps=24,
+                              chunk_paths=1 << 11, pilot_paths=1 << 12)
+    ch = engine.StreamingChainPricer(
+        **MKT, strikes=[95.0, 100.0, 105.0], maturity=24 / 252,
+        is_call=False, config=cfg)
+    p, se = ch.price(jax.random.key(0), with_stderr=True)
+    assert np.all(se > 0) and np.all(np.isfinite(se))
+    reps = np.stack([ch.price(jax.random.key(i)) for i in range(10)])
+    emp = reps.std(axis=0, ddof=1)
+    # same order of magnitude; chunk-based se excludes policy variation
+    assert np.all(se < 3 * emp + 1e-4) and np.all(se > emp / 6), (se, emp)
+    # back-compat: default return is just the price vector
+    p_only = ch.price(jax.random.key(0))
+    np.testing.assert_allclose(p_only, p)
