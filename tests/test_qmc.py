@@ -162,3 +162,23 @@ def test_chain_qmc_runs_and_is_monotone():
     prices = chain.price(jax.random.key(0))
     assert np.all(np.isfinite(prices))
     assert prices[0] < prices[1] < prices[2]
+
+
+def test_chain_stderr_shows_qmc_variance_reduction():
+    """Composition check: the chain's chunk-based stderr (with_stderr=True)
+    must directly expose QMC's variance reduction — no repeated runs
+    needed, since each chunk is an independent randomization."""
+    from montecarlooptionspricer_tpu.models import engine
+
+    kw = dict(n_paths=1 << 15, n_steps=32, chunk_paths=1 << 11,
+              pilot_paths=1 << 12, dt=1 / 252, chunks_per_call=8,
+              pathgen_impl="xla")
+    ses = {}
+    for use_qmc in (False, True):
+        ch = engine.StreamingChainPricer(
+            100.0, 0.04, 0.1, 1.5, -0.4, 0.04, [100.0, 105.0],
+            32 / 252, False, engine.StreamConfig(qmc=use_qmc, **kw))
+        _, se = ch.price(jax.random.key(2), with_stderr=True)
+        ses[use_qmc] = se
+    # QMC cuts the near-the-money stderr well below pseudo-random's.
+    assert np.all(ses[True] < ses[False] / 1.5), ses
