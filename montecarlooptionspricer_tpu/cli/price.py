@@ -294,7 +294,8 @@ def serve(args, mkt) -> int:
                 "id": rid,
                 "strikes": strikes,
                 "prices": [round(float(v), 6) for v in prices],
-                "stderrs": [round(float(v), 6) for v in stderrs],
+                "stderrs": [None if not math.isfinite(v)
+                            else round(float(v), 6) for v in stderrs],
                 "implied_vols": [None if math.isnan(v) else round(v, 6)
                                  for v in ivs],
                 "n_paths": n_paths, "n_steps": n_steps, "is_call": is_call,

@@ -1221,7 +1221,7 @@ class StreamingChainPricer:
             def stream_fn(k, fits, strikes_, start, count, n_live, mat):
                 k = shard_mix(k)
 
-                def body(i, totals):
+                def chunk_vals(i):
                     paths = chunk_gen(jax.random.fold_in(k, start + i),
                                       n_live)
 
@@ -1235,7 +1235,7 @@ class StreamingChainPricer:
 
                 def acc(i, carry):
                     tot, sq = carry
-                    c = body(i, tot)
+                    c = chunk_vals(i)
                     return tot + c, sq + c * c
 
                 init = jnp.zeros(n_k, jnp.float32)
@@ -1246,7 +1246,7 @@ class StreamingChainPricer:
             def stream_fn(k, fits, strikes_, start, count):
                 k = shard_mix(k)
 
-                def body(i, totals):
+                def chunk_vals(i):
                     paths = chunk_gen(jax.random.fold_in(k, start + i))
 
                     def one(strike, fit):
@@ -1258,7 +1258,7 @@ class StreamingChainPricer:
 
                 def acc(i, carry):
                     tot, sq = carry
-                    c = body(i, tot)
+                    c = chunk_vals(i)
                     return tot + c, sq + c * c
 
                 init = jnp.zeros(n_k, jnp.float32)
@@ -1355,12 +1355,18 @@ class StreamingChainPricer:
             return prices
         # Chunk totals are iid; n_chunks * n_dev of them were summed.  The
         # stderr of the per-path mean follows from their sample variance.
+        # Two honesty caveats: with a single chunk there is no variance
+        # information (stderr = NaN, never a false 0.0), and the on-device
+        # f32 accumulation of c^2 floors the detectable relative chunk
+        # spread at ~3e-4 — below that (near-deterministic deep-ITM
+        # payoffs) the reported stderr clips toward 0.
         m = n_chunks * self.n_dev
+        if m < 2:
+            return prices, np.full_like(prices, np.nan)
         per_chunk = config.chunk_paths
         mean_c = totals / m
         var_c = np.maximum(sumsq / m - mean_c ** 2, 0.0)
-        if m > 1:
-            var_c *= m / (m - 1.0)
+        var_c *= m / (m - 1.0)
         stderr = np.sqrt(var_c / m) / per_chunk
         return prices, stderr
 

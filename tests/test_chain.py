@@ -221,3 +221,15 @@ def test_chain_stderr_calibrated():
     # back-compat: default return is just the price vector
     p_only = ch.price(jax.random.key(0))
     np.testing.assert_allclose(p_only, p)
+
+
+def test_chain_stderr_single_chunk_is_nan():
+    """A single-chunk run has no variance information: with_stderr must
+    report NaN, never a false claim of zero uncertainty."""
+    cfg = engine.StreamConfig(n_paths=1 << 12, n_steps=16,
+                              chunk_paths=1 << 12, pilot_paths=1 << 11)
+    ch = engine.StreamingChainPricer(
+        **MKT, strikes=[100.0], maturity=16 / 252, is_call=False,
+        config=cfg)
+    p, se = ch.price(jax.random.key(0), with_stderr=True)
+    assert np.isfinite(p[0]) and np.isnan(se[0])
