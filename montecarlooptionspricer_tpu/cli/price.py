@@ -73,7 +73,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "stdin, write JSON-lines responses to stdout; "
                         "compiled programs persist across requests (fresh "
                         "strike strips of the same length never recompile)")
+    p.add_argument("--max-steps", type=int, default=4096,
+                   help="serve mode: reject requests whose pow2 step "
+                        "bucket exceeds this (guards the O(steps^2) host "
+                        "fGN-matrix build and compile from a single huge "
+                        "request)")
+    p.add_argument("--max-paths", type=float, default=1 << 24,
+                   help="serve mode: reject requests asking for more paths "
+                        "than this per quote")
+    p.add_argument("--max-strikes", type=int, default=256,
+                   help="serve mode: reject strike strips longer than this")
     return p
+
+
+def _j(v):
+    """JSON-safe stderr: null for NaN (single-chunk runs carry no variance
+    information — engine._chunk_stderr), rounded float otherwise."""
+    return None if not math.isfinite(v) else round(float(v), 6)
 
 
 def main(argv=None) -> int:
@@ -128,12 +144,13 @@ def main(argv=None) -> int:
         chain = engine.StreamingChainPricer(
             **market, strikes=strikes, maturity=args.maturity,
             is_call=args.is_call, config=cfg)
-        prices = chain.price(key)
+        prices, stderrs = chain.price(key, with_stderr=True)
         ivs = [implied_vol(v, args.s0, k, args.r, args.maturity,
                            args.is_call) for v, k in zip(prices, strikes)]
         out = {
             "strikes": strikes,
             "prices": [round(float(v), 6) for v in prices],
+            "stderrs": [_j(v) for v in stderrs],
             # null (not the invalid bare-NaN JSON token) outside the
             # European no-arbitrage bracket, e.g. deep-ITM American puts.
             "implied_vols": [None if math.isnan(v) else round(v, 6)
@@ -151,12 +168,15 @@ def main(argv=None) -> int:
                    "vega_eta": round(vega_eta, 6),
                    "rho_rate": round(rho_rate, 6)}
         elif args.bounds:
-            lower, upper = pricer.price_with_bounds(key)
+            lower, upper, lo_se, up_se = pricer.price_with_bounds(
+                key, with_stderr=True)
             out = {"price": round(lower, 6), "lower": round(lower, 6),
                    "upper": round(upper, 6),
-                   "duality_gap": round(upper - lower, 6)}
+                   "duality_gap": round(upper - lower, 6),
+                   "lower_stderr": _j(lo_se), "upper_stderr": _j(up_se)}
         else:
-            out = {"price": round(pricer.price(key), 6)}
+            price, se = pricer.price(key, with_stderr=True)
+            out = {"price": round(price, 6), "stderr": _j(se)}
     out.update({"n_paths": n_paths, "n_steps": n_steps,
                 "is_call": args.is_call,
                 "elapsed_s": round(time.time() - t0, 3)})
@@ -175,18 +195,23 @@ def serve(args, mkt) -> int:
                "compiled"} — or {"id", "error"} (the server keeps running).
 
     Compiled pricers are cached (bounded LRU, 16 entries) keyed by
-    (market, STEP BUCKET, strip length, path budget): a fresh strike
-    strip of the same length NEVER recompiles (strikes are traced inputs
-    end to end), and neither does a fresh MATURITY — steps quantize to a
+    (market, STEP BUCKET, STRIP-LENGTH BUCKET, chunk): a fresh strike
+    strip NEVER recompiles (strikes are traced inputs end to end, and
+    strip lengths quantize to pow2 buckets with dead lanes repeating the
+    last strike), neither does a fresh MATURITY — steps quantize to a
     pow2 bucket and the pricer is built bucketed (engine
-    StreamingChainPricer(bucketed=True)), with the true step count and
-    maturity as traced per-request inputs.  A whole option board costs
-    one compile per bucket (<= 9 for anything out to ~8 years), not one
-    per expiry.  Changing market parameters compiles once per distinct
-    key; least-recently-used pricers are evicted so a client sweeping
-    market params (e.g. per-quote spot updates) cannot grow device
-    memory without bound.  CLI flags provide the defaults a request may
-    override.
+    StreamingChainPricer(bucketed=True)) with the true step count and
+    maturity as traced per-request inputs — and neither does a fresh
+    PATH BUDGET (n_paths is a per-call argument, not a cache dimension).
+    A whole option board costs one compile per (step, strip) bucket
+    pair, not one per expiry/board-size/accuracy-tier.  Changing market
+    parameters compiles once per distinct key; least-recently-used
+    pricers are evicted so a client sweeping market params (e.g.
+    per-quote spot updates) cannot grow device memory without bound.
+    Requests past --max-steps/--max-paths/--max-strikes are rejected
+    before any host-side matrix build or compile, so a single huge quote
+    cannot hang or OOM the server.  CLI flags provide the defaults a
+    request may override.
 
     Bucketed pricers ride the XLA generator (the fused kernels bake their
     step count); at serving path budgets (1e3-1e6 paths/request) the
@@ -243,9 +268,24 @@ def serve(args, mkt) -> int:
                 # pricers that evict hot compiled ones from the LRU.
                 raise ValueError(
                     f"invalid steps={n_steps} / maturity={maturity}")
+            if n_steps > args.max_steps:
+                # A single well-formed request with huge steps would
+                # trigger an O(steps^2) float64 host matrix build and a
+                # giant compile before any other guard fires — reject it
+                # up front so one bad quote can never hang the server.
+                raise ValueError(
+                    f"steps={n_steps} exceeds --max-steps={args.max_steps}")
+            if len(strikes) > args.max_strikes:
+                raise ValueError(
+                    f"{len(strikes)} strikes exceeds --max-strikes="
+                    f"{args.max_strikes}")
             n_paths = int(req.get("paths", args.paths))
             if n_paths < 1:
                 raise ValueError(f"invalid paths={n_paths}")
+            if n_paths > args.max_paths:
+                raise ValueError(
+                    f"paths={n_paths} exceeds --max-paths="
+                    f"{int(args.max_paths)}")
             seed = int(req.get("seed", args.seed))
             market = tuple(
                 float(req.get(name, getattr(args, attr)))
@@ -263,21 +303,33 @@ def serve(args, mkt) -> int:
             from ..ops.fgn import next_pow2
 
             bucket = max(8, next_pow2(n_steps))
-            cache_key = (market, bucket, len(strikes), is_call,
-                         n_paths, chunk, pathgen, args.qmc)
+            # Strip LENGTH quantizes to a pow2 bucket too: a client
+            # alternating 3- and 5-strike boards reuses one compiled
+            # 8-lane program (dead lanes repeat the last strike and are
+            # sliced off the response) instead of churning the LRU with
+            # one program per distinct K.
+            n_k = len(strikes)
+            k_bucket = max(1, next_pow2(n_k))
+            padded = strikes + [strikes[-1]] * (k_bucket - n_k)
+            # n_paths is a PER-CALL argument of StreamingChainPricer.price
+            # (any multiple of chunk reuses the programs), so it stays out
+            # of the cache key — a client sweeping path budgets
+            # (accuracy tiers) never rebuilds or evicts a hot pricer.
+            cache_key = (market, bucket, k_bucket, is_call,
+                         chunk, pathgen, args.qmc)
             pricer = pricers.get(cache_key)
             compiled = pricer is None
             if not compiled:
                 pricers.move_to_end(cache_key)
             else:
                 cfg = engine.StreamConfig(
-                    n_paths=n_paths, n_steps=bucket, chunk_paths=chunk,
+                    n_paths=chunk, n_steps=bucket, chunk_paths=chunk,
                     pilot_paths=min(1 << 16, chunk), chunks_per_call=64,
                     pathgen_impl=pathgen, cumsum_impl="matmul",
                     qmc=args.qmc)
                 s0, xi, h, eta, rho, r = market
                 pricer = engine.StreamingChainPricer(
-                    s0, xi, h, eta, rho, r, strikes=strikes,
+                    s0, xi, h, eta, rho, r, strikes=padded,
                     maturity=bucket / mkt.trading_days, is_call=is_call,
                     config=cfg, bucketed=True)
                 pricers[cache_key] = pricer
@@ -285,8 +337,9 @@ def serve(args, mkt) -> int:
                 if len(pricers) > max_pricers:
                     pricers.popitem(last=False)   # evict LRU
             prices, stderrs = pricer.price(
-                jax.random.key(seed), strikes=strikes,
+                jax.random.key(seed), strikes=padded, n_paths=n_paths,
                 n_steps_live=n_steps, maturity=maturity, with_stderr=True)
+            prices, stderrs = prices[:n_k], stderrs[:n_k]
             s0, _, _, _, _, r = market
             ivs = [implied_vol(float(v), s0, k, r, maturity, is_call)
                    for v, k in zip(prices, strikes)]

@@ -475,8 +475,26 @@ def fit_dual_scale(paths, delta_fits: PolyFit, r, strike, maturity, dt,
 
     lams = jnp.linspace(0.0, 2.0, 41)
     vals = jax.lax.map(obj, lams)
-    l0 = lams[jnp.argmin(vals)]
-    fine = l0 + jnp.linspace(-0.05, 0.05, 21)
+    i0 = jnp.argmin(vals)
+
+    # If the coarse argmin lands on the upper grid boundary the bracket
+    # would silently loosen (the bound stays VALID for any lam, only less
+    # tight); extend the search to [2, 10] in that case instead of
+    # accepting the edge.  The fine half-width tracks the grid spacing of
+    # whichever stage won (0.05 for the base grid, 0.1 for the coarser
+    # extension).  lam = 0 is a natural boundary (no hedge), not a cap.
+    ext = jnp.linspace(2.0, 10.0, 41)
+
+    def _extended(_):
+        ev = jax.lax.map(obj, ext)
+        return ext[jnp.argmin(ev)], jnp.asarray(0.1, lams.dtype)
+
+    def _interior(_):
+        return lams[i0], jnp.asarray(0.05, lams.dtype)
+
+    l0, half = jax.lax.cond(i0 == lams.shape[0] - 1, _extended, _interior,
+                            None)
+    fine = l0 + jnp.linspace(-1.0, 1.0, 21) * half
     fvals = jax.lax.map(obj, fine)
     return fine[jnp.argmin(fvals)]
 
@@ -544,6 +562,26 @@ def _check_pallas_chunk_range(pathgen_impl: str, n_chunks: int,
             "2^20 range — raise chunk_paths or use pathgen_impl='xla'")
     if n_dev > 256:
         raise ValueError("pallas seed scheme supports <= 256 shards")
+
+
+def _chunk_stderr(totals, sumsq, m: int, per_chunk: int):
+    """Stderr of a per-path streamed mean from its iid per-chunk totals.
+
+    ``totals``/``sumsq`` are float64 scalars or arrays: the sum of the
+    ``m`` iid chunk totals and the sum of their squares (accumulated on
+    device at one FMA per chunk).  Two honesty caveats shared by every
+    streaming surface: with a single chunk there is no variance
+    information (stderr = NaN, never a false 0.0), and the on-device f32
+    accumulation of c^2 floors the detectable relative chunk spread at
+    ~3e-4 — below that (near-deterministic deep-ITM payoffs) the reported
+    stderr clips toward 0."""
+    totals = np.asarray(totals, np.float64)
+    sumsq = np.asarray(sumsq, np.float64)
+    if m < 2:
+        return np.full_like(totals, np.nan)
+    mean_c = totals / m
+    var_c = np.maximum(sumsq / m - mean_c ** 2, 0.0) * (m / (m - 1.0))
+    return np.sqrt(var_c / m) / per_chunk
 
 
 def _shard_map_wrappers(mesh, axis_name: str):
@@ -694,18 +732,23 @@ class StreamingPricer:
         def stream_fn(k, fits, start, count):
             k = shard_mix(k)
 
-            def body(i, total):
+            def body(i, carry):
+                tot, sq = carry
                 paths = chunk_gen(next_carrier(k, start + i))
                 s, _ = lsm_policy_value(paths, fits, r, strike, maturity,
                                         dt, is_call)
-                return total + s.astype(jnp.float32)
+                s = s.astype(jnp.float32)
+                # Chunk totals are iid: their second moment gives an exact
+                # stderr for the streamed mean (one FMA per chunk; the host
+                # aggregates across calls/shards).
+                return tot + s, sq + s * s
 
             init = jnp.zeros((), jnp.float32)
             if ax is not None:
                 # Mark the carry device-varying so its type matches the
                 # body output under shard_map's replication tracking.
                 init = _pvary(init, ax)
-            return jax.lax.fori_loop(0, count, body, init)
+            return jax.lax.fori_loop(0, count, body, (init, init))
 
         self._cv = bool(config.control_variate)
         self._s0 = float(s0)
@@ -728,22 +771,26 @@ class StreamingPricer:
                 return fits, beta
 
             def stream_fn(k, fits_beta, start, count):  # noqa: F811
-                fits, _ = fits_beta
+                fits, beta = fits_beta
                 k = shard_mix(k)
 
                 def body(i, carry):
-                    a, c = carry
+                    a, c, sq = carry
                     paths = chunk_gen(next_carrier(k, start + i))
                     vals = lsm_policy_path_values(paths, fits, r, strike,
                                                   maturity, dt, is_call)
                     cv = martingale_control(paths, r, dt)
-                    return (a + jnp.sum(vals).astype(jnp.float32),
-                            c + jnp.sum(cv).astype(jnp.float32))
+                    da = jnp.sum(vals).astype(jnp.float32)
+                    dc = jnp.sum(cv).astype(jnp.float32)
+                    # The CV-corrected chunk total a - beta*c is the iid
+                    # quantity whose spread sets the (reduced) stderr.
+                    t = da - beta.astype(jnp.float32) * dc
+                    return a + da, c + dc, sq + t * t
 
                 zero = jnp.zeros((), jnp.float32)
                 if ax is not None:
                     zero = _pvary(zero, ax)
-                return jax.lax.fori_loop(0, count, body, (zero, zero))
+                return jax.lax.fori_loop(0, count, body, (zero, zero, zero))
 
         if (pathgen_impl == "pallas" and config.fuse_policy
                 and config.poly_order == 2 and self._cv):
@@ -768,7 +815,7 @@ class StreamingPricer:
                     is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True)
 
             def stream_fn(k, fits_beta, start, count):  # noqa: F811
-                fits, _ = fits_beta
+                fits, beta = fits_beta
                 k = shard_mix(k)
                 rows = pathgen_pallas.policy_rows(fits, r, strike, maturity,
                                                   dt, n_steps, is_call)
@@ -776,21 +823,29 @@ class StreamingPricer:
                                                      is_call)
 
                 def body(i, carry):
-                    a, c = carry
+                    a, c, sq = carry
                     da, dc = priced_chunk_cv(k.at[1].add(start + i), rows)
-                    return a + da, c + dc
+                    t = da - beta.astype(jnp.float32) * dc
+                    return a + da, c + dc, sq + t * t
 
                 zero = jnp.zeros((), jnp.float32)
                 if ax is not None:
                     zero = _pvary(zero, ax)
-                a, c = jax.lax.fori_loop(0, count, body, (zero, zero))
+                a, c, sq = jax.lax.fori_loop(0, count, body,
+                                             (zero, zero, zero))
                 # Time-0 exercise: the run is the deterministic immediate
                 # payoff; returning cv == count*chunk*s0 makes the beta
-                # correction vanish exactly instead of adding noise.
+                # correction vanish exactly instead of adding noise (and
+                # every corrected chunk total is the same constant, so the
+                # variance estimate is exactly 0).
                 n_f = (count * config.chunk_paths).astype(jnp.float32)
                 a = jnp.where(ex0, jnp.float32(p0) * n_f, a)
                 c = jnp.where(ex0, jnp.float32(self._s0) * n_f, c)
-                return a, c
+                t0 = ((jnp.float32(p0)
+                       - beta.astype(jnp.float32) * jnp.float32(self._s0))
+                      * jnp.float32(config.chunk_paths))
+                sq = jnp.where(ex0, count.astype(jnp.float32) * t0 * t0, sq)
+                return a, c, sq
 
         if (pathgen_impl == "pallas" and config.fuse_policy
                 and config.poly_order == 2 and not self._cv):
@@ -816,19 +871,25 @@ class StreamingPricer:
                 ex0, p0 = pathgen_pallas.time0_value(fits, s0, strike,
                                                      is_call)
 
-                def body(i, total):
-                    return total + priced_chunk(k.at[1].add(start + i), rows)
+                def body(i, carry):
+                    tot, sq = carry
+                    c = priced_chunk(k.at[1].add(start + i), rows)
+                    return tot + c, sq + c * c
 
                 init = jnp.zeros((), jnp.float32)
                 if ax is not None:
                     init = _pvary(init, ax)
-                total = jax.lax.fori_loop(0, count, body, init)
+                total, sq = jax.lax.fori_loop(0, count, body, (init, init))
                 # Time-0 exercise: every path shares S0, so the whole run
                 # collapses to the immediate payoff (lsm_policy_value's
-                # column 0, handled outside the kernel).
+                # column 0, handled outside the kernel); every chunk total
+                # is the same constant, so the variance estimate is 0.
                 all0 = jnp.float32(p0) * (count * config.chunk_paths
                                           ).astype(jnp.float32)
-                return jnp.where(ex0, all0, total)
+                c0 = jnp.float32(p0) * jnp.float32(config.chunk_paths)
+                sq0 = count.astype(jnp.float32) * c0 * c0
+                return (jnp.where(ex0, all0, total),
+                        jnp.where(ex0, sq0, sq))
 
         # --- streaming Greeks machinery (XLA generator, mesh-capable) -----
         # Forward-mode AD through the chunk loop: one tangent per market
@@ -916,20 +977,22 @@ class StreamingPricer:
             k = shard_mix(k)
 
             def body(i, carry):
-                lo, up = carry
+                lo, up, lsq, usq = carry
                 paths = chunk_gen(next_carrier(k, start + i))
                 s, _ = lsm_policy_value(paths, fits, r, strike, maturity,
                                         dt, is_call)
                 d = jnp.sum(dual_upper_values(paths, deltas, lam, r,
                                               strike, maturity, dt,
                                               is_call))
-                return (lo + s.astype(jnp.float32),
-                        up + d.astype(jnp.float32))
+                s = s.astype(jnp.float32)
+                d = d.astype(jnp.float32)
+                return lo + s, up + d, lsq + s * s, usq + d * d
 
             zero = jnp.zeros((), jnp.float32)
             if ax is not None:
                 zero = _pvary(zero, ax)
-            return jax.lax.fori_loop(0, count, body, (zero, zero))
+            return jax.lax.fori_loop(0, count, body,
+                                     (zero, zero, zero, zero))
 
         if mesh is None:
             self._fit = jax.jit(fit_fn)
@@ -951,10 +1014,19 @@ class StreamingPricer:
         return _pilot_stream_keys(key, self._pathgen_impl,
                                   self.config.rng_impl)
 
-    def price(self, key, progress=None, n_paths: Optional[int] = None) -> float:
+    def price(self, key, progress=None, n_paths: Optional[int] = None,
+              with_stderr: bool = False):
         """Price on ``n_paths`` (default ``config.n_paths``) fresh paths
         derived from ``key``.  Any multiple of ``chunk_paths`` (times the
-        mesh size when sharded) reuses the same compiled programs."""
+        mesh size when sharded) reuses the same compiled programs.
+
+        ``with_stderr=True`` returns (price, stderr): the standard error
+        of the streamed mean from the empirical variance of the iid
+        per-chunk totals (see _chunk_stderr for the caveats) — for the
+        control-variate configuration the variance is that of the
+        CORRECTED chunk totals, so the reported bar reflects the CV's
+        variance reduction.  Conditional on the pilot's fitted policy, the
+        standard LSM convention."""
         config = self.config
         if n_paths is None:
             n_paths = config.n_paths
@@ -967,35 +1039,47 @@ class StreamingPricer:
         _check_pallas_chunk_range(self._pathgen_impl, n_chunks, self.n_dev)
         k_pilot, k_stream = self._keys(key)
         fits = self._fit(k_pilot)
+        m = n_chunks * self.n_dev
 
         # Host accumulation in float64: each on-device call sums at most
         # chunks_per_call chunks in float32 (bounded magnitude); the
         # cross-call reduction happens here at full precision.
         if self._cv:
-            amer = cv = 0.0
+            amer = cv = sq = 0.0
             done = 0
             while done < n_chunks:
                 count = min(config.chunks_per_call, n_chunks - done)
-                a, c = self._stream(k_stream, fits, done, count)
+                a, c, q = self._stream(k_stream, fits, done, count)
                 amer += float(a)
                 cv += float(c)
+                sq += float(q)
                 done += count
                 if progress is not None:
                     progress(done, n_chunks)
             beta = float(fits[1])
-            return amer / n_paths - beta * (cv / n_paths - self._s0)
+            value = amer / n_paths - beta * (cv / n_paths - self._s0)
+            if not with_stderr:
+                return value
+            se = _chunk_stderr(amer - beta * cv, sq, m, config.chunk_paths)
+            return value, float(se)
 
-        total = 0.0
+        total = sq = 0.0
         done = 0
         while done < n_chunks:
             count = min(config.chunks_per_call, n_chunks - done)
-            total += float(self._stream(k_stream, fits, done, count))
+            t, q = self._stream(k_stream, fits, done, count)
+            total += float(t)
+            sq += float(q)
             done += count
             if progress is not None:
                 progress(done, n_chunks)
-        return total / n_paths
+        if not with_stderr:
+            return total / n_paths
+        return (total / n_paths,
+                float(_chunk_stderr(total, sq, m, config.chunk_paths)))
 
-    def price_with_bounds(self, key, n_paths: Optional[int] = None):
+    def price_with_bounds(self, key, n_paths: Optional[int] = None,
+                          with_stderr: bool = False):
         """(lower, upper): a rigorous price bracket from the same streamed
         chunks — the fitted-policy LSM value (a lower bound: any concrete
         stopping rule under-exercises the optimum) and the beta-martingale
@@ -1003,7 +1087,12 @@ class StreamingPricer:
         tuned on the pilot.  The bracket width is the duality gap, a
         computable certificate of pricing accuracy no point estimator
         offers — including the reference's four (PredictionGen.cpp:788-791
-        averages heuristics with no error bar)."""
+        averages heuristics with no error bar).
+
+        ``with_stderr=True`` returns (lower, upper, lower_se, upper_se):
+        per-bound standard errors from the iid per-chunk totals
+        (_chunk_stderr caveats apply), so the MC noise on each end of the
+        bracket is distinguishable from the duality gap itself."""
         config = self.config
         if n_paths is None:
             n_paths = config.n_paths
@@ -1017,15 +1106,24 @@ class StreamingPricer:
         k_pilot, k_stream = self._keys(key)
         fits_lam = self._bounds_fit(k_pilot)
 
-        lo = up = 0.0
+        lo = up = lsq = usq = 0.0
         done = 0
         while done < n_chunks:
             count = min(config.chunks_per_call, n_chunks - done)
-            a, b = self._bounds_stream(k_stream, fits_lam, done, count)
+            a, b, ql, qu = self._bounds_stream(k_stream, fits_lam, done,
+                                               count)
             lo += float(a)
             up += float(b)
+            lsq += float(ql)
+            usq += float(qu)
             done += count
-        return lo / n_paths, up / n_paths
+        if not with_stderr:
+            return lo / n_paths, up / n_paths
+        m = n_chunks * self.n_dev
+        per = config.chunk_paths
+        return (lo / n_paths, up / n_paths,
+                float(_chunk_stderr(lo, lsq, m, per)),
+                float(_chunk_stderr(up, usq, m, per)))
 
     def price_and_greeks(self, key, n_paths: Optional[int] = None):
         """(price, delta, vega_xi, vega_eta, rho_rate) at streaming scale:
@@ -1353,22 +1451,10 @@ class StreamingChainPricer:
         prices = totals / n_paths
         if not with_stderr:
             return prices
-        # Chunk totals are iid; n_chunks * n_dev of them were summed.  The
-        # stderr of the per-path mean follows from their sample variance.
-        # Two honesty caveats: with a single chunk there is no variance
-        # information (stderr = NaN, never a false 0.0), and the on-device
-        # f32 accumulation of c^2 floors the detectable relative chunk
-        # spread at ~3e-4 — below that (near-deterministic deep-ITM
-        # payoffs) the reported stderr clips toward 0.
-        m = n_chunks * self.n_dev
-        if m < 2:
-            return prices, np.full_like(prices, np.nan)
-        per_chunk = config.chunk_paths
-        mean_c = totals / m
-        var_c = np.maximum(sumsq / m - mean_c ** 2, 0.0)
-        var_c *= m / (m - 1.0)
-        stderr = np.sqrt(var_c / m) / per_chunk
-        return prices, stderr
+        # Chunk totals are iid; n_chunks * n_dev of them were summed (see
+        # _chunk_stderr for the single-chunk and f32-floor caveats).
+        return prices, _chunk_stderr(totals, sumsq, n_chunks * self.n_dev,
+                                     config.chunk_paths)
 
 
 @functools.lru_cache(maxsize=16)

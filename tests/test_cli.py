@@ -207,3 +207,55 @@ def test_price_cli_serve_buckets_maturities():
     # longer-dated puts are worth more at the same strikes
     assert r2["prices"][0] > r1["prices"][0] - 0.05
     assert r2["prices"][1] > r1["prices"][1] - 0.05
+
+
+def test_price_cli_serve_guards_and_reuse_buckets():
+    """Serve-mode hardening: (a) huge-steps / huge-paths / huge-strip
+    requests are rejected up front (error response, server stays up, no
+    pricer built); (b) strip LENGTHS bucket to pow2 so a 3-strike and a
+    4-strike board share one compiled program; (c) a fresh path budget
+    reuses the compiled pricer (n_paths is per-call, not a cache key)."""
+    import json
+    import subprocess
+    import sys
+
+    reqs = "\n".join([
+        json.dumps({"id": 1, "strike": 100.0, "put": True,
+                    "maturity": 0.1, "steps": 500000, "paths": 1024}),
+        json.dumps({"id": 2, "strike": 100.0, "put": True,
+                    "maturity": 0.1, "steps": 8, "paths": 1e9}),
+        json.dumps({"id": 3, "strikes": [100.0] * 9, "put": True,
+                    "maturity": 0.1, "steps": 8, "paths": 1024}),
+        json.dumps({"id": 4, "strikes": [95.0, 100.0, 105.0], "put": True,
+                    "maturity": 0.1, "steps": 8, "paths": 1024}),
+        json.dumps({"id": 5, "strikes": [94.0, 99.0, 104.0, 109.0],
+                    "put": True, "maturity": 0.1, "steps": 8,
+                    "paths": 1024}),
+        json.dumps({"id": 6, "strikes": [95.0, 100.0, 105.0], "put": True,
+                    "maturity": 0.1, "steps": 8, "paths": 2048}),
+    ]) + "\n"
+    prog = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+            "from montecarlooptionspricer_tpu.cli.price import main; "
+            "sys.exit(main(['--serve', '--chunk-paths', '1024', "
+            "'--pathgen', 'xla', '--max-strikes', '8']))")
+    out = subprocess.run(
+        [sys.executable, "-c", prog],
+        input=reqs, capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert [r["id"] for r in lines] == [1, 2, 3, 4, 5, 6]
+    r1, r2, r3, r4, r5, r6 = lines
+    assert "max-steps" in r1["error"]
+    assert "max-paths" in r2["error"]
+    assert "max-strikes" in r3["error"]
+    # 3 strikes -> pow2 bucket 4: first board compiles ...
+    assert r4["compiled"] and len(r4["prices"]) == 3
+    assert r4["prices"][0] < r4["prices"][1] < r4["prices"][2]
+    # ... the 4-strike board lands in the SAME bucket: no recompile,
+    # and the response is the real strip length, not the bucket.
+    assert not r5["compiled"] and len(r5["prices"]) == 4
+    # a doubled path budget reuses the pricer too (chunk unchanged).
+    assert not r6["compiled"] and r6["n_paths"] == 2048
+    # every served price carries an error bar
+    assert len(r6["stderrs"]) == 3

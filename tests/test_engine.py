@@ -455,3 +455,70 @@ def test_tiled_cv_streaming_matches_xla_cv():
         **kwargs, config=engine.StreamConfig(**base, pathgen_impl="pallas")
     ).price(jax.random.key(5))
     assert abs(p_xla - p_til) < 0.25, (p_xla, p_til)
+
+
+def test_streaming_price_stderr_calibrated():
+    """StreamingPricer.price(with_stderr=True): the chunk-total stderr is
+    the same order as the empirical spread across independent keys (the
+    empirical spread also includes pilot-policy variation, so the bound is
+    one-sided-ish); default return stays a bare float."""
+    cfg = engine.StreamConfig(n_paths=1 << 15, n_steps=24,
+                              chunk_paths=1 << 11, pilot_paths=1 << 12)
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=24 / 252.0, is_call=False)
+    p = engine.StreamingPricer(**kwargs, config=cfg)
+    price, se = p.price(jax.random.key(0), with_stderr=True)
+    assert np.isfinite(price) and np.isfinite(se) and se > 0
+    reps = np.array([p.price(jax.random.key(i)) for i in range(10)])
+    emp = reps.std(ddof=1)
+    assert emp / 6 < se < 3 * emp + 1e-4, (se, emp)
+    assert p.price(jax.random.key(0)) == price    # back-compat bare float
+
+
+def test_streaming_price_stderr_single_chunk_is_nan():
+    cfg = engine.StreamConfig(n_paths=1 << 12, n_steps=16,
+                              chunk_paths=1 << 12, pilot_paths=1 << 11)
+    p = engine.StreamingPricer(100.0, 0.04, 0.2, 1.0, -0.4, 0.04, 102.0,
+                               16 / 252.0, False, cfg)
+    price, se = p.price(jax.random.key(0), with_stderr=True)
+    assert np.isfinite(price) and np.isnan(se)
+
+
+def test_cv_price_stderr_reflects_variance_reduction():
+    """The CV configuration's stderr comes from the CORRECTED chunk totals:
+    it must be materially below the plain estimator's stderr for a
+    near-the-money contract (that is the point of the control variate),
+    and the CV price must still match plain within a few stderr."""
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=100.0, maturity=32 / 252.0, is_call=False)
+    base = dict(n_paths=1 << 15, n_steps=32, chunk_paths=1 << 11,
+                pilot_paths=1 << 12)
+    _, se_plain = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base)).price(
+            jax.random.key(0), with_stderr=True)
+    p_cv, se_cv = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base, control_variate=True)
+    ).price(jax.random.key(0), with_stderr=True)
+    assert np.isfinite(se_cv) and 0 < se_cv < 0.8 * se_plain, (se_cv,
+                                                               se_plain)
+    assert np.isfinite(p_cv)
+
+
+def test_price_with_bounds_stderr():
+    """price_with_bounds(with_stderr=True) -> (lo, up, lo_se, up_se), the
+    point estimates identical to the 2-tuple form, stderrs finite and
+    positive for a multi-chunk run."""
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=32,
+                              chunk_paths=1 << 11, pilot_paths=1 << 12)
+    p = engine.StreamingPricer(**kwargs, config=cfg)
+    lo, up = p.price_with_bounds(jax.random.key(1))
+    lo2, up2, lo_se, up_se = p.price_with_bounds(jax.random.key(1),
+                                                 with_stderr=True)
+    assert (lo2, up2) == (lo, up)
+    assert np.isfinite(lo_se) and np.isfinite(up_se)
+    assert lo_se > 0 and up_se > 0
+    # The duality gap must be resolvable against the MC noise at this
+    # path count — otherwise the bracket is meaningless.
+    assert up - lo > 2 * max(lo_se, up_se)
