@@ -49,7 +49,7 @@ def run_cpp(exe: str, hist_file: str, steps: int, paths: int, reps: int,
 
 
 def run_ours(hist: np.ndarray, steps: int, paths: int, reps: int,
-             strike: float):
+             strike: float, seed0: int = 1000):
     # Force CPU for hermetic, tunnel-free runs; float32 on-device like the
     # production path (the C++ reference is float64 — part of what the
     # 2-stderr band absorbs).
@@ -82,7 +82,7 @@ def run_ours(hist: np.ndarray, steps: int, paths: int, reps: int,
     res = {}
     for is_call in (False, True):
         vals = np.stack([
-            np.asarray(one(jax.random.key(1000 + 7 * i), is_call))
+            np.asarray(one(jax.random.key(seed0 + 7 * i), is_call))
             for i in range(reps)])
         res[is_call] = {k: vals[:, j] for j, k in enumerate(
             ("asymptotic", "branching", "lsm", "martingale"))}

@@ -96,6 +96,7 @@ def test_double_softmax_quirk():
     assert got == pytest.approx(expected, rel=1e-6)
 
 
+@pytest.mark.slow
 def test_training_reduces_loss(rng, tmp_path):
     t = make_trainer(num_epochs=8, batch_size=64, learning_rate=1e-3)
     x, y = synth_data(rng, 256)
@@ -124,6 +125,7 @@ def test_training_reduces_loss(rng, tmp_path):
     assert losses[-1] < losses[3]
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(rng, tmp_path):
     x, y = synth_data(rng, 128)
     ck = str(tmp_path / "resume_ck")
@@ -186,6 +188,7 @@ needs_mesh = pytest.mark.skipif(
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_train_model_mesh_data_parallel(rng, tmp_path):
     """Data-parallel training over the virtual 8-device mesh produces a
     finite loss trajectory and the same API surface as single-chip."""

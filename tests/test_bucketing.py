@@ -13,6 +13,7 @@ M2, so padding is exact, not approximate.  These tests pin that claim:
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from montecarlooptionspricer_tpu.models import rough_volatility as rv
@@ -79,6 +80,7 @@ def test_bucketed_pathgen_matches_exact_via_seam(rng):
         np.asarray(jnp.repeat(padded[:, n:n + 1], n_pad - n, axis=1)))
 
 
+@pytest.mark.slow
 def test_pricers_pad_exact(rng):
     """Each estimator on a flat-padded block with the traced horizon ==
     the estimator on the exact block (same values, not just statistics)."""
@@ -122,6 +124,7 @@ def test_pricers_pad_exact(rng):
         np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_batched_pricer_compiles_per_bucket_not_per_dte():
     """50 distinct dte values -> a handful of programs (the VERDICT r01
     item 3 'done' criterion), with mixed step counts priced in one batch."""
@@ -162,6 +165,7 @@ def seed() -> int:
     return 1234
 
 
+@pytest.mark.slow
 def test_bucketed_price_statistically_matches_exact():
     """One mid-bucket row priced with the quantized program agrees with the
     exact-shape program within MC error at a moderate path count."""

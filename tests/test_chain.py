@@ -14,6 +14,7 @@ from montecarlooptionspricer_tpu.parallel import make_mesh
 MKT = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04)
 
 
+@pytest.mark.slow
 def test_chain_kernel_matches_vmapped_policy(rng):
     """Fused K-policy chain kernel == XLA generator + per-strike
     lsm_policy_value on identical injected noise."""
@@ -61,6 +62,7 @@ needs_mesh = pytest.mark.skipif(
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_chain_pricer_sharded_matches_single_device():
     """Mesh-sharded chain (XLA path) within MC error of the single-device
     chain; shapes/finiteness exact."""
@@ -85,6 +87,7 @@ def test_chain_pricer_sharded_matches_single_device():
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_control_variate_sharded_matches_single_device():
     kwargs = dict(**MKT, strike=102.0, maturity=24 / 252.0, is_call=False)
     cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=24,
@@ -103,6 +106,7 @@ def test_control_variate_sharded_matches_single_device():
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_streaming_greeks_sharded_matches_single_device():
     kwargs = dict(**MKT, strike=102.0, maturity=24 / 252.0, is_call=False)
     cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=24,
@@ -122,6 +126,7 @@ def test_streaming_greeks_sharded_matches_single_device():
     np.testing.assert_allclose(g8[1], g1[1], rtol=0.25, atol=0.1)
 
 
+@pytest.mark.slow
 def test_chain_reprices_fresh_strikes_without_rebuild():
     """price(key, strikes=...) on a fresh strip must equal a pricer built
     with that strip (strikes are traced inputs end to end — the serving
@@ -144,6 +149,7 @@ def test_chain_reprices_fresh_strikes_without_rebuild():
         base.price(jax.random.key(2), strikes=[95.0, 100.0])
 
 
+@pytest.mark.slow
 def test_bucketed_chain_matches_exact_shape():
     """A chain pricer compiled at a step BUCKET (bucketed=True) pricing a
     shorter contract via traced (n_steps_live, maturity) must agree with
@@ -178,6 +184,7 @@ def test_bucketed_chain_matches_exact_shape():
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_bucketed_chain_on_mesh_matches_single_device():
     """Bucketed chain under an 8-device mesh: the (n_live, maturity)
     traced scalars must thread through the shard_map wrappers (the
@@ -202,6 +209,7 @@ def test_bucketed_chain_on_mesh_matches_single_device():
     np.testing.assert_allclose(p8, p1, rtol=0.1, atol=0.12)
 
 
+@pytest.mark.slow
 def test_chain_stderr_calibrated():
     """with_stderr=True: the chunk-total-based stderr must be on the order
     of (and not exceed by much) the empirical spread of prices across
@@ -223,6 +231,7 @@ def test_chain_stderr_calibrated():
     np.testing.assert_allclose(p_only, p)
 
 
+@pytest.mark.slow
 def test_chain_stderr_single_chunk_is_nan():
     """A single-chunk run has no variance information: with_stderr must
     report NaN, never a false claim of zero uncertainty."""

@@ -33,6 +33,7 @@ def data_dir(tmp_path, rng, monkeypatch):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_train_then_evaluate_cli(data_dir):
     from montecarlooptionspricer_tpu.cli import evaluate_nn, train_nn
 
@@ -65,6 +66,7 @@ def test_train_then_evaluate_cli(data_dir):
         assert np.isfinite(mean) and lower <= mean <= upper
 
 
+@pytest.mark.slow
 def test_train_cli_resumes_from_checkpoint(data_dir):
     from montecarlooptionspricer_tpu.cli import train_nn
 
@@ -134,6 +136,7 @@ def test_price_cli_argument_validation(capsys):
     assert out["n_paths"] == 768  # 1000 -> 768 (3 blocks of 256)
 
 
+@pytest.mark.slow
 def test_price_cli_serve_mode():
     """--serve: JSON-lines in, JSON-lines out; repricing a fresh strike
     strip of the same length reuses the compiled programs (compiled=false
@@ -177,6 +180,7 @@ def test_price_cli_serve_mode():
     assert r4["prices"][1] > r2["prices"][1] - 1.0
 
 
+@pytest.mark.slow
 def test_price_cli_serve_buckets_maturities():
     """Serve-mode step bucketing: maturities quantize to pow2 step
     buckets, so a second expiry in the same bucket reuses the compiled
@@ -209,6 +213,7 @@ def test_price_cli_serve_buckets_maturities():
     assert r2["prices"][1] > r1["prices"][1] - 0.05
 
 
+@pytest.mark.slow
 def test_price_cli_serve_guards_and_reuse_buckets():
     """Serve-mode hardening: (a) huge-steps / huge-paths / huge-strip
     requests are rejected up front (error response, server stays up, no

@@ -3,9 +3,17 @@
 Compiles the unmodified reference pricer sources with the local Eigen shim
 and compares per-pricer means against the rebuild at matched config.  The
 heavyweight report lives in parity/run_parity.py; this test runs a reduced
-rep count and gates at 3 combined stderr (a 2-stderr gate on 8 independent
-comparisons has a ~27% false-failure rate; PARITY_CPP.md records the full
-2-stderr table, currently worst |z| = 1.18)."""
+rep count.
+
+Gate design (de-flaked, round 3): the per-attempt gate is worst |z| <= 3
+over 8 independent pricer/type comparisons, whose null false-failure rate
+is 1 - (2*Phi(3) - 1)^8 ~= 2.1% — material enough that CI would redden
+weekly.  The test therefore redraws BOTH sides (the C++ side reseeds from
+random_device by construction, RoughVolatility.cpp:239; ours advances
+seed0) up to 3 attempts and fails only if every attempt exceeds the gate:
+null family-wise false-failure ~= 0.021^3 ~= 1e-5, while a REAL parity
+break (|bias| >> stderr) fails every attempt.  The observed |z| table is
+printed on failure."""
 
 import os
 import shutil
@@ -14,6 +22,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 PARITY = os.path.join(os.path.dirname(HERE), "parity")
@@ -32,11 +42,25 @@ def test_compiled_reference_head_to_head():
     np.savetxt(hist_file, hist)
 
     reps, steps, paths = 8, 63, 2000
-    cpp, strike = run_parity.run_cpp(exe, hist_file, steps, paths, reps,
-                                     0.02)
-    ours, _ = run_parity.run_ours(hist, steps, paths, reps, strike)
-    lines, worst = run_parity.compare(cpp, ours, reps)
-    assert worst <= 3.0, lines
+    attempts = []
+    for attempt in range(3):
+        cpp, strike = run_parity.run_cpp(exe, hist_file, steps, paths,
+                                         reps, 0.02)
+        ours, _ = run_parity.run_ours(hist, steps, paths, reps, strike,
+                                      seed0=1000 + 100000 * attempt)
+        lines, worst = run_parity.compare(cpp, ours, reps)
+        if worst <= 3.0:
+            return
+        attempts.append((worst, lines))
+    table = "\n".join(
+        f"attempt {i}: worst |z| = {w:.2f}\n" + "\n".join(
+            f"  {typ:4s} {k:11s} cpp={ma:.4f} ours={mb:.4f} "
+            f"delta={d:+.4f} se={se:.4f} |z|={z:.2f}"
+            for typ, k, ma, mb, d, se, z in ls)
+        for i, (w, ls) in enumerate(attempts))
+    raise AssertionError(
+        "compiled-C++ parity exceeded 3 combined stderr on all 3 "
+        "independent redraws (null probability ~1e-5):\n" + table)
 
 
 @pytest.mark.skipif(

@@ -222,6 +222,7 @@ def test_tiled_streaming_price_matches_xla():
     assert abs(p_xla - p_tiled) < 0.3  # ~3 MC stderr at 16k paths
 
 
+@pytest.mark.slow
 def test_streaming_greeks_match_in_memory_ad():
     """Streaming forward-mode Greeks agree with the in-memory reverse-mode
     estimator (models/greeks.py) within MC error, and obey put bounds."""
@@ -457,6 +458,7 @@ def test_tiled_cv_streaming_matches_xla_cv():
     assert abs(p_xla - p_til) < 0.25, (p_xla, p_til)
 
 
+@pytest.mark.slow
 def test_streaming_price_stderr_calibrated():
     """StreamingPricer.price(with_stderr=True): the chunk-total stderr is
     the same order as the empirical spread across independent keys (the
@@ -484,6 +486,7 @@ def test_streaming_price_stderr_single_chunk_is_nan():
     assert np.isfinite(price) and np.isnan(se)
 
 
+@pytest.mark.slow
 def test_cv_price_stderr_reflects_variance_reduction():
     """The CV configuration's stderr comes from the CORRECTED chunk totals:
     it must be materially below the plain estimator's stderr for a

@@ -58,6 +58,7 @@ def test_tiled_pathgen_matches_single_tile_kernel(rng):
     np.testing.assert_allclose(a, b, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_tiled_priced_kernel_matches_xla_policy(rng):
     """Tiled fused (paths + LSM policy) == XLA generator + lsm_policy_value
     on identical injected noise, across a multi-tile horizon."""
@@ -91,6 +92,7 @@ def test_tiled_priced_kernel_matches_xla_policy(rng):
     np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_tiled_priced_first_exercise_across_tiles(rng):
     """A path that exercises in tile 0 must NOT contribute again from a
     later tile (the cross-tile stopped flag)."""

@@ -40,6 +40,7 @@ def test_sharded_mean_payoff_european_call():
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_sharded_prices_match_unsharded_distribution():
     # 8-way sharded pricing must agree with single-device pricing within MC
     # error at equal path counts (different RNG streams by construction).
@@ -116,6 +117,7 @@ print("OK")
     assert "OK" in out.stdout
 
 
+@pytest.mark.slow
 def test_init_distributed_bad_coordinator_fails_loudly():
     """A genuinely bad multi-host bootstrap must fail LOUDLY — either a
     Python exception from init_distributed or the coordination client's
@@ -148,6 +150,7 @@ else:
     assert not (out.returncode == 0 and "SILENT" in out.stdout), out.stdout
 
 
+@pytest.mark.slow
 def test_two_process_distributed_pricing():
     """GENUINE multi-process pricing: two OS processes bootstrap
     jax.distributed (Gloo collectives — the CPU stand-in for DCN), build a
