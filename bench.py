@@ -118,6 +118,8 @@ def main() -> None:
                               cumsum_impl="matmul",
                               pallas_block_paths=int(
                                   os.environ.get("BENCH_BLOCK", 512)),
+                              tiled_impl=os.environ.get(
+                                  "BENCH_TILED", "auto"),
                               fgn_matmul_dtype=os.environ.get(
                                   "BENCH_FGN_DTYPE", default_fgn))
     pricer = engine.StreamingPricer(S0, XI, H, ETA, RHO, R, STRIKE,

@@ -87,7 +87,11 @@ def _consts(s0, xi, h, eta, rho, r, n_steps: int, dt: float, fgn_dtype):
     vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
         jnp.asarray(vd, jnp.float32))
     tri = jnp.asarray(np.triu(np.ones((TILE, TILE), np.float32)))
-    su = jnp.asarray(np.triu(np.ones((TILE, TILE), np.float32), k=1))
+    # {0,1} indicators are exact in bf16 and the accumulation is f32, so
+    # the per-tile prior-exercise count matmul runs at the bf16 MXU rate
+    # (the single-tile kernel's su is bf16 for the same reason).
+    su = jnp.asarray(np.triu(np.ones((TILE, TILE), np.float32), k=1),
+                     jnp.bfloat16)
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
               dt=float(dt), log_s0=float(math.log(s0)))
     return s_pad, (cr_p, ci_p, vd_p, tri, su), kw
@@ -129,7 +133,8 @@ def _policy_tile(s, pol_ref, su_ref, stop_ref, *, is_call: bool,
     z = (s - mu) / sd
     cont = (c2 * z + c1) * z + c0
     exf = ((p > eps) & (p >= cont)).astype(jnp.float32)
-    prior = jnp.dot(exf, su_ref[:], preferred_element_type=jnp.float32)
+    prior = jnp.dot(exf.astype(su_ref.dtype), su_ref[:],
+                    preferred_element_type=jnp.float32)
     first = exf * (prior == 0.0) * (stop_ref[:] == 0.0)
     stop_ref[:] = jnp.maximum(stop_ref[:],
                               jnp.max(exf, axis=1, keepdims=True))
