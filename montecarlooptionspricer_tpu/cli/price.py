@@ -53,7 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(is_call=False)
     p.add_argument("--greeks", action="store_true",
                    help="also report pathwise delta / vega_xi / vega_eta "
-                        "/ rho")
+                        "/ rho / vega_h")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--chunk-paths", type=int, default=1 << 17)
     p.add_argument("--pathgen", choices=("pallas", "xla"), default="pallas",
@@ -161,12 +161,13 @@ def main(argv=None) -> int:
             **market, strike=args.strike, maturity=args.maturity,
             is_call=args.is_call, config=cfg)
         if args.greeks:
-            (price, delta, vega_xi, vega_eta,
-             rho_rate) = pricer.price_and_greeks(key)
+            (price, delta, vega_xi, vega_eta, rho_rate,
+             vega_h) = pricer.price_and_greeks(key)
             out = {"price": round(price, 6), "delta": round(delta, 6),
                    "vega_xi": round(vega_xi, 6),
                    "vega_eta": round(vega_eta, 6),
-                   "rho_rate": round(rho_rate, 6)}
+                   "rho_rate": round(rho_rate, 6),
+                   "vega_h": round(vega_h, 6)}
         elif args.bounds:
             lower, upper, lo_se, up_se = pricer.price_with_bounds(
                 key, with_stderr=True)
@@ -287,11 +288,16 @@ def serve(args, mkt) -> int:
                     f"paths={n_paths} exceeds --max-paths="
                     f"{int(args.max_paths)}")
             seed = int(req.get("seed", args.seed))
+            # Hurst is NOT part of the compiled market: the bucketed
+            # pricer is built traced_h=True, so intraday H recalibration
+            # reprices against the same compiled programs (no LRU churn,
+            # no compile latency on the quote path).
+            hurst = float(req.get("hurst", args.hurst))
             market = tuple(
                 float(req.get(name, getattr(args, attr)))
                 for name, attr in (("s0", "s0"), ("xi", "xi"),
-                                   ("hurst", "hurst"), ("eta", "eta"),
-                                   ("rho", "rho"), ("r", "r")))
+                                   ("eta", "eta"), ("rho", "rho"),
+                                   ("r", "r")))
 
             pathgen = args.pathgen
             if jax.devices()[0].platform != "tpu" and pathgen == "pallas":
@@ -327,20 +333,21 @@ def serve(args, mkt) -> int:
                     pilot_paths=min(1 << 16, chunk), chunks_per_call=64,
                     pathgen_impl=pathgen, cumsum_impl="matmul",
                     qmc=args.qmc)
-                s0, xi, h, eta, rho, r = market
+                s0, xi, eta, rho, r = market
                 pricer = engine.StreamingChainPricer(
-                    s0, xi, h, eta, rho, r, strikes=padded,
+                    s0, xi, hurst, eta, rho, r, strikes=padded,
                     maturity=bucket / mkt.trading_days, is_call=is_call,
-                    config=cfg, bucketed=True)
+                    config=cfg, bucketed=True, traced_h=True)
                 pricers[cache_key] = pricer
                 made += 1
                 if len(pricers) > max_pricers:
                     pricers.popitem(last=False)   # evict LRU
             prices, stderrs = pricer.price(
                 jax.random.key(seed), strikes=padded, n_paths=n_paths,
-                n_steps_live=n_steps, maturity=maturity, with_stderr=True)
+                n_steps_live=n_steps, maturity=maturity, with_stderr=True,
+                hurst=hurst)
             prices, stderrs = prices[:n_k], stderrs[:n_k]
-            s0, _, _, _, _, r = market
+            s0, _, _, _, r = market
             ivs = [implied_vol(float(v), s0, k, r, maturity, is_call)
                    for v, k in zip(prices, strikes)]
             respond({

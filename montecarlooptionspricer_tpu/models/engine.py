@@ -75,6 +75,13 @@ class StreamConfig:
     # HBM; fastest measured form, TPU only).  Distribution-equivalent,
     # different RNG streams.
     pathgen_impl: str = "xla"
+    # Long-horizon fused-kernel algorithm (past the single-tile VMEM cap):
+    # "factored" — four-step Cooley-Tukey DFT on the MXU, O(m2 * 128)
+    # MACs/path (pathgen_pallas_factored; ~7x fewer FLOPs at 1825 steps);
+    # "slab" — dense [s_pad, s_pad] spectral matmul streamed as column
+    # slabs (pathgen_pallas_tiled); "auto" — factored where supported,
+    # slab otherwise.
+    tiled_impl: str = "auto"
     # Grid block height for the Pallas kernels.  At 365 steps on v5e the
     # fused kernel measures 36.3M paths/s at 512 vs 32.7M at 256 (fewer
     # grid launches, better VPU occupancy); 768+ exceeds the 16M scoped
@@ -135,10 +142,21 @@ def _fgn_matrices_host(n_steps: int, h: float, eta: float, dt: float,
     return jnp.asarray(cr, dtype), jnp.asarray(ci, dtype)
 
 
+def _safe_tpow(t, p):
+    """t**p with a traced exponent, safe at t == 0 under AD: jnp.power's
+    exponent-JVP is x**p * log(x) -> nan at x = 0; route through a
+    where-guarded exp/log so value AND derivative are 0 there (the
+    correct limit for p > 0)."""
+    pos = t > 0
+    safe_t = jnp.where(pos, t, 1.0)
+    return jnp.where(pos, jnp.exp(p * jnp.log(safe_t)), 0.0)
+
+
 def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                        chunk_paths: int, dtype=jnp.float32,
                        fgn_dtype=jnp.float32, cumsum_impl: str = "cumsum",
-                       qmc: bool = False, fgn_impl: str = "matmul"):
+                       qmc: bool = False, fgn_impl: str = "matmul",
+                       traced_h: bool = False):
     """Build chunk_paths-sized rBergomi generator key -> [chunk, steps+1]
     using the MXU fGN matmul.  Statistically identical to
     rough_volatility.generate_paths (different RNG stream layout).
@@ -177,7 +195,16 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     #       horizons (1825 steps) the matmul form's quadratic FLOPs
     #       dominate the whole generator; the FFT form trades them for one
     #       batched complex64 FFT.
-    if fgn_impl == "fft":
+    if traced_h:
+        # Hurst becomes a CALL-TIME (possibly traced) scalar: the spectral
+        # matrices are built in-graph (ops/fgn, f32) instead of baked from
+        # host float64.  The [n, n] build costs ~1/chunk_paths of the fGN
+        # matmul itself, so per-chunk rebuilds are noise; what it buys is
+        # (a) vega_h via forward-mode AD and (b) recompile-free H
+        # recalibration in serve mode.
+        if fgn_impl != "matmul":
+            raise ValueError("traced_h requires the matmul fGN synthesis")
+    elif fgn_impl == "fft":
         t64 = np.arange(n_steps + 1, dtype=np.float64) * dt
         lam = 0.5 * t64 ** (2.0 * h)
         m1 = 1
@@ -223,10 +250,13 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         # covariance factor, differenced to increments (M M^T = dt*I).
         pca_t = jnp.asarray(qmc_mod.brownian_pca_matrix(n_steps, dt)).T
 
-    def gen_with_params(key, s0_, xi_, r_, eta_, n_live=None):
+    def gen_with_params(key, s0_, xi_, r_, eta_, n_live=None, h_=None):
         """(s0, xi, r, eta) as call-time (possibly traced) scalars — the AD
-        surface for streaming Greeks; h (and the irrelevant rho, see above)
-        stays baked into the host-precomputed spectral matrices.
+        surface for streaming Greeks.  With ``traced_h`` at build time,
+        ``h_`` joins them (in-graph spectral build, completing the Greek
+        set with vega_h); otherwise h stays baked into the
+        host-precomputed spectral matrices and ``h_`` must be None.  rho
+        is distributionally irrelevant either way (see above).
 
         ``n_live`` (optional traced int): zero the log-price increments at
         steps >= n_live, so the path stays FLAT past its true horizon — the
@@ -234,6 +264,24 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         count price any shorter-dated contract exactly (cf.
         rough_volatility.generate_paths_bucketed / lsm.lsm_fit's
         pad-step-identity semantics)."""
+        if traced_h:
+            from ..ops.fgn import fgn_matrices
+
+            hh = jnp.asarray(h if h_ is None else h_, jnp.float32)
+            lam = 0.5 * _safe_tpow(t, 2.0 * hh)
+            # Pad to the same next_pow2 M1 the host build uses.
+            m1 = 1
+            while m1 < n_steps + 1:
+                m1 <<= 1
+            phi_t = jnp.conj(jnp.fft.fft(lam, n=m1))
+            cr_t, ci_t = fgn_matrices(phi_t, n_steps, hh, 1.0, fgn_dtype)
+            t_pow_ = _safe_tpow(t[:n_steps], 2.0 * hh)
+        else:
+            if h_ is not None:
+                raise ValueError("h is baked in; build with traced_h=True")
+            t_pow_ = t_pow
+            if fgn_impl == "matmul":
+                cr_t, ci_t = cr, ci
         kz, kw = jax.random.split(key)
         if fgn_impl == "fft":
             zf = jax.random.normal(kz, (2, chunk_paths, n_steps),
@@ -254,11 +302,11 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                                    dtype) * sqrt_dt
         if fgn_impl == "matmul":
             z = jax.random.normal(kz, (2, chunk_paths, n_steps), fgn_dtype)
-            x_hat = (jnp.matmul(z[0], cr,
+            x_hat = (jnp.matmul(z[0], cr_t,
                                 preferred_element_type=jnp.float32)
-                     - jnp.matmul(z[1], ci,
+                     - jnp.matmul(z[1], ci_t,
                                   preferred_element_type=jnp.float32))
-        v = xi_ * jnp.exp(eta_ * x_hat - 0.5 * (eta_ * eta_) * t_pow)
+        v = xi_ * jnp.exp(eta_ * x_hat - 0.5 * (eta_ * eta_) * t_pow_)
         inc = (r_ - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
         if n_live is not None:
             col = jnp.arange(n_steps, dtype=jnp.int32)[None, :]
@@ -273,6 +321,29 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
 
     gen.with_params = gen_with_params
     return gen
+
+
+def _resolve_tiled_module(config: "StreamConfig", n_steps: int, fgn_dtype):
+    """Long-horizon fused-kernel module for step counts past the
+    single-tile VMEM cap, honoring StreamConfig.tiled_impl; None when
+    neither kernel's budget covers the horizon (the XLA generator takes
+    over).  Both modules expose make_tiled_pathgen /
+    make_tiled_priced_chunk with identical seed and policy-table
+    semantics, so callers are agnostic to the algorithm."""
+    from . import pathgen_pallas_factored, pathgen_pallas_tiled
+
+    impl = config.tiled_impl
+    if impl not in ("auto", "factored", "slab"):
+        raise ValueError(f"unknown tiled_impl: {impl!r}")
+    block = config.pallas_block_paths
+    if impl in ("auto", "factored") and pathgen_pallas_factored.supports(
+            n_steps, block, fgn_dtype):
+        return pathgen_pallas_factored
+    if impl == "factored":
+        return None
+    if pathgen_pallas_tiled.supports(n_steps, block, fgn_dtype):
+        return pathgen_pallas_tiled
+    return None
 
 
 def _resolve_fgn_impl(config: "StreamConfig", n_steps: int) -> str:
@@ -657,29 +728,30 @@ class StreamingPricer:
             # a device constant they can't consume.  QMC rides the XLA
             # generator (still MXU fGN + matmul cumsum).
             pathgen_impl = "xla"
-        tiled = False
+        tiled = None
         if pathgen_impl == "pallas":
-            from . import pathgen_pallas, pathgen_pallas_tiled
+            from . import pathgen_pallas
 
             if pathgen_pallas.supports(n_steps):
                 pass  # single-tile kernel: everything VMEM-resident
-            elif pathgen_pallas_tiled.supports(
-                    n_steps, config.pallas_block_paths, fgn_dtype):
-                # Past ~512 padded steps the [s_pad, s_pad] matrices leave
-                # VMEM; the step-tiled kernel streams them as column slabs
-                # and covers the reference's full 1825-step horizon.
-                tiled = True
             else:
-                # Beyond even the tiled kernel's noise-scratch budget the
-                # XLA generator handles any length (HBM-resident matrices).
-                pathgen_impl = "xla"
+                # Past ~512 padded steps the single-tile kernel's
+                # VMEM-resident [s_pad, s_pad] matrices don't fit; a
+                # long-horizon kernel module takes over (factored
+                # four-step DFT by default, dense slab streaming as the
+                # fallback/escape hatch).  Beyond even those budgets the
+                # XLA generator handles any length (HBM-resident
+                # matrices).
+                tiled = _resolve_tiled_module(config, n_steps, fgn_dtype)
+                if tiled is None:
+                    pathgen_impl = "xla"
         if pathgen_impl == "pallas":
-            if tiled:
-                pilot_gen, _ = pathgen_pallas_tiled.make_tiled_pathgen(
+            if tiled is not None:
+                pilot_gen, _ = tiled.make_tiled_pathgen(
                     s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
                     block_paths=config.pallas_block_paths,
                     fgn_dtype=fgn_dtype)
-                chunk_gen, _ = pathgen_pallas_tiled.make_tiled_pathgen(
+                chunk_gen, _ = tiled.make_tiled_pathgen(
                     s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
                     block_paths=config.pallas_block_paths,
                     fgn_dtype=fgn_dtype)
@@ -709,7 +781,7 @@ class StreamingPricer:
         else:
             raise ValueError(f"unknown pathgen_impl: {config.pathgen_impl!r}")
         self._pathgen_impl = pathgen_impl
-        self._pathgen_tiled = tiled
+        self._pathgen_tiled = tiled is not None
 
         ax = axis_name if mesh is not None else None
         if mesh is None:
@@ -800,13 +872,12 @@ class StreamingPricer:
             # single-tile and step-tiled horizons.
             from . import pathgen_pallas
 
-            if tiled:
-                priced_chunk_cv, _ = (
-                    pathgen_pallas_tiled.make_tiled_priced_chunk(
-                        s0, xi, h, eta, rho, r, strike, maturity, dt,
-                        n_steps, config.chunk_paths,
-                        block_paths=config.pallas_block_paths,
-                        is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True))
+            if tiled is not None:
+                priced_chunk_cv, _ = tiled.make_tiled_priced_chunk(
+                    s0, xi, h, eta, rho, r, strike, maturity, dt,
+                    n_steps, config.chunk_paths,
+                    block_paths=config.pallas_block_paths,
+                    is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True)
             else:
                 priced_chunk_cv, _ = pathgen_pallas.make_pallas_priced_chunk(
                     s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
@@ -851,8 +922,8 @@ class StreamingPricer:
                 and config.poly_order == 2 and not self._cv):
             from . import pathgen_pallas
 
-            if tiled:
-                priced_chunk, _ = pathgen_pallas_tiled.make_tiled_priced_chunk(
+            if tiled is not None:
+                priced_chunk, _ = tiled.make_tiled_priced_chunk(
                     s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
                     config.chunk_paths,
                     block_paths=config.pallas_block_paths,
@@ -896,17 +967,19 @@ class StreamingPricer:
         # input, O(chunk) memory at any path count (reverse mode would have
         # to checkpoint every chunk).  The exercise policy (pilot fits) is
         # held fixed — the envelope derivative, standard for LSM Greeks.
-        xla_gen = (chunk_gen if pathgen_impl == "xla" else
-                   make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
-                                      config.chunk_paths, dtype, fgn_dtype,
-                                      config.cumsum_impl, qmc=config.qmc,
-                fgn_impl=_resolve_fgn_impl(config, n_steps)))
-        xla_pilot = (pilot_gen if pathgen_impl == "xla" else
-                     make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
-                                        config.pilot_paths, dtype, fgn_dtype,
-                                        config.cumsum_impl, qmc=config.qmc,
-                fgn_impl=_resolve_fgn_impl(config, n_steps)))
-        self._market = (float(s0), float(xi), float(r), float(eta))
+        # Dedicated traced-H builds (never reused from the price path):
+        # Hurst joins the AD surface, so the in-graph spectral build is
+        # mandatory here regardless of the price path's generator.
+        xla_gen = make_chunk_pathgen(
+            s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths, dtype,
+            fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+            fgn_impl="matmul", traced_h=True)
+        xla_pilot = make_chunk_pathgen(
+            s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths, dtype,
+            fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+            fgn_impl="matmul", traced_h=True)
+        self._market = (float(s0), float(xi), float(r), float(eta),
+                        float(h))
 
         # Greeks always ride threefry keys (the AD surface is the XLA
         # generator), so their shard mix is key-based even when the price
@@ -927,12 +1000,12 @@ class StreamingPricer:
             k = xla_shard_mix(k)
 
             def value(params):
-                s0_, xi_, r_, eta_ = params
+                s0_, xi_, r_, eta_, h_ = params
 
                 def body(i, total):
                     paths = xla_gen.with_params(
                         jax.random.fold_in(k, start + i), s0_, xi_, r_,
-                        eta_)
+                        eta_, h_=h_)
                     s, _ = lsm_policy_value(paths, fits, r_, strike,
                                             maturity, dt, is_call)
                     return total + s.astype(jnp.float32)
@@ -942,21 +1015,22 @@ class StreamingPricer:
                     init = _pvary(init, ax)
                 return jax.lax.fori_loop(0, count, body, init)
 
-            # One vmapped jvp over the four basis tangents: the primal
+            # One vmapped jvp over the five basis tangents: the primal
             # computation is tangent-independent, so vmap leaves it
-            # unbatched (computed once) and only the tangent path runs x4 —
-            # ~primal + 4 tangents instead of 4 x (primal + tangent).
+            # unbatched (computed once) and only the tangent path runs x5 —
+            # ~primal + 5 tangents instead of 5 x (primal + tangent).
             # (jax.linearize would share the primal too, but it has to
             # store per-iteration residuals of the chunk fori_loop — the
             # O(n_chunks * chunk) memory this streaming design exists to
             # avoid.)
-            eye = jnp.eye(4, dtype=jnp.float32)
-            tangents = tuple(eye[:, j] for j in range(4))
+            eye = jnp.eye(5, dtype=jnp.float32)
+            tangents = tuple(eye[:, j] for j in range(5))
             vals, grads = jax.vmap(
                 lambda t: jax.jvp(value, (market,), (t,)))(tangents)
-            # params order is (s0, xi, r, eta); report order is
-            # (price, delta, vega_xi, vega_eta, rho_rate).
-            return vals[0], grads[0], grads[1], grads[3], grads[2]
+            # params order is (s0, xi, r, eta, h); report order is
+            # (price, delta, vega_xi, vega_eta, rho_rate, vega_h).
+            return (vals[0], grads[0], grads[1], grads[3], grads[2],
+                    grads[4])
 
         # --- streaming duality bounds: LSM lower + dual upper ------------
         # Same chunks price both sides: the fitted-policy value (lower
@@ -1126,16 +1200,17 @@ class StreamingPricer:
                 float(_chunk_stderr(up, usq, m, per)))
 
     def price_and_greeks(self, key, n_paths: Optional[int] = None):
-        """(price, delta, vega_xi, vega_eta, rho_rate) at streaming scale:
-        forward-mode pathwise derivatives w.r.t. (s0, xi, r, eta)
-        accumulated chunk by chunk — Greeks on 1e8+ paths in O(chunk)
-        memory, with the exercise policy fixed from the pilot fit.
-        vega_eta (vol-of-vol sensitivity, the rough-vol hedge users
-        actually run) is possible because the fGN is linear in eta, so eta
-        factors out of the host-precomputed spectral matrices; only H (and
-        the distribution-irrelevant rho) remain non-differentiable.  Uses
-        the XLA generator (threefry keys) regardless of ``pathgen_impl``;
-        with a mesh, chunks shard across devices (the jvp composes with
+        """(price, delta, vega_xi, vega_eta, rho_rate, vega_h) at
+        streaming scale: forward-mode pathwise derivatives w.r.t.
+        (s0, xi, r, eta, h) accumulated chunk by chunk — Greeks on 1e8+
+        paths in O(chunk) memory, with the exercise policy fixed from the
+        pilot fit.  vega_eta (vol-of-vol sensitivity) rides the
+        eta-linearity of the fGN; vega_h (roughness sensitivity,
+        completing the Greek set) rides the traced-H in-graph spectral
+        build (make_chunk_pathgen traced_h) — only the
+        distribution-irrelevant rho has no derivative.  Uses the XLA
+        generator (threefry keys) regardless of ``pathgen_impl``; with a
+        mesh, chunks shard across devices (the jvp composes with
         shard_map; partial sums stack and reduce on the host).  No
         reference equivalent."""
         config = self.config
@@ -1150,16 +1225,17 @@ class StreamingPricer:
         fits = self._greek_fit(k_pilot)
         market = tuple(jnp.float32(v) for v in self._market)
 
-        totals = np.zeros(5, np.float64)
+        totals = np.zeros(6, np.float64)
         done = 0
         while done < n_chunks:
             count = min(config.chunks_per_call, n_chunks - done)
             out = self._greek_stream(k_stream, fits, done, count, market)
             totals += np.asarray(jax.device_get(out), np.float64)
             done += count
-        price, delta, vega_xi, vega_eta, rho_rate = totals / n_paths
+        (price, delta, vega_xi, vega_eta, rho_rate,
+         vega_h) = totals / n_paths
         return (float(price), float(delta), float(vega_xi),
-                float(vega_eta), float(rho_rate))
+                float(vega_eta), float(rho_rate), float(vega_h))
 
 
 class StreamingChainPricer:
@@ -1189,8 +1265,15 @@ class StreamingChainPricer:
 
     def __init__(self, s0, xi, h, eta, rho, r, strikes, maturity,
                  is_call: bool, config: StreamConfig, mesh=None,
-                 axis_name: str = "data", bucketed: bool = False):
-        """``bucketed=True`` compiles the pricer at config.n_steps as a
+                 axis_name: str = "data", bucketed: bool = False,
+                 traced_h: bool = False):
+        """``traced_h=True`` (bucketed only) additionally makes the HURST
+        exponent a traced per-call input (``price(..., hurst=)``): the
+        spectral matrices build in-graph (make_chunk_pathgen traced_h), so
+        a desk recalibrating H intraday reprices against the SAME compiled
+        programs — the serve-mode fast path (cli/price.py --serve).
+
+        ``bucketed=True`` compiles the pricer at config.n_steps as a
         step BUCKET: ``price(..., n_steps_live=, maturity=)`` then prices
         any contract with n_steps_live <= n_steps against the same
         compiled programs — paths stay flat past the live horizon
@@ -1211,7 +1294,12 @@ class StreamingChainPricer:
         strikes_f = [float(v) for v in np.asarray(strikes)]
         n_k = len(strikes_f)
         self._bucketed = bool(bucketed)
+        self._traced_h = bool(traced_h)
+        self._h = float(h)
         self._maturity = float(maturity)
+        if traced_h and not bucketed:
+            raise ValueError("traced_h requires bucketed=True (the "
+                             "serving configuration)")
 
         pathgen_impl = config.pathgen_impl
         if config.qmc or bucketed:
@@ -1247,13 +1335,27 @@ class StreamingChainPricer:
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
                 dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
-                fgn_impl=_resolve_fgn_impl(config, n_steps))
+                fgn_impl=_resolve_fgn_impl(config, n_steps),
+                traced_h=traced_h)
             chunk_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
                 dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
-                fgn_impl=_resolve_fgn_impl(config, n_steps))
+                fgn_impl=_resolve_fgn_impl(config, n_steps),
+                traced_h=traced_h)
 
-        if bucketed:
+        if traced_h:
+            def fit_fn(k, strikes_, n_live, mat, hurst):
+                pilot = pilot_gen.with_params(shard_mix(k), s0, xi, r, eta,
+                                              n_live, h_=hurst)
+
+                def one(strike):
+                    _, fits = lsm_fit(pilot, r, strike, mat, dt, is_call,
+                                      config.poly_order, axis_name=ax,
+                                      n_steps=n_live)
+                    return fits
+
+                return jax.vmap(one)(strikes_)
+        elif bucketed:
             def fit_fn(k, strikes_, n_live, mat):
                 pilot = pilot_gen(shard_mix(k), n_live)
 
@@ -1316,12 +1418,17 @@ class StreamingChainPricer:
                 return (jnp.where(ex0, all0, totals),
                         jnp.where(ex0, sq0, sumsq))
         elif bucketed:
-            def stream_fn(k, fits, strikes_, start, count, n_live, mat):
+            def stream_fn(k, fits, strikes_, start, count, n_live, mat,
+                          *hurst):
                 k = shard_mix(k)
 
                 def chunk_vals(i):
-                    paths = chunk_gen(jax.random.fold_in(k, start + i),
-                                      n_live)
+                    kk = jax.random.fold_in(k, start + i)
+                    if traced_h:
+                        paths = chunk_gen.with_params(kk, s0, xi, r, eta,
+                                                      n_live, h_=hurst[0])
+                    else:
+                        paths = chunk_gen(kk, n_live)
 
                     def one(strike, fit):
                         s, _ = lsm_policy_value(paths, fit, r, strike,
@@ -1369,14 +1476,15 @@ class StreamingChainPricer:
             self._stream = jax.jit(stream_fn)
         else:
             replicated_out, summed_out = _shard_map_wrappers(mesh, axis_name)
-            n_fit_in = 4 if bucketed else 2
-            n_stream_in = 7 if bucketed else 5
+            n_fit_in = 5 if traced_h else (4 if bucketed else 2)
+            n_stream_in = 8 if traced_h else (7 if bucketed else 5)
             self._fit = replicated_out(fit_fn, n_fit_in)
             self._stream = summed_out(stream_fn, n_stream_in)
 
     def price(self, key, progress=None, n_paths: Optional[int] = None,
               strikes=None, n_steps_live: Optional[int] = None,
-              maturity: Optional[float] = None, with_stderr: bool = False):
+              maturity: Optional[float] = None, with_stderr: bool = False,
+              hurst: Optional[float] = None):
         """[K] prices for the strike strip on ``n_paths`` shared paths
         (times the mesh size when sharded).  ``with_stderr=True`` returns
         (prices, stderrs): per-strike standard errors of the streamed
@@ -1408,6 +1516,10 @@ class StreamingChainPricer:
             raise ValueError(
                 "n_steps_live/maturity are per-call inputs only for a "
                 "bucketed pricer (construct with bucketed=True)")
+        if hurst is not None and not self._traced_h:
+            raise ValueError("hurst is a per-call input only for a "
+                             "traced-H pricer (construct with "
+                             "traced_h=True)")
         if strikes is None:
             strikes = self.strikes
         else:
@@ -1432,6 +1544,9 @@ class StreamingChainPricer:
             mat = jnp.float32(self._maturity if maturity is None
                               else maturity)
             fit_args = (nl, mat)
+            if self._traced_h:
+                fit_args += (jnp.float32(self._h if hurst is None
+                                         else hurst),)
         else:
             fit_args = ()
         fits = self._fit(k_pilot, strikes, *fit_args)

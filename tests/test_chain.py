@@ -242,3 +242,32 @@ def test_chain_stderr_single_chunk_is_nan():
         config=cfg)
     p, se = ch.price(jax.random.key(0), with_stderr=True)
     assert np.isfinite(p[0]) and np.isnan(se[0])
+
+
+def test_traced_h_chain_reprices_fresh_hurst():
+    """traced_h=True: the Hurst exponent is a per-call traced input — a
+    changed H reprices against the SAME compiled programs and matches a
+    pricer BUILT at that H (spectral matrices build in-graph, f32, vs the
+    baked host-f64 path: tolerance covers the precision delta)."""
+    cfg = engine.StreamConfig(n_paths=1 << 13, n_steps=32,
+                              chunk_paths=1 << 11, pilot_paths=1 << 11)
+    kw = dict(strikes=[95.0, 100.0, 105.0], maturity=32 / 252.0,
+              is_call=False, config=cfg, bucketed=True)
+    tr = engine.StreamingChainPricer(100.0, 0.04, 0.2, 1.0, -0.4, 0.04,
+                                     **kw, traced_h=True)
+    key = jax.random.key(3)
+    call = dict(n_steps_live=24, maturity=24 / 252.0)
+    p_a = tr.price(key, **call, hurst=0.2)
+    p_b = tr.price(key, **call, hurst=0.35)
+    assert not np.allclose(p_a, p_b)      # H genuinely moves the price
+    # matches a pricer constructed at the new H (same keys, baked f64
+    # matrices vs the in-graph f32 build)
+    st = engine.StreamingChainPricer(100.0, 0.04, 0.35, 1.0, -0.4, 0.04,
+                                     **kw)
+    p_ref = st.price(key, **call)
+    np.testing.assert_allclose(p_b, p_ref, rtol=5e-3, atol=0.02)
+    # default hurst = the construction-time value
+    np.testing.assert_allclose(tr.price(key, **call), p_a)
+    # hurst on a non-traced pricer is an error
+    with pytest.raises(ValueError):
+        st.price(key, **call, hurst=0.3)

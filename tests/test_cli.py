@@ -264,3 +264,36 @@ def test_price_cli_serve_guards_and_reuse_buckets():
     assert not r6["compiled"] and r6["n_paths"] == 2048
     # every served price carries an error bar
     assert len(r6["stderrs"]) == 3
+
+
+@pytest.mark.slow
+def test_price_cli_serve_reprices_fresh_hurst_without_recompile():
+    """Serve mode: H is a traced per-request input (the pricer is built
+    traced_h=True and hurst stays out of the cache key), so intraday H
+    recalibration reprices with compiled=false."""
+    import json
+    import subprocess
+    import sys
+
+    reqs = "\n".join([
+        json.dumps({"id": 1, "strikes": [95.0, 105.0], "put": True,
+                    "maturity": 0.1, "steps": 8, "paths": 1024,
+                    "hurst": 0.1}),
+        json.dumps({"id": 2, "strikes": [95.0, 105.0], "put": True,
+                    "maturity": 0.1, "steps": 8, "paths": 1024,
+                    "hurst": 0.35}),
+    ]) + "\n"
+    prog = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+            "from montecarlooptionspricer_tpu.cli.price import main; "
+            "sys.exit(main(['--serve', '--chunk-paths', '1024', "
+            "'--pathgen', 'xla']))")
+    out = subprocess.run(
+        [sys.executable, "-c", prog],
+        input=reqs, capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    r1, r2 = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert r1["compiled"]
+    assert not r2["compiled"]            # fresh H, same programs
+    # rougher vs smoother vol changes the near-the-money price
+    assert r1["prices"] != r2["prices"]

@@ -233,9 +233,10 @@ def test_streaming_greeks_match_in_memory_ad():
     kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
                   strike=102.0, maturity=32 / 252.0, is_call=False)
     p = engine.StreamingPricer(**kwargs, config=cfg)
-    (price, delta, vega_xi, vega_eta,
-     rho_rate) = p.price_and_greeks(jax.random.key(7))
+    (price, delta, vega_xi, vega_eta, rho_rate,
+     vega_h) = p.price_and_greeks(jax.random.key(7))
     assert price > 0 and -1.0 <= delta <= 0.0 and vega_xi > 0.0
+    assert np.isfinite(vega_h)
     g = greeks_mod.lsm_greeks(jax.random.key(7), s0=100.0, xi=0.04, h=0.2,
                               eta=1.0, rho=-0.4, r=0.04, strike=102.0,
                               maturity=32 / 252.0, n_steps=32,
@@ -246,7 +247,7 @@ def test_streaming_greeks_match_in_memory_ad():
     assert np.isfinite(vega_eta)
     # deterministic per seed
     assert p.price_and_greeks(jax.random.key(7)) == (
-        price, delta, vega_xi, vega_eta, rho_rate)
+        price, delta, vega_xi, vega_eta, rho_rate, vega_h)
 
 
 def test_streaming_vega_eta_matches_finite_difference():
@@ -268,6 +269,29 @@ def test_streaming_vega_eta_matches_finite_difference():
     p_dn = make(eta0 - h_eta).price_and_greeks(key)[0]
     fd = (p_up - p_dn) / (2 * h_eta)
     assert vega_eta == pytest.approx(fd, abs=0.02 + 0.15 * abs(fd))
+
+
+def test_streaming_vega_h_matches_finite_difference():
+    """vega_h (roughness sensitivity, new in round 3) must match a
+    central finite difference of the streamed price in the Hurst
+    exponent — same keys => common random numbers, low-noise FD.  This is
+    the Greek the baked-matrix generator could not provide (the spectral
+    matrices now build in-graph from a traced H, make_chunk_pathgen
+    traced_h)."""
+    def make(h):
+        cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=32,
+                                  chunk_paths=1 << 12, pilot_paths=1 << 12)
+        return engine.StreamingPricer(100.0, 0.04, h, 1.0, -0.4, 0.04,
+                                      102.0, 32 / 252.0, False, cfg)
+
+    key = jax.random.key(12)
+    h0, dh = 0.2, 0.02
+    vega_h = make(h0).price_and_greeks(key)[5]
+    p_up = make(h0 + dh).price_and_greeks(key)[0]
+    p_dn = make(h0 - dh).price_and_greeks(key)[0]
+    fd = (p_up - p_dn) / (2 * dh)
+    assert np.isfinite(vega_h)
+    assert vega_h == pytest.approx(fd, abs=0.03 + 0.15 * abs(fd))
 
 
 def test_chain_pricer_matches_single_strike_runs():
