@@ -269,13 +269,19 @@ def serve(args, mkt) -> int:
                 # pricers that evict hot compiled ones from the LRU.
                 raise ValueError(
                     f"invalid steps={n_steps} / maturity={maturity}")
-            if n_steps > args.max_steps:
-                # A single well-formed request with huge steps would
-                # trigger an O(steps^2) float64 host matrix build and a
-                # giant compile before any other guard fires — reject it
-                # up front so one bad quote can never hang the server.
+            from ..ops.fgn import next_pow2
+
+            # Guard the POW2 BUCKET, not the raw step count: the bucket
+            # is what the server actually builds matrices and compiles
+            # at.  A huge request would otherwise trigger an O(steps^2)
+            # host matrix build and a giant compile before any other
+            # guard fires — reject it up front so one bad quote can
+            # never hang the server.
+            bucket = max(8, next_pow2(n_steps))
+            if bucket > args.max_steps:
                 raise ValueError(
-                    f"steps={n_steps} exceeds --max-steps={args.max_steps}")
+                    f"steps={n_steps} (pow2 bucket {bucket}) exceeds "
+                    f"--max-steps={args.max_steps}")
             if len(strikes) > args.max_strikes:
                 raise ValueError(
                     f"{len(strikes)} strikes exceeds --max-strikes="
@@ -291,24 +297,38 @@ def serve(args, mkt) -> int:
             # Hurst is NOT part of the compiled market: the bucketed
             # pricer is built traced_h=True, so intraday H recalibration
             # reprices against the same compiled programs (no LRU churn,
-            # no compile latency on the quote path).
+            # no compile latency on the quote path).  It IS validated —
+            # h outside (0, 1) makes sqrt(2h)/t^{2h} produce NaN prices.
             hurst = float(req.get("hurst", args.hurst))
+            if not 0.0 < hurst < 1.0:
+                raise ValueError(f"invalid hurst={hurst} (need 0 < H < 1)")
             market = tuple(
                 float(req.get(name, getattr(args, attr)))
                 for name, attr in (("s0", "s0"), ("xi", "xi"),
                                    ("eta", "eta"), ("rho", "rho"),
                                    ("r", "r")))
+            s0_q, xi_q, eta_q, _, r_q = market
+            if not (s0_q > 0 and xi_q > 0 and eta_q >= 0
+                    and math.isfinite(r_q)
+                    and all(k > 0 for k in strikes)):
+                raise ValueError(
+                    "invalid market: need s0 > 0, xi > 0, eta >= 0, "
+                    "finite r, strikes > 0")
 
             pathgen = args.pathgen
             if jax.devices()[0].platform != "tpu" and pathgen == "pallas":
                 pathgen = "xla"
+            # The chunk is a SERVER configuration constant (--chunk-paths,
+            # rounded to the Pallas block), never derived from the
+            # request: deriving it from n_paths would sneak the path
+            # budget back into the cache key through chunk and recompile
+            # per accuracy tier.  Requests below one chunk are served at
+            # one chunk (a better estimate than asked, cost bounded by
+            # the operator's chunk sizing); larger budgets round to chunk
+            # multiples and stream more chunks through the same program.
             block = 256
-            chunk = max(block,
-                        (min(args.chunk_paths, n_paths) // block) * block)
+            chunk = max(block, (args.chunk_paths // block) * block)
             n_paths = max(chunk, (n_paths // chunk) * chunk)
-            from ..ops.fgn import next_pow2
-
-            bucket = max(8, next_pow2(n_steps))
             # Strip LENGTH quantizes to a pow2 bucket too: a client
             # alternating 3- and 5-strike boards reuses one compiled
             # 8-lane program (dead lanes repeat the last strike and are
@@ -353,9 +373,11 @@ def serve(args, mkt) -> int:
             respond({
                 "id": rid,
                 "strikes": strikes,
-                "prices": [round(float(v), 6) for v in prices],
-                "stderrs": [None if not math.isfinite(v)
-                            else round(float(v), 6) for v in stderrs],
+                # _j throughout: a NaN must become null, never the
+                # invalid bare-NaN JSON token that breaks strict
+                # JSON-lines clients mid-stream.
+                "prices": [_j(v) for v in prices],
+                "stderrs": [_j(v) for v in stderrs],
                 "implied_vols": [None if math.isnan(v) else round(v, 6)
                                  for v in ivs],
                 "n_paths": n_paths, "n_steps": n_steps, "is_call": is_call,

@@ -265,15 +265,12 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         rough_volatility.generate_paths_bucketed / lsm.lsm_fit's
         pad-step-identity semantics)."""
         if traced_h:
-            from ..ops.fgn import fgn_matrices
+            from ..ops.fgn import fgn_matrices, next_pow2
 
             hh = jnp.asarray(h if h_ is None else h_, jnp.float32)
             lam = 0.5 * _safe_tpow(t, 2.0 * hh)
             # Pad to the same next_pow2 M1 the host build uses.
-            m1 = 1
-            while m1 < n_steps + 1:
-                m1 <<= 1
-            phi_t = jnp.conj(jnp.fft.fft(lam, n=m1))
+            phi_t = jnp.conj(jnp.fft.fft(lam, n=next_pow2(n_steps + 1)))
             cr_t, ci_t = fgn_matrices(phi_t, n_steps, hh, 1.0, fgn_dtype)
             t_pow_ = _safe_tpow(t[:n_steps], 2.0 * hh)
         else:

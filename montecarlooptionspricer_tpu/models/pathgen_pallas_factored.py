@@ -50,6 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.fgn import next_pow2 as _next_pow2
 from .pathgen_pallas import LANE, _as_seed_words, _normals, _round_up
 from .pathgen_pallas_tiled import (TILE, _accumulate_priced, _draw_w,
                                    _euler_tile, _policy_tile, _seed_tile)
@@ -58,13 +59,6 @@ assert TILE == LANE  # stage 2's output tile is one lane group
 
 # Scratch + resident-input budget (see pathgen_pallas_tiled._VMEM_BUDGET).
 _VMEM_BUDGET = 12 * 1024 * 1024
-
-
-def _next_pow2(n: int) -> int:
-    m = 1
-    while m < n:
-        m <<= 1
-    return m
 
 
 def max_factored_steps(block_paths: int = 256,

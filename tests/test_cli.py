@@ -238,6 +238,9 @@ def test_price_cli_serve_guards_and_reuse_buckets():
                     "paths": 1024}),
         json.dumps({"id": 6, "strikes": [95.0, 100.0, 105.0], "put": True,
                     "maturity": 0.1, "steps": 8, "paths": 2048}),
+        json.dumps({"id": 7, "strike": 100.0, "put": True,
+                    "maturity": 0.1, "steps": 8, "paths": 1024,
+                    "hurst": -0.1}),
     ]) + "\n"
     prog = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
             "from montecarlooptionspricer_tpu.cli.price import main; "
@@ -249,8 +252,8 @@ def test_price_cli_serve_guards_and_reuse_buckets():
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
-    assert [r["id"] for r in lines] == [1, 2, 3, 4, 5, 6]
-    r1, r2, r3, r4, r5, r6 = lines
+    assert [r["id"] for r in lines] == [1, 2, 3, 4, 5, 6, 7]
+    r1, r2, r3, r4, r5, r6, r7 = lines
     assert "max-steps" in r1["error"]
     assert "max-paths" in r2["error"]
     assert "max-strikes" in r3["error"]
@@ -264,6 +267,9 @@ def test_price_cli_serve_guards_and_reuse_buckets():
     assert not r6["compiled"] and r6["n_paths"] == 2048
     # every served price carries an error bar
     assert len(r6["stderrs"]) == 3
+    # market validation: H outside (0, 1) is rejected before NaN prices
+    # can reach the JSON stream
+    assert "hurst" in r7["error"]
 
 
 @pytest.mark.slow

@@ -7,13 +7,16 @@ rep count.
 
 Gate design (de-flaked, round 3): the per-attempt gate is worst |z| <= 3
 over 8 independent pricer/type comparisons, whose null false-failure rate
-is 1 - (2*Phi(3) - 1)^8 ~= 2.1% — material enough that CI would redden
-weekly.  The test therefore redraws BOTH sides (the C++ side reseeds from
-random_device by construction, RoughVolatility.cpp:239; ours advances
-seed0) up to 3 attempts and fails only if every attempt exceeds the gate:
-null family-wise false-failure ~= 0.021^3 ~= 1e-5, while a REAL parity
-break (|bias| >> stderr) fails every attempt.  The observed |z| table is
-printed on failure."""
+is p ~= 1 - (2*Phi(3) - 1)^8 ~= 2.1% — material enough that CI would
+redden weekly.  The test therefore runs MEDIAN-OF-3 independent redraws
+(the C++ side reseeds from random_device by construction,
+RoughVolatility.cpp:239; ours advances seed0): it passes as soon as 2
+attempts pass and fails as soon as 2 attempts fail.  Null family-wise
+false-failure ~= 3p^2 ~= 0.13% per suite run; unlike a best-of-3 rule
+(which a ~3-sigma-scale REAL bias would slip past ~90% of the time at
+per-attempt fail rates near 50%), the median rule still fails such a
+regression with ~50% probability per run and a gross break (|bias| >>
+stderr) always.  The observed |z| tables are printed on failure."""
 
 import os
 import shutil
@@ -42,7 +45,7 @@ def test_compiled_reference_head_to_head():
     np.savetxt(hist_file, hist)
 
     reps, steps, paths = 8, 63, 2000
-    attempts = []
+    passes, fails = 0, []
     for attempt in range(3):
         cpp, strike = run_parity.run_cpp(exe, hist_file, steps, paths,
                                          reps, 0.02)
@@ -50,17 +53,22 @@ def test_compiled_reference_head_to_head():
                                       seed0=1000 + 100000 * attempt)
         lines, worst = run_parity.compare(cpp, ours, reps)
         if worst <= 3.0:
-            return
-        attempts.append((worst, lines))
+            passes += 1
+            if passes == 2:          # median decided: pass
+                return
+        else:
+            fails.append((worst, lines))
+            if len(fails) == 2:      # median decided: fail
+                break
     table = "\n".join(
-        f"attempt {i}: worst |z| = {w:.2f}\n" + "\n".join(
+        f"failed attempt {i}: worst |z| = {w:.2f}\n" + "\n".join(
             f"  {typ:4s} {k:11s} cpp={ma:.4f} ours={mb:.4f} "
             f"delta={d:+.4f} se={se:.4f} |z|={z:.2f}"
             for typ, k, ma, mb, d, se, z in ls)
-        for i, (w, ls) in enumerate(attempts))
+        for i, (w, ls) in enumerate(fails))
     raise AssertionError(
-        "compiled-C++ parity exceeded 3 combined stderr on all 3 "
-        "independent redraws (null probability ~1e-5):\n" + table)
+        "compiled-C++ parity exceeded 3 combined stderr on 2 of 3 "
+        "independent redraws (null probability ~0.13%):\n" + table)
 
 
 @pytest.mark.skipif(
