@@ -269,8 +269,13 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
 
             hh = jnp.asarray(h if h_ is None else h_, jnp.float32)
             lam = 0.5 * _safe_tpow(t, 2.0 * hh)
-            # Pad to the same next_pow2 M1 the host build uses.
-            phi_t = jnp.conj(jnp.fft.fft(lam, n=next_pow2(n_steps + 1)))
+            # Pad to the same next_pow2 M1 the host build uses.  The
+            # explicit complex64 cast matters on the axon TPU backend:
+            # jit-compiling an FFT of a REAL input hangs the backend
+            # (and the tunnel), while the complex-input FFT is the
+            # round-2-measured working path (fgn_impl="fft").
+            lam_c = lam.astype(jnp.complex64)
+            phi_t = jnp.conj(jnp.fft.fft(lam_c, n=next_pow2(n_steps + 1)))
             cr_t, ci_t = fgn_matrices(phi_t, n_steps, hh, 1.0, fgn_dtype)
             t_pow_ = _safe_tpow(t[:n_steps], 2.0 * hh)
         else:
