@@ -195,24 +195,23 @@ def serve(args, mkt) -> int:
     Response: {"id", "strikes", "prices", "implied_vols", "elapsed_s",
                "compiled"} — or {"id", "error"} (the server keeps running).
 
-    Compiled pricers are cached (bounded LRU, 16 entries) keyed by
-    (market, STEP BUCKET, STRIP-LENGTH BUCKET, chunk): a fresh strike
-    strip NEVER recompiles (strikes are traced inputs end to end, and
-    strip lengths quantize to pow2 buckets with dead lanes repeating the
-    last strike), neither does a fresh MATURITY — steps quantize to a
-    pow2 bucket and the pricer is built bucketed (engine
-    StreamingChainPricer(bucketed=True)) with the true step count and
-    maturity as traced per-request inputs — and neither does a fresh
-    PATH BUDGET (n_paths is a per-call argument, not a cache dimension).
-    A whole option board costs one compile per (step, strip) bucket
-    pair, not one per expiry/board-size/accuracy-tier.  Changing market
-    parameters compiles once per distinct key; least-recently-used
-    pricers are evicted so a client sweeping market params (e.g.
-    per-quote spot updates) cannot grow device memory without bound.
-    Requests past --max-steps/--max-paths/--max-strikes are rejected
-    before any host-side matrix build or compile, so a single huge quote
-    cannot hang or OOM the server.  CLI flags provide the defaults a
-    request may override.
+    Compiled pricers are cached (bounded LRU, 16 entries) keyed by pure
+    SHAPE class: (STEP BUCKET, STRIP-LENGTH BUCKET, call/put, chunk).
+    EVERYTHING else is a traced per-request input of a
+    StreamingChainPricer(bucketed=True, traced_market=True): fresh
+    strikes (traced end to end; strip lengths quantize to pow2 buckets
+    with dead lanes repeating the last strike), fresh maturities (pow2
+    step buckets, true step count traced), fresh path budgets (per-call
+    n_paths over a fixed server chunk), and the ENTIRE market — per-tick
+    s0 updates, intraday xi/eta/r/H recalibration — all reprice against
+    the same compiled programs.  Only rho is baked (distributionally
+    inert, engine.make_chunk_pathgen).  A whole trading day costs one
+    compile per (step, strip, side) shape class.  Requests past
+    --max-steps/--max-paths/--max-strikes, or with invalid market values
+    (H outside (0,1), non-positive s0/xi/strikes), are rejected before
+    any host-side matrix build or compile, so a single bad quote cannot
+    hang or OOM the server.  CLI flags provide the defaults a request
+    may override.
 
     Bucketed pricers ride the XLA generator (the fused kernels bake their
     step count); at serving path budgets (1e3-1e6 paths/request) the
@@ -337,11 +336,14 @@ def serve(args, mkt) -> int:
             n_k = len(strikes)
             k_bucket = max(1, next_pow2(n_k))
             padded = strikes + [strikes[-1]] * (k_bucket - n_k)
-            # n_paths is a PER-CALL argument of StreamingChainPricer.price
-            # (any multiple of chunk reuses the programs), so it stays out
-            # of the cache key — a client sweeping path budgets
-            # (accuracy tiers) never rebuilds or evicts a hot pricer.
-            cache_key = (market, bucket, k_bucket, is_call,
+            # The cache key is a pure SHAPE class: the market (s0, xi,
+            # r, eta, hurst) and the path budget are per-call traced
+            # inputs of a traced_market pricer, so per-tick spot
+            # updates, intraday recalibration, and accuracy-tier sweeps
+            # all reprice against the same compiled programs.  Only rho
+            # remains baked — it is distributionally inert
+            # (engine.make_chunk_pathgen).
+            cache_key = (bucket, k_bucket, is_call,
                          chunk, pathgen, args.qmc)
             pricer = pricers.get(cache_key)
             compiled = pricer is None
@@ -357,17 +359,17 @@ def serve(args, mkt) -> int:
                 pricer = engine.StreamingChainPricer(
                     s0, xi, hurst, eta, rho, r, strikes=padded,
                     maturity=bucket / mkt.trading_days, is_call=is_call,
-                    config=cfg, bucketed=True, traced_h=True)
+                    config=cfg, bucketed=True, traced_market=True)
                 pricers[cache_key] = pricer
                 made += 1
                 if len(pricers) > max_pricers:
                     pricers.popitem(last=False)   # evict LRU
+            s0, xi, eta, rho, r = market
             prices, stderrs = pricer.price(
                 jax.random.key(seed), strikes=padded, n_paths=n_paths,
                 n_steps_live=n_steps, maturity=maturity, with_stderr=True,
-                hurst=hurst)
+                hurst=hurst, market=dict(s0=s0, xi=xi, r=r, eta=eta))
             prices, stderrs = prices[:n_k], stderrs[:n_k]
-            s0, _, _, _, r = market
             ivs = [implied_vol(float(v), s0, k, r, maturity, is_call)
                    for v, k in zip(prices, strikes)]
             respond({

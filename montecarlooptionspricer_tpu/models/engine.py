@@ -1268,12 +1268,20 @@ class StreamingChainPricer:
     def __init__(self, s0, xi, h, eta, rho, r, strikes, maturity,
                  is_call: bool, config: StreamConfig, mesh=None,
                  axis_name: str = "data", bucketed: bool = False,
-                 traced_h: bool = False):
-        """``traced_h=True`` (bucketed only) additionally makes the HURST
-        exponent a traced per-call input (``price(..., hurst=)``): the
-        spectral matrices build in-graph (make_chunk_pathgen traced_h), so
-        a desk recalibrating H intraday reprices against the SAME compiled
-        programs — the serve-mode fast path (cli/price.py --serve).
+                 traced_h: bool = False, traced_market: bool = False):
+        """``traced_market=True`` (bucketed only) makes the WHOLE market —
+        s0, xi, r, eta, AND the Hurst exponent — traced per-call inputs
+        (``price(..., market=, hurst=)``): the spectral matrices build
+        in-graph from traced H (make_chunk_pathgen traced_h) and the
+        other parameters ride gen_with_params / the traced discounting in
+        lsm_fit/lsm_policy_value.  A serving process then compiles ONE
+        program pair per (step bucket, strip bucket, call/put) SHAPE
+        class, and every quote — per-tick spot updates, intraday H/xi
+        recalibration, fresh strikes, fresh expiries, fresh path
+        budgets — reprices against it (cli/price.py --serve).
+        ``traced_h=True`` is the backwards-compatible alias (it traces
+        the full market too; only rho stays baked, being distributionally
+        inert — see make_chunk_pathgen).
 
         ``bucketed=True`` compiles the pricer at config.n_steps as a
         step BUCKET: ``price(..., n_steps_live=, maturity=)`` then prices
@@ -1296,12 +1304,15 @@ class StreamingChainPricer:
         strikes_f = [float(v) for v in np.asarray(strikes)]
         n_k = len(strikes_f)
         self._bucketed = bool(bucketed)
-        self._traced_h = bool(traced_h)
-        self._h = float(h)
+        traced_market = bool(traced_market or traced_h)
+        self._traced_market = traced_market
+        self._market_defaults = dict(s0=float(s0), xi=float(xi),
+                                     r=float(r), eta=float(eta),
+                                     hurst=float(h))
         self._maturity = float(maturity)
-        if traced_h and not bucketed:
-            raise ValueError("traced_h requires bucketed=True (the "
-                             "serving configuration)")
+        if traced_market and not bucketed:
+            raise ValueError("traced_market/traced_h require "
+                             "bucketed=True (the serving configuration)")
 
         pathgen_impl = config.pathgen_impl
         if config.qmc or bucketed:
@@ -1338,20 +1349,21 @@ class StreamingChainPricer:
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
                 dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
                 fgn_impl=_resolve_fgn_impl(config, n_steps),
-                traced_h=traced_h)
+                traced_h=traced_market)
             chunk_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
                 dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
                 fgn_impl=_resolve_fgn_impl(config, n_steps),
-                traced_h=traced_h)
+                traced_h=traced_market)
 
-        if traced_h:
-            def fit_fn(k, strikes_, n_live, mat, hurst):
-                pilot = pilot_gen.with_params(shard_mix(k), s0, xi, r, eta,
-                                              n_live, h_=hurst)
+        if traced_market:
+            def fit_fn(k, strikes_, n_live, mat, mkt):
+                s0_, xi_, r_, eta_, h_ = mkt
+                pilot = pilot_gen.with_params(shard_mix(k), s0_, xi_, r_,
+                                              eta_, n_live, h_=h_)
 
                 def one(strike):
-                    _, fits = lsm_fit(pilot, r, strike, mat, dt, is_call,
+                    _, fits = lsm_fit(pilot, r_, strike, mat, dt, is_call,
                                       config.poly_order, axis_name=ax,
                                       n_steps=n_live)
                     return fits
@@ -1421,19 +1433,21 @@ class StreamingChainPricer:
                         jnp.where(ex0, sq0, sumsq))
         elif bucketed:
             def stream_fn(k, fits, strikes_, start, count, n_live, mat,
-                          *hurst):
+                          *mkt):
                 k = shard_mix(k)
+                r_ = mkt[0][2] if traced_market else r
 
                 def chunk_vals(i):
                     kk = jax.random.fold_in(k, start + i)
-                    if traced_h:
-                        paths = chunk_gen.with_params(kk, s0, xi, r, eta,
-                                                      n_live, h_=hurst[0])
+                    if traced_market:
+                        s0_, xi_, rr, eta_, h_ = mkt[0]
+                        paths = chunk_gen.with_params(kk, s0_, xi_, rr,
+                                                      eta_, n_live, h_=h_)
                     else:
                         paths = chunk_gen(kk, n_live)
 
                     def one(strike, fit):
-                        s, _ = lsm_policy_value(paths, fit, r, strike,
+                        s, _ = lsm_policy_value(paths, fit, r_, strike,
                                                 mat, dt, is_call,
                                                 n_steps_live=n_live)
                         return s.astype(jnp.float32)
@@ -1478,15 +1492,15 @@ class StreamingChainPricer:
             self._stream = jax.jit(stream_fn)
         else:
             replicated_out, summed_out = _shard_map_wrappers(mesh, axis_name)
-            n_fit_in = 5 if traced_h else (4 if bucketed else 2)
-            n_stream_in = 8 if traced_h else (7 if bucketed else 5)
+            n_fit_in = 5 if traced_market else (4 if bucketed else 2)
+            n_stream_in = 8 if traced_market else (7 if bucketed else 5)
             self._fit = replicated_out(fit_fn, n_fit_in)
             self._stream = summed_out(stream_fn, n_stream_in)
 
     def price(self, key, progress=None, n_paths: Optional[int] = None,
               strikes=None, n_steps_live: Optional[int] = None,
               maturity: Optional[float] = None, with_stderr: bool = False,
-              hurst: Optional[float] = None):
+              hurst: Optional[float] = None, market=None):
         """[K] prices for the strike strip on ``n_paths`` shared paths
         (times the mesh size when sharded).  ``with_stderr=True`` returns
         (prices, stderrs): per-strike standard errors of the streamed
@@ -1518,10 +1532,16 @@ class StreamingChainPricer:
             raise ValueError(
                 "n_steps_live/maturity are per-call inputs only for a "
                 "bucketed pricer (construct with bucketed=True)")
-        if hurst is not None and not self._traced_h:
-            raise ValueError("hurst is a per-call input only for a "
-                             "traced-H pricer (construct with "
-                             "traced_h=True)")
+        if (hurst is not None or market is not None) \
+                and not self._traced_market:
+            raise ValueError("hurst/market are per-call inputs only for "
+                             "a traced-market pricer (construct with "
+                             "traced_market=True)")
+        if market is not None:
+            bad = set(market) - {"s0", "xi", "r", "eta"}
+            if bad:
+                raise ValueError(f"unknown market override keys: {bad} "
+                                 "(use s0/xi/r/eta; hurst= for H)")
         if strikes is None:
             strikes = self.strikes
         else:
@@ -1546,9 +1566,15 @@ class StreamingChainPricer:
             mat = jnp.float32(self._maturity if maturity is None
                               else maturity)
             fit_args = (nl, mat)
-            if self._traced_h:
-                fit_args += (jnp.float32(self._h if hurst is None
-                                         else hurst),)
+            if self._traced_market:
+                m = dict(self._market_defaults)
+                if market:
+                    m.update(market)
+                if hurst is not None:
+                    m["hurst"] = hurst
+                fit_args += (tuple(
+                    jnp.float32(m[k])
+                    for k in ("s0", "xi", "r", "eta", "hurst")),)
         else:
             fit_args = ()
         fits = self._fit(k_pilot, strikes, *fit_args)

@@ -176,8 +176,11 @@ def test_price_cli_serve_mode():
     assert not r2["compiled"]            # fresh strikes, same programs
     assert r2["prices"][0] < r2["prices"][2]
     assert "error" in r3
-    assert r4["compiled"]                # new market params -> new pricer
-    assert r4["prices"][1] > r2["prices"][1] - 1.0
+    # market params are per-call traced inputs (round 3): a changed xi
+    # reprices against the SAME compiled programs
+    assert not r4["compiled"]
+    # tripled forward variance makes every put in the strip worth more
+    assert r4["prices"][1] > r2["prices"][1]
 
 
 @pytest.mark.slow
@@ -288,6 +291,9 @@ def test_price_cli_serve_reprices_fresh_hurst_without_recompile():
         json.dumps({"id": 2, "strikes": [95.0, 105.0], "put": True,
                     "maturity": 0.1, "steps": 8, "paths": 1024,
                     "hurst": 0.35}),
+        json.dumps({"id": 3, "strikes": [95.0, 105.0], "put": True,
+                    "maturity": 0.1, "steps": 8, "paths": 1024,
+                    "s0": 97.0, "xi": 0.06, "r": 0.03}),
     ]) + "\n"
     prog = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
             "from montecarlooptionspricer_tpu.cli.price import main; "
@@ -298,8 +304,12 @@ def test_price_cli_serve_reprices_fresh_hurst_without_recompile():
         input=reqs, capture_output=True, text=True, timeout=600,
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert out.returncode == 0, out.stderr[-2000:]
-    r1, r2 = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    r1, r2, r3 = [json.loads(l) for l in out.stdout.strip().splitlines()]
     assert r1["compiled"]
     assert not r2["compiled"]            # fresh H, same programs
     # rougher vs smoother vol changes the near-the-money price
     assert r1["prices"] != r2["prices"]
+    # per-tick market updates (s0/xi/r) reprice without compiling either
+    assert not r3["compiled"]
+    # spot down -> both puts worth more than at s0=100
+    assert r3["prices"][1] > r1["prices"][1]
