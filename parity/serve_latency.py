@@ -33,6 +33,11 @@ def build_requests(n: int):
             "maturity": 0.08 + 0.002 * (i % 10),      # 20-25 steps -> one bucket
             "paths": [1024, 2048, 4096][i % 3],
             "hurst": [0.1, 0.2, 0.3][i % 3],
+            # Per-tick market moves: every quote sees a different spot,
+            # forward variance, and rate — traced inputs, zero compiles.
+            "s0": 100.0 + 0.25 * (i % 11) - 1.25,
+            "xi": 0.04 + 0.002 * (i % 5),
+            "r": 0.04 + 0.001 * (i % 3),
             "seed": i,
         })
     return reqs
