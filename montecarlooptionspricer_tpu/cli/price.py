@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "than this per quote")
     p.add_argument("--max-strikes", type=int, default=256,
                    help="serve mode: reject strike strips longer than this")
+    p.add_argument("--warm-buckets", default="",
+                   help="serve mode: comma-separated STEPSxSTRIPS shape "
+                        "classes (e.g. '32x4,64x8') to compile BEFORE "
+                        "accepting requests, so the first real quote in "
+                        "each class is already warm (the cache key is a "
+                        "pure shape class — the whole market is traced)")
     return p
 
 
@@ -161,13 +167,11 @@ def main(argv=None) -> int:
             **market, strike=args.strike, maturity=args.maturity,
             is_call=args.is_call, config=cfg)
         if args.greeks:
-            (price, delta, vega_xi, vega_eta, rho_rate,
-             vega_h) = pricer.price_and_greeks(key)
-            out = {"price": round(price, 6), "delta": round(delta, 6),
-                   "vega_xi": round(vega_xi, 6),
-                   "vega_eta": round(vega_eta, 6),
-                   "rho_rate": round(rho_rate, 6),
-                   "vega_h": round(vega_h, 6)}
+            g, se = pricer.price_and_greeks(key, with_stderr=True)
+            names = ("price", "delta", "vega_xi", "vega_eta", "rho_rate",
+                     "vega_h")
+            out = {n: round(v, 6) for n, v in zip(names, g)}
+            out["stderrs"] = {n: _j(s) for n, s in zip(names, se)}
         elif args.bounds:
             lower, upper, lo_se, up_se = pricer.price_with_bounds(
                 key, with_stderr=True)
@@ -232,11 +236,34 @@ def serve(args, mkt) -> int:
     made = 0
 
     def respond(obj):
+        rid_ = obj.get("id")
+        if isinstance(rid_, str) and rid_.startswith("__warm_"):
+            # Warmup self-requests compile a shape class before real
+            # quotes arrive; their responses go to the log, never the
+            # client stream.
+            log.info("serve: warmed %s (%s s)", rid_,
+                     obj.get("elapsed_s", obj.get("error", "?")))
+            return
         sys.stdout.write(json.dumps(obj) + "\n")
         sys.stdout.flush()
 
+    # Pre-warm requested shape classes through the ordinary request path
+    # (same validation, same cache) by prepending synthetic quotes.
+    warm_lines = []
+    for spec in filter(None, args.warm_buckets.split(",")):
+        steps_s, _, k_s = spec.partition("x")
+        warm_lines.append(json.dumps({
+            "id": f"__warm_{spec}",
+            "steps": int(steps_s),
+            "strikes": [args.s0] * max(1, int(k_s or 1)),
+            "maturity": int(steps_s) / mkt.trading_days,
+            "paths": 1,
+        }))
+
+    import itertools
+
     log.info("serve: ready (JSON lines on stdin)")
-    for line in sys.stdin:
+    for line in itertools.chain(warm_lines, sys.stdin):
         line = line.strip()
         if not line:
             continue

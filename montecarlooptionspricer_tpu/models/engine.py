@@ -1000,39 +1000,44 @@ class StreamingPricer:
 
         def greek_stream_fn(k, fits, start, count, market):
             k = xla_shard_mix(k)
-
-            def value(params):
-                s0_, xi_, r_, eta_, h_ = params
-
-                def body(i, total):
-                    paths = xla_gen.with_params(
-                        jax.random.fold_in(k, start + i), s0_, xi_, r_,
-                        eta_, h_=h_)
-                    s, _ = lsm_policy_value(paths, fits, r_, strike,
-                                            maturity, dt, is_call)
-                    return total + s.astype(jnp.float32)
-
-                init = jnp.zeros((), jnp.float32)
-                if ax is not None:
-                    init = _pvary(init, ax)
-                return jax.lax.fori_loop(0, count, body, init)
-
-            # One vmapped jvp over the five basis tangents: the primal
-            # computation is tangent-independent, so vmap leaves it
-            # unbatched (computed once) and only the tangent path runs x5 —
-            # ~primal + 5 tangents instead of 5 x (primal + tangent).
+            # One vmapped jvp over the five basis tangents PER CHUNK: the
+            # primal computation is tangent-independent, so vmap leaves it
+            # unbatched (computed once) and only the tangent path runs x5
+            # — ~primal + 5 tangents instead of 5 x (primal + tangent).
             # (jax.linearize would share the primal too, but it has to
             # store per-iteration residuals of the chunk fori_loop — the
             # O(n_chunks * chunk) memory this streaming design exists to
-            # avoid.)
+            # avoid.)  Running the jvp inside the chunk loop (rather than
+            # around it) exposes the iid per-chunk totals of every output,
+            # whose second moments give the Greeks their own standard
+            # errors — same estimator, same FLOPs, richer carry.
             eye = jnp.eye(5, dtype=jnp.float32)
             tangents = tuple(eye[:, j] for j in range(5))
-            vals, grads = jax.vmap(
-                lambda t: jax.jvp(value, (market,), (t,)))(tangents)
-            # params order is (s0, xi, r, eta, h); report order is
-            # (price, delta, vega_xi, vega_eta, rho_rate, vega_h).
-            return (vals[0], grads[0], grads[1], grads[3], grads[2],
-                    grads[4])
+
+            def chunk_val(params, i):
+                s0_, xi_, r_, eta_, h_ = params
+                paths = xla_gen.with_params(
+                    jax.random.fold_in(k, start + i), s0_, xi_, r_, eta_,
+                    h_=h_)
+                s, _ = lsm_policy_value(paths, fits, r_, strike,
+                                        maturity, dt, is_call)
+                return s.astype(jnp.float32)
+
+            def body(i, carry):
+                tot, sq = carry
+                vals, grads = jax.vmap(
+                    lambda t: jax.jvp(lambda pr: chunk_val(pr, i),
+                                      (market,), (t,)))(tangents)
+                # params order is (s0, xi, r, eta, h); report order is
+                # (price, delta, vega_xi, vega_eta, rho_rate, vega_h).
+                c = jnp.stack([vals[0], grads[0], grads[1], grads[3],
+                               grads[2], grads[4]])
+                return tot + c, sq + c * c
+
+            init = jnp.zeros((6,), jnp.float32)
+            if ax is not None:
+                init = _pvary(init, ax)
+            return jax.lax.fori_loop(0, count, body, (init, init))
 
         # --- streaming duality bounds: LSM lower + dual upper ------------
         # Same chunks price both sides: the fitted-policy value (lower
@@ -1201,7 +1206,8 @@ class StreamingPricer:
                 float(_chunk_stderr(lo, lsq, m, per)),
                 float(_chunk_stderr(up, usq, m, per)))
 
-    def price_and_greeks(self, key, n_paths: Optional[int] = None):
+    def price_and_greeks(self, key, n_paths: Optional[int] = None,
+                         with_stderr: bool = False):
         """(price, delta, vega_xi, vega_eta, rho_rate, vega_h) at
         streaming scale: forward-mode pathwise derivatives w.r.t.
         (s0, xi, r, eta, h) accumulated chunk by chunk — Greeks on 1e8+
@@ -1213,8 +1219,12 @@ class StreamingPricer:
         distribution-irrelevant rho has no derivative.  Uses the XLA
         generator (threefry keys) regardless of ``pathgen_impl``; with a
         mesh, chunks shard across devices (the jvp composes with
-        shard_map; partial sums stack and reduce on the host).  No
-        reference equivalent."""
+        shard_map; partial sums stack and reduce on the host).
+        ``with_stderr=True`` returns (greeks_tuple, stderr_tuple): each
+        output's standard error from its iid per-chunk totals
+        (_chunk_stderr caveats apply) — the same per-chunk jvp exposes
+        them at one FMA per output per chunk.  No reference
+        equivalent."""
         config = self.config
         if n_paths is None:
             n_paths = config.n_paths
@@ -1228,16 +1238,21 @@ class StreamingPricer:
         market = tuple(jnp.float32(v) for v in self._market)
 
         totals = np.zeros(6, np.float64)
+        sumsq = np.zeros(6, np.float64)
         done = 0
         while done < n_chunks:
             count = min(config.chunks_per_call, n_chunks - done)
-            out = self._greek_stream(k_stream, fits, done, count, market)
-            totals += np.asarray(jax.device_get(out), np.float64)
+            t, q = jax.device_get(
+                self._greek_stream(k_stream, fits, done, count, market))
+            totals += np.asarray(t, np.float64)
+            sumsq += np.asarray(q, np.float64)
             done += count
-        (price, delta, vega_xi, vega_eta, rho_rate,
-         vega_h) = totals / n_paths
-        return (float(price), float(delta), float(vega_xi),
-                float(vega_eta), float(rho_rate), float(vega_h))
+        out = tuple(float(v) for v in totals / n_paths)
+        if not with_stderr:
+            return out
+        se = _chunk_stderr(totals, sumsq, n_chunks * self.n_dev,
+                           config.chunk_paths)
+        return out, tuple(float(v) for v in se)
 
 
 class StreamingChainPricer:

@@ -313,3 +313,29 @@ def test_price_cli_serve_reprices_fresh_hurst_without_recompile():
     assert not r3["compiled"]
     # spot down -> both puts worth more than at s0=100
     assert r3["prices"][1] > r1["prices"][1]
+
+
+@pytest.mark.slow
+def test_price_cli_serve_warm_buckets():
+    """--warm-buckets compiles the named shape classes before serving:
+    the FIRST real quote in a warmed class answers compiled=false, and
+    warmup self-responses never reach the client stream."""
+    import json
+    import subprocess
+    import sys
+
+    reqs = json.dumps({"id": 1, "strikes": [95.0, 100.0], "put": True,
+                       "maturity": 0.1, "steps": 20, "paths": 1024}) + "\n"
+    prog = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+            "from montecarlooptionspricer_tpu.cli.price import main; "
+            "sys.exit(main(['--serve', '--chunk-paths', '1024', "
+            "'--pathgen', 'xla', '--warm-buckets', '20x2']))")
+    out = subprocess.run(
+        [sys.executable, "-c", prog],
+        input=reqs, capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert len(lines) == 1          # the warm response stayed out of stdout
+    assert lines[0]["id"] == 1
+    assert not lines[0]["compiled"]  # class was pre-warmed

@@ -549,3 +549,23 @@ def test_price_with_bounds_stderr():
     # The duality gap must be resolvable against the MC noise at this
     # path count — otherwise the bracket is meaningless.
     assert up - lo > 2 * max(lo_se, up_se)
+
+
+def test_greeks_stderr_calibrated():
+    """price_and_greeks(with_stderr=True): per-output chunk-total stderrs,
+    same point estimates as the plain call, price-stderr the same order as
+    the empirical seed-to-seed spread."""
+    cfg = engine.StreamConfig(n_paths=1 << 14, n_steps=24,
+                              chunk_paths=1 << 11, pilot_paths=1 << 12)
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=24 / 252.0, is_call=False)
+    p = engine.StreamingPricer(**kwargs, config=cfg)
+    g, se = p.price_and_greeks(jax.random.key(3), with_stderr=True)
+    assert len(g) == 6 and len(se) == 6
+    assert all(np.isfinite(v) for v in g)
+    assert all(np.isfinite(s) and s > 0 for s in se)
+    assert p.price_and_greeks(jax.random.key(3)) == g   # back-compat
+    reps = np.array([p.price_and_greeks(jax.random.key(i))[0]
+                     for i in range(8)])
+    emp = reps.std(ddof=1)
+    assert emp / 6 < se[0] < 3 * emp + 1e-4, (se[0], emp)
