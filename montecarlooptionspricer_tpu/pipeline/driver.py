@@ -241,17 +241,39 @@ class BatchedPricer:
             return sharded
         return fn
 
+    def _batch_size(self, n: int) -> int:
+        """Compile batch for a call of n rows: the full rows_per_batch for
+        full chunks, else the next pow2 with a floor of min(8,
+        rows_per_batch).  A partial tail (common: sparse long-dte buckets)
+        then pays at most ~2x its rows of device work instead of a full
+        batch — a 1-row 1825-step bucket no longer burns 64 rows of path
+        generation — while tail shapes stay pow2-bounded, so the program
+        cache grows by at most log2(rows_per_batch / 8) extra entries per
+        (n_pad, m1) bucket.  Under a mesh the tail is rounded up to a
+        multiple of the device count so the batch axis stays shardable."""
+        full = self.pricing.rows_per_batch
+        if n >= full:
+            return full
+        from ..ops.fgn import next_pow2
+
+        batch = max(next_pow2(n), min(8, full))
+        if self.mesh is not None:
+            d = self.mesh.size
+            batch = (batch + d - 1) // d * d
+        return min(full, batch)
+
     def price(self, tasks: List[RowTask], base_seed: int) -> np.ndarray:
-        """[len(tasks), 4] prices; rows padded internally to the bucket's
-        batch size so shapes stay compile-stable.  Tasks may mix step counts
-        as long as they share a bucket_key."""
+        """[len(tasks), 4] prices; rows padded internally to the call's
+        pow2-quantized batch size (see _batch_size) so shapes stay
+        compile-stable.  Tasks may mix step counts as long as they share a
+        bucket_key."""
         import jax
         import jax.numpy as jnp
 
         assert tasks
         n_pad, m1 = bucket_key(tasks[0].n_steps)
         assert all(bucket_key(t.n_steps) == (n_pad, m1) for t in tasks)
-        batch = self.pricing.rows_per_batch
+        batch = self._batch_size(len(tasks))
         key_sig = (n_pad, m1, batch)
         if key_sig not in self._cache:
             self._cache[key_sig] = self._build(n_pad, m1, batch)

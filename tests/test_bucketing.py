@@ -165,6 +165,47 @@ def seed() -> int:
     return 1234
 
 
+def test_tail_batch_size_quantization():
+    """Partial tails compile at pow2 sizes with a floor of 8 (VERDICT r02
+    weak #6: a 1-row long-dte bucket must not burn rows_per_batch rows of
+    device work), full chunks at rows_per_batch."""
+    from montecarlooptionspricer_tpu.config import MarketDefaults, PricingConfig
+    from montecarlooptionspricer_tpu.pipeline.driver import BatchedPricer
+
+    p = BatchedPricer(PricingConfig(rows_per_batch=64), MarketDefaults())
+    assert p._batch_size(64) == 64
+    assert p._batch_size(70) == 64   # caller chunks at 64; defensive cap
+    assert p._batch_size(33) == 64
+    assert p._batch_size(17) == 32
+    assert p._batch_size(9) == 16
+    assert p._batch_size(8) == 8
+    assert p._batch_size(1) == 8     # floor: tail programs stay >= 8 rows
+    tiny = BatchedPricer(PricingConfig(rows_per_batch=4), MarketDefaults())
+    assert tiny._batch_size(1) == 4  # floor never exceeds rows_per_batch
+
+
+@pytest.mark.slow
+def test_partial_tail_small_program_matches_full():
+    """A 3-row tail prices through an 8-row program (not rows_per_batch)
+    and agrees row-for-row with the full-batch program (per-row keys are
+    index-derived, so batch size must not change any row's price)."""
+    from montecarlooptionspricer_tpu.config import MarketDefaults, PricingConfig
+    from montecarlooptionspricer_tpu.pipeline.driver import BatchedPricer, RowTask
+
+    pricing = PricingConfig(num_paths=64, rows_per_batch=16)
+    pricer = BatchedPricer(pricing, MarketDefaults())
+    tasks = [RowTask(index=i, line="", n_steps=40 + i, is_call=bool(i % 2),
+                     s0=100.0, xi=0.05, h=0.15, eta=1.2, rho=-0.4,
+                     strike=100.0 + i, maturity=(40 + i) / 252.0, sigma=0.22,
+                     dividend=0.08, twenty_day_vol=0.2,
+                     twenty_day_momentum=0.01)
+             for i in range(16)]
+    full = pricer.price(tasks, seed())
+    tail = pricer.price(tasks[:3], seed())
+    assert {k[2] for k in pricer._cache} == {8, 16}
+    np.testing.assert_allclose(tail, full[:3], rtol=2e-5, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_bucketed_price_statistically_matches_exact():
     """One mid-bucket row priced with the quantized program agrees with the
