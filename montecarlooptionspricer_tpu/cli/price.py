@@ -289,10 +289,12 @@ def serve(args, mkt) -> int:
             maturity = float(req.get("maturity", args.maturity))
             n_steps = int(req.get("steps", args.steps)
                           or max(1, int(maturity * mkt.trading_days)))
-            if n_steps < 1 or maturity <= 0:
+            if n_steps < 1 or not maturity > 0 or not math.isfinite(maturity):
                 # Validate BEFORE touching the pricer cache: a stream of
                 # malformed requests must not construct-and-cache junk
                 # pricers that evict hot compiled ones from the LRU.
+                # isfinite matters: json.loads accepts bare NaN/Infinity
+                # tokens, and NaN passes every sign comparison.
                 raise ValueError(
                     f"invalid steps={n_steps} / maturity={maturity}")
             from ..ops.fgn import next_pow2
@@ -333,13 +335,16 @@ def serve(args, mkt) -> int:
                 for name, attr in (("s0", "s0"), ("xi", "xi"),
                                    ("eta", "eta"), ("rho", "rho"),
                                    ("r", "r")))
-            s0_q, xi_q, eta_q, _, r_q = market
-            if not (s0_q > 0 and xi_q > 0 and eta_q >= 0
-                    and math.isfinite(r_q)
-                    and all(k > 0 for k in strikes)):
+            s0, xi, eta, rho, r = market
+            # Finiteness is explicit everywhere: NaN passes any >/>=
+            # comparison and inf passes sign checks, and either would
+            # otherwise flow into a success-shaped response.
+            if not (s0 > 0 and xi > 0 and eta >= 0
+                    and all(map(math.isfinite, market))
+                    and all(k > 0 and math.isfinite(k) for k in strikes)):
                 raise ValueError(
-                    "invalid market: need s0 > 0, xi > 0, eta >= 0, "
-                    "finite r, strikes > 0")
+                    "invalid market: need finite s0 > 0, xi > 0, "
+                    "eta >= 0, rho, r, and finite strikes > 0")
 
             pathgen = args.pathgen
             if jax.devices()[0].platform != "tpu" and pathgen == "pallas":
@@ -382,7 +387,6 @@ def serve(args, mkt) -> int:
                     pilot_paths=min(1 << 16, chunk), chunks_per_call=64,
                     pathgen_impl=pathgen, cumsum_impl="matmul",
                     qmc=args.qmc)
-                s0, xi, eta, rho, r = market
                 pricer = engine.StreamingChainPricer(
                     s0, xi, hurst, eta, rho, r, strikes=padded,
                     maturity=bucket / mkt.trading_days, is_call=is_call,
@@ -391,7 +395,6 @@ def serve(args, mkt) -> int:
                 made += 1
                 if len(pricers) > max_pricers:
                     pricers.popitem(last=False)   # evict LRU
-            s0, xi, eta, rho, r = market
             prices, stderrs = pricer.price(
                 jax.random.key(seed), strikes=padded, n_paths=n_paths,
                 n_steps_live=n_steps, maturity=maturity, with_stderr=True,

@@ -24,6 +24,8 @@ textbook circulant embedding; parity is to this behavior (SURVEY.md section 7).
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 
@@ -81,9 +83,17 @@ def fgn_matrices(phi, n, h, eta, dtype=jnp.float32):
     step counts this framework targets.
     """
     m2 = next_pow2(n)
-    k = jnp.arange(n)[:, None].astype(jnp.float64 if phi.dtype == jnp.complex128 else jnp.float32)
-    m = jnp.arange(n)[None, :].astype(k.dtype)
-    ang = -2.0 * jnp.pi * k * m / m2
+    # Reduce (k*m) mod m2 in exact integer arithmetic BEFORE forming the
+    # angle: unreduced, k*m reaches ~1.7e7 at n=4096 and the f32 product
+    # 2*pi*k*m carries ~1 rad of rounding error (a systematic ~1e-3 phase
+    # perturbation of the matrices, invisible to MC stderr).  Reduced, the
+    # angle lives in (-2*pi, 0] where f32 cos/sin are accurate.  The
+    # reduction is h-independent, so it stays a host constant even when
+    # this function is traced with a traced Hurst (engine traced_h).
+    idx = np.arange(n, dtype=np.int64)
+    km = (idx[:, None] * idx[None, :]) % m2
+    dt_k = jnp.float64 if phi.dtype == jnp.complex128 else jnp.float32
+    ang = jnp.asarray((-2.0 * np.pi / m2) * km, dt_k)
     scale = jnp.sqrt(2.0 * h) * eta / m2
     pk = phi[:n][:, None]
     c = pk * jax_exp_i(ang)

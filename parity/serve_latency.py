@@ -76,9 +76,14 @@ def main() -> int:
 
     print(f"| requests | {len(rows)} |")
     print(f"| compiles (cold quotes) | {len(compiled)} |")
-    print(f"| warm p50 | {pct(0.50) * 1e3:.1f} ms |")
-    print(f"| warm p95 | {pct(0.95) * 1e3:.1f} ms |")
-    print(f"| warm max | {lat[-1] * 1e3:.1f} ms |")
+    if lat:
+        print(f"| warm p50 | {pct(0.50) * 1e3:.1f} ms |")
+        print(f"| warm p95 | {pct(0.95) * 1e3:.1f} ms |")
+        print(f"| warm max | {lat[-1] * 1e3:.1f} ms |")
+    else:
+        # Every request hit a distinct shape class (tiny --requests);
+        # there are no warm quotes to rank.
+        print("| warm quotes | 0 (all cold) |")
     print(f"| total wall (incl. compiles) | {wall:.1f} s |")
     return 0
 

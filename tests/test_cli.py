@@ -244,6 +244,15 @@ def test_price_cli_serve_guards_and_reuse_buckets():
         json.dumps({"id": 7, "strike": 100.0, "put": True,
                     "maturity": 0.1, "steps": 8, "paths": 1024,
                     "hurst": -0.1}),
+        # json.loads accepts bare NaN/Infinity tokens, and NaN passes every
+        # sign comparison: non-finite maturity/strike/market values must be
+        # rejected, never priced into a success-shaped response.
+        '{"id": 8, "strike": 100.0, "put": true, "maturity": NaN, '
+        '"steps": 8, "paths": 1024}',
+        '{"id": 9, "strikes": [Infinity], "put": true, "maturity": 0.1, '
+        '"steps": 8, "paths": 1024}',
+        '{"id": 10, "strike": 100.0, "put": true, "maturity": 0.1, '
+        '"steps": 8, "paths": 1024, "s0": NaN}',
     ]) + "\n"
     prog = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
             "from montecarlooptionspricer_tpu.cli.price import main; "
@@ -255,8 +264,8 @@ def test_price_cli_serve_guards_and_reuse_buckets():
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
-    assert [r["id"] for r in lines] == [1, 2, 3, 4, 5, 6, 7]
-    r1, r2, r3, r4, r5, r6, r7 = lines
+    assert [r["id"] for r in lines] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    r1, r2, r3, r4, r5, r6, r7, r8, r9, r10 = lines
     assert "max-steps" in r1["error"]
     assert "max-paths" in r2["error"]
     assert "max-strikes" in r3["error"]
@@ -273,6 +282,10 @@ def test_price_cli_serve_guards_and_reuse_buckets():
     # market validation: H outside (0, 1) is rejected before NaN prices
     # can reach the JSON stream
     assert "hurst" in r7["error"]
+    # non-finite request values are errors, not success-shaped responses
+    assert "maturity" in r8["error"]
+    assert "strikes" in r9["error"]
+    assert "s0" not in r10 and "market" in r10["error"]
 
 
 @pytest.mark.slow

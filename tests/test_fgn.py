@@ -73,6 +73,26 @@ def test_fgn_matmul_matches_fft(rng):
                                atol=1e-4)
 
 
+def test_fgn_matrices_large_bucket_angle_accuracy():
+    """The f32 DFT matrices at a large step bucket must track an exact-f64
+    build: the DFT angle is reduced (k*m) mod m2 in integer arithmetic
+    before cos/sin.  Unreduced, the f32 product 2*pi*k*m at m2=2048
+    carries O(1) rad of rounding error — a systematic (not MC) ~1e-3
+    perturbation of every matrix entry, which this test catches."""
+    h, eta, n = 0.1, 1.5, 2000
+    t, lam, phi = _setup(n, h)              # f64 oracle phi
+    cr, ci = jax.jit(fgn.fgn_matrices, static_argnums=(1, 2, 3))(
+        _to_complex_device(phi), n, h, eta)
+
+    m2 = oracles.next_pow2(n)
+    idx = np.arange(n, dtype=np.int64)
+    ang = (-2.0 * np.pi / m2) * ((idx[:, None] * idx[None, :]) % m2)
+    c = phi[:n, None] * np.exp(1j * ang) * (np.sqrt(2.0 * h) * eta / m2)
+    scale = np.max(np.abs(c))
+    np.testing.assert_allclose(np.asarray(cr), np.real(c), atol=3e-6 * scale)
+    np.testing.assert_allclose(np.asarray(ci), np.imag(c), atol=3e-6 * scale)
+
+
 def test_forward_variance_matches_oracle(rng):
     h, eta, xi = 0.1, 1.5, 0.04
     n_steps = 50
