@@ -120,6 +120,8 @@ def main() -> None:
                                   os.environ.get("BENCH_BLOCK", 512)),
                               tiled_impl=os.environ.get(
                                   "BENCH_TILED", "auto"),
+                              fgn_form=os.environ.get(
+                                  "BENCH_FGN_FORM", "auto"),
                               fgn_matmul_dtype=os.environ.get(
                                   "BENCH_FGN_DTYPE", default_fgn))
     pricer = engine.StreamingPricer(S0, XI, H, ETA, RHO, R, STRIKE,

@@ -70,6 +70,16 @@ class StreamConfig:
     # are within ~15%.  "fft" stays available for memory-constrained cases
     # (no [steps, steps] constants resident).  Ignored by Pallas kernels.
     fgn_impl: str = "auto"
+    # fGN linear-map factorization inside the FUSED Pallas kernels:
+    # "spectral" — the reference-shaped two-matrix map Zr @ Cr - Zi @ Ci;
+    # "chol" — the Cholesky factor of the SAME covariance (identical
+    # Gaussian law, engine._chol_matrix_host): one normal plane instead of
+    # two (33% fewer Box-Muller draws — the kernel's measured VPU bound)
+    # and one [s, s] matmul instead of two; "auto" — measured winner
+    # (chol).  XLA-generator and long-horizon tiled kernels keep the
+    # spectral form (the factored-DFT kernel's frequency-domain structure
+    # has no Cholesky analogue).
+    fgn_form: str = "auto"
     # Path generator: "xla" (portable, counter-based keys) or "pallas"
     # (fused TPU kernel, in-kernel hardware PRNG — noise planes never touch
     # HBM; fastest measured form, TPU only).  Distribution-equivalent,
@@ -113,14 +123,9 @@ class StreamConfig:
     chunks_per_call: int = 16
 
 
-@functools.lru_cache(maxsize=64)
-def _fgn_matrices_host(n_steps: int, h: float, eta: float, dt: float,
-                       dtype) -> tuple:
-    """Spectral matrices in float64 on host (NumPy), cast for the MXU.
+def _fgn_matrices_np(n_steps: int, h: float, eta: float, dt: float) -> tuple:
+    """Spectral matrices in float64 on host (NumPy).
 
-    Cached: a StreamingPricer builds up to five generators (pilot/chunk/
-    fused/Greeks variants) from the same (n_steps, h, eta, dt).  Safe to
-    cache as device arrays because builders only run outside jit traces.
     Same math as ops.fgn.fgn_matrices, in float64 host precision (the
     [n, n] complex intermediate overflows float32's exponent headroom for
     large n; ops/fgn's float32 form is the on-device variant for tests)."""
@@ -139,7 +144,54 @@ def _fgn_matrices_host(n_steps: int, h: float, eta: float, dt: float,
     scale = np.sqrt(2.0 * h) * eta / m2
     cr = np.asarray(np.real(c) * scale)
     ci = np.asarray(np.imag(c) * scale)
+    return cr, ci
+
+
+@functools.lru_cache(maxsize=64)
+def _fgn_matrices_host(n_steps: int, h: float, eta: float, dt: float,
+                       dtype) -> tuple:
+    """float64 spectral matrices cast for the MXU, as device constants.
+
+    Cached: a StreamingPricer builds up to five generators (pilot/chunk/
+    fused/Greeks variants) from the same (n_steps, h, eta, dt).  Safe to
+    cache as device arrays because builders only run outside jit traces."""
+    cr, ci = _fgn_matrices_np(n_steps, h, eta, dt)
     return jnp.asarray(cr, dtype), jnp.asarray(ci, dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _chol_matrix_host(n_steps: int, h: float, eta: float, dt: float, dtype):
+    """Upper-triangular Lt with X = N @ Lt distributed EXACTLY as the
+    spectral map Zr @ Cr - Zi @ Ci (N, Zr, Zi iid standard normal planes).
+
+    The spectral fGN is a linear map of iid normals, hence Gaussian with
+    covariance Cov = Cr^T Cr + Ci^T Ci; a Gaussian law is fully determined
+    by its covariance, so the Cholesky factor L (Cov = L L^T, f64 host
+    precision) reproduces it from HALF the noise (one plane instead of two)
+    and ONE [n, n] matmul instead of two — a 33% cut in the kernel's
+    Box-Muller draws (its measured VPU bound) and a 50% cut in its
+    spectral-matmul MXU FLOPs.  Returns L^T so the kernel's row-major
+    path-block matmul X[p, :] = N[p, :] @ Lt keeps the [paths, steps]
+    layout of the spectral form."""
+    cr, ci = _fgn_matrices_np(n_steps, h, eta, dt)
+    cov = cr.T @ cr + ci.T @ ci
+    # The Gram form is PSD by construction; rank deficiency (possible in
+    # exact arithmetic only at degenerate parameters) surfaces as f64
+    # roundoff, handled by an escalating diagonal jitter.  The jitter is
+    # bounded by 1e-6 * max-variance — orders of magnitude below the f32
+    # cast noise the kernel already carries.
+    scale = float(np.max(np.diag(cov))) or 1.0
+    for jitter in (0.0, 1e-14, 1e-10, 1e-6):
+        try:
+            low = np.linalg.cholesky(cov + jitter * scale *
+                                     np.eye(n_steps))
+            break
+        except np.linalg.LinAlgError:
+            continue
+    else:
+        raise np.linalg.LinAlgError(
+            f"fGN covariance not PSD at n={n_steps}, h={h}")
+    return jnp.asarray(low.T, dtype)
 
 
 def _safe_tpow(t, p):
@@ -338,14 +390,38 @@ def _resolve_tiled_module(config: "StreamConfig", n_steps: int, fgn_dtype):
     if impl not in ("auto", "factored", "slab"):
         raise ValueError(f"unknown tiled_impl: {impl!r}")
     block = config.pallas_block_paths
+    form = _resolve_fgn_form(config)
+    # Measured v5e (1e7 paths, bf16): the chol slab beats the factored DFT
+    # at every horizon both cover — 7.29M vs 5.87M paths/s at 1825 steps,
+    # 2.56M vs 1.98M at 4000 — because the long-horizon kernels are
+    # VPU-bound (RNG + exp/sqrt), and the chol form draws one fGN plane
+    # instead of two (m2-wide complex Z), while its single triangular
+    # matrix stays under the MXU/HBM ceilings.  Auto therefore prefers
+    # chol slabs; the factored DFT covers horizons past the slab VMEM
+    # budget and the spectral-form configurations.
+    if (impl == "auto" and form == "chol"
+            and pathgen_pallas_tiled.supports(n_steps, block, fgn_dtype,
+                                              form)):
+        return pathgen_pallas_tiled
     if impl in ("auto", "factored") and pathgen_pallas_factored.supports(
             n_steps, block, fgn_dtype):
         return pathgen_pallas_factored
     if impl == "factored":
         return None
-    if pathgen_pallas_tiled.supports(n_steps, block, fgn_dtype):
+    if pathgen_pallas_tiled.supports(n_steps, block, fgn_dtype, form):
         return pathgen_pallas_tiled
     return None
+
+
+def _tiled_maker_kwargs(tiled, config: "StreamConfig") -> dict:
+    """Extra maker kwargs for the resolved tiled module: the slab kernel
+    takes the fGN form; the factored four-step DFT is spectral-only (its
+    frequency-domain structure has no Cholesky analogue)."""
+    from . import pathgen_pallas_tiled
+
+    if tiled is pathgen_pallas_tiled:
+        return {"fgn_form": _resolve_fgn_form(config)}
+    return {}
 
 
 def _resolve_fgn_impl(config: "StreamConfig", n_steps: int) -> str:
@@ -354,6 +430,14 @@ def _resolve_fgn_impl(config: "StreamConfig", n_steps: int) -> str:
     if config.fgn_impl != "auto":
         return config.fgn_impl
     return "matmul"
+
+
+def _resolve_fgn_form(config: "StreamConfig") -> str:
+    """"auto" resolves to the measured-fastest fused-kernel fGN map (see
+    StreamConfig.fgn_form)."""
+    if config.fgn_form != "auto":
+        return config.fgn_form
+    return "chol"
 
 
 def lsm_policy_value(paths, fits: PolyFit, r, strike, maturity, dt,
@@ -749,23 +833,24 @@ class StreamingPricer:
                     pathgen_impl = "xla"
         if pathgen_impl == "pallas":
             if tiled is not None:
+                tiled_kw = _tiled_maker_kwargs(tiled, config)
                 pilot_gen, _ = tiled.make_tiled_pathgen(
                     s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
                     block_paths=config.pallas_block_paths,
-                    fgn_dtype=fgn_dtype)
+                    fgn_dtype=fgn_dtype, **tiled_kw)
                 chunk_gen, _ = tiled.make_tiled_pathgen(
                     s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
                     block_paths=config.pallas_block_paths,
-                    fgn_dtype=fgn_dtype)
+                    fgn_dtype=fgn_dtype, **tiled_kw)
             else:
                 pilot_gen = pathgen_pallas.make_pallas_pathgen(
                     s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
                     block_paths=config.pallas_block_paths,
-                    fgn_dtype=fgn_dtype)
+                    fgn_dtype=fgn_dtype, fgn_form=_resolve_fgn_form(config))
                 chunk_gen = pathgen_pallas.make_pallas_pathgen(
                     s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
                     block_paths=config.pallas_block_paths,
-                    fgn_dtype=fgn_dtype)
+                    fgn_dtype=fgn_dtype, fgn_form=_resolve_fgn_form(config))
             # Carriers are int32 (run_word, stream_index) pairs; the kernel
             # also folds the grid block id.  Chunk i advances the stream
             # index; the run word never changes within a run.
@@ -879,13 +964,15 @@ class StreamingPricer:
                     s0, xi, h, eta, rho, r, strike, maturity, dt,
                     n_steps, config.chunk_paths,
                     block_paths=config.pallas_block_paths,
-                    is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True)
+                    is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True,
+                    **_tiled_maker_kwargs(tiled, config))
             else:
                 priced_chunk_cv, _ = pathgen_pallas.make_pallas_priced_chunk(
                     s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
                     config.chunk_paths,
                     block_paths=config.pallas_block_paths,
-                    is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True)
+                    is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True,
+                    fgn_form=_resolve_fgn_form(config))
 
             def stream_fn(k, fits_beta, start, count):  # noqa: F811
                 fits, beta = fits_beta
@@ -929,13 +1016,15 @@ class StreamingPricer:
                     s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
                     config.chunk_paths,
                     block_paths=config.pallas_block_paths,
-                    is_call=is_call, fgn_dtype=fgn_dtype)
+                    is_call=is_call, fgn_dtype=fgn_dtype,
+                    **_tiled_maker_kwargs(tiled, config))
             else:
                 priced_chunk, _ = pathgen_pallas.make_pallas_priced_chunk(
                     s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
                     config.chunk_paths,
                     block_paths=config.pallas_block_paths,
-                    is_call=is_call, fgn_dtype=fgn_dtype)
+                    is_call=is_call, fgn_dtype=fgn_dtype,
+                    fgn_form=_resolve_fgn_form(config))
 
             def stream_fn(k, fits, start, count):  # noqa: F811 — fused form
                 k = shard_mix(k)
@@ -1354,11 +1443,13 @@ class StreamingChainPricer:
         if pathgen_impl == "pallas":
             pilot_gen = pathgen_pallas.make_pallas_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                block_paths=config.pallas_block_paths, fgn_dtype=fgn_dtype)
+                block_paths=config.pallas_block_paths, fgn_dtype=fgn_dtype,
+                fgn_form=_resolve_fgn_form(config))
             chain_chunk, _ = pathgen_pallas.make_pallas_priced_chain(
                 s0, xi, h, eta, rho, r, strikes_f, maturity, dt, n_steps,
                 config.chunk_paths, block_paths=config.pallas_block_paths,
-                is_call=is_call, fgn_dtype=fgn_dtype)
+                is_call=is_call, fgn_dtype=fgn_dtype,
+                fgn_form=_resolve_fgn_form(config))
         else:
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,

@@ -120,17 +120,26 @@ def _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref, *,
     rho*w1 + sqrt(1-rho^2)*w2 is one N(0,1) independent of the fGN driver
     for any rho (RoughVolatility.cpp:355-358 draws both fresh), so drawing
     it directly is distribution-identical and 25% cheaper — see
-    rough_volatility.euler_log_paths."""
+    rough_volatility.euler_log_paths.
+
+    With ``zi is None`` (the "chol" fGN form), ``zr`` is ONE normal plane
+    and ``cr_ref`` the Cholesky factor Lt of the spectral map's covariance
+    (engine._chol_matrix_host): X = N @ Lt — same Gaussian law from half
+    the noise and one matmul."""
     block = zr.shape[0]
     # fGN via MXU: X = Zr @ Cr - Zi @ Ci (padded cols of C are zero, so the
     # padded tail of Z is annihilated in the products' valid columns).
     # The spectral matrices' dtype drives the matmul precision: bf16 inputs
     # with f32 accumulation run ~2x faster on the MXU, adding ~0.4% relative
     # noise to X — far below MC noise at any realistic path count.
-    x = (jnp.dot(zr.astype(cr_ref.dtype), cr_ref[:],
-                 preferred_element_type=jnp.float32)
-         - jnp.dot(zi.astype(ci_ref.dtype), ci_ref[:],
-                   preferred_element_type=jnp.float32))
+    if zi is None:
+        x = jnp.dot(zr.astype(cr_ref.dtype), cr_ref[:],
+                    preferred_element_type=jnp.float32)
+    else:
+        x = (jnp.dot(zr.astype(cr_ref.dtype), cr_ref[:],
+                     preferred_element_type=jnp.float32)
+             - jnp.dot(zi.astype(ci_ref.dtype), ci_ref[:],
+                       preferred_element_type=jnp.float32))
 
     v = xi * jnp.exp(x + vd_ref[:])                     # forward variance
     inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(v, 0.0)) * (
@@ -147,6 +156,33 @@ def _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref, *,
     log_s = log_s0 + jnp.dot(inc, tri_ref[:],
                              preferred_element_type=jnp.float32)
     return jnp.exp(log_s)
+
+
+def _draw_planes(block: int, s_pad: int, fgn_form: str):
+    """In-kernel noise planes for the requested fGN form: (Zr, Zi, W) for
+    the spectral map, (N, None, W) for the Cholesky map — one Box-Muller
+    pair exactly, 33% fewer draws."""
+    if fgn_form == "chol":
+        n, w = _normals((block, s_pad))
+        return n, None, w
+    return _normals3(block, s_pad)
+
+
+def _noise_planes(noise_ref, fgn_form: str):
+    """Injected-noise unpack mirroring _draw_planes (2 planes for chol)."""
+    if fgn_form == "chol":
+        return noise_ref[0], None, noise_ref[1]
+    return noise_ref[0], noise_ref[1], noise_ref[2]
+
+
+def _mats2(mats):
+    """(Cr, Ci) for the spectral form; (Lt, None) for the chol form."""
+    return (mats[0], mats[1]) if len(mats) == 2 else (mats[0], None)
+
+
+def n_planes(fgn_form: str) -> int:
+    """Noise planes consumed per path block by the given fGN form."""
+    return 2 if fgn_form == "chol" else 3
 
 
 def _euler_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref,
@@ -217,25 +253,26 @@ def _policy_value_minreduce(s, pol_row, col, *, is_call: bool):
     return jnp.sum(first * p * disc)
 
 
-def _chain_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, pol_ref,
-                  out_ref, *, block_paths: int, is_call: bool, n_k: int,
-                  **kw):
+def _chain_kernel(seed_ref, *refs, block_paths: int, is_call: bool,
+                  n_k: int, fgn_form: str = "spectral", **kw):
     """Fused K-strike chain kernel: one path block, K exercise policies,
     [K] partial sums — path data never leaves VMEM and path generation is
     paid once for the whole strike strip."""
+    *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
-    zr, zi, w = _normals3(block_paths, kw["s_pad"])
-    s = _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref, **kw)
+    zr, zi, w = _draw_planes(block_paths, kw["s_pad"], fgn_form)
+    s = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref, tri_ref, **kw)
     out_ref[...] = _chain_values(s, pol_ref, out_ref.shape,
                                  is_call=is_call, n_k=n_k)
 
 
-def _chain_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
-                           pol_ref, out_ref, *, block_paths: int,
-                           is_call: bool, n_k: int, **kw):
+def _chain_kernel_noise_in(noise_ref, *refs, block_paths: int,
+                           is_call: bool, n_k: int,
+                           fgn_form: str = "spectral", **kw):
     """Noise-injection variant of the chain kernel (CPU-interpretable)."""
-    s = _paths_from_noise(noise_ref[0], noise_ref[1], noise_ref[2],
-                          cr_ref, ci_ref, vd_ref, tri_ref, **kw)
+    *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
+    zr, zi, w = _noise_planes(noise_ref, fgn_form)
+    s = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref, tri_ref, **kw)
     out_ref[...] = _chain_values(s, pol_ref, out_ref.shape,
                                  is_call=is_call, n_k=n_k)
 
@@ -254,26 +291,29 @@ def _chain_values(s, pol_ref, out_shape, *, is_call: bool, n_k: int):
     return acc
 
 
-def _pathgen_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, out_ref, **kw):
+def _pathgen_kernel(seed_ref, *refs, fgn_form: str = "spectral", **kw):
     """Production kernel: in-kernel hardware PRNG (zero HBM noise traffic).
     Seeded from (mix(run_word, stream_index), block_id), so runs /
     pilot-vs-chunks / blocks can never collide by arithmetic on a single
     word (see _fold_words)."""
+    *mats, vd_ref, tri_ref, out_ref = refs
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
     block, s_pad = out_ref.shape[0], kw["s_pad"]
-    zr, zi, w = _normals3(block, s_pad)
-    _euler_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref,
+    zr, zi, w = _draw_planes(block, s_pad, fgn_form)
+    _euler_from_noise(zr, zi, w, *_mats2(mats), vd_ref, tri_ref,
                       out_ref, **kw)
 
 
-def _pathgen_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
-                             out_ref, **kw):
-    """Test kernel: noise supplied as input (3 planes: Zr, Zi, W) — lets the
-    math path be checked bit-for-bit against the XLA generator on any
-    backend (the TPU interpreter stubs prng_random_bits to zeros in this
-    JAX version)."""
-    _euler_from_noise(noise_ref[0], noise_ref[1], noise_ref[2],
-                      cr_ref, ci_ref, vd_ref, tri_ref, out_ref, **kw)
+def _pathgen_kernel_noise_in(noise_ref, *refs, fgn_form: str = "spectral",
+                             **kw):
+    """Test kernel: noise supplied as input (3 planes Zr/Zi/W, or 2 planes
+    N/W for the chol form) — lets the math path be checked bit-for-bit
+    against the XLA generator on any backend (the TPU interpreter stubs
+    prng_random_bits to zeros in this JAX version)."""
+    *mats, vd_ref, tri_ref, out_ref = refs
+    zr, zi, w = _noise_planes(noise_ref, fgn_form)
+    _euler_from_noise(zr, zi, w, *_mats2(mats), vd_ref, tri_ref,
+                      out_ref, **kw)
 
 
 def _store_priced(out_ref, s, val, cv_disc, n_steps: int):
@@ -294,29 +334,28 @@ def _store_priced(out_ref, s, val, cv_disc, n_steps: int):
                     + jnp.where(lane == 1, cv, 0.0))
 
 
-def _priced_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref, su_ref,
-                   pol_ref, out_ref, *, block_paths: int, is_call: bool,
-                   strike: float, cv_disc=None, **kw):
+def _priced_kernel(seed_ref, *refs, block_paths: int, is_call: bool,
+                   strike: float, cv_disc=None, fgn_form: str = "spectral",
+                   **kw):
     """Fully fused kernel: RNG + paths + LSM policy value, emitting ONE
     partial sum per grid block — path data never leaves VMEM.  With
     cv_disc, also emits the martingale-control partial sum so the control
     variate rides the fused kernel instead of the generic path stream."""
+    *mats, vd_ref, tri_ref, su_ref, pol_ref, out_ref = refs
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
-    zr, zi, w = _normals3(block_paths, kw["s_pad"])
-    s = _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref,
-                          **kw)
+    zr, zi, w = _draw_planes(block_paths, kw["s_pad"], fgn_form)
+    s = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref, tri_ref, **kw)
     val = _policy_value(s, su_ref, pol_ref, is_call=is_call, strike=strike)
     _store_priced(out_ref, s, val, cv_disc, kw["n_steps"])
 
 
-def _priced_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
-                            su_ref, pol_ref, out_ref, *, block_paths: int,
+def _priced_kernel_noise_in(noise_ref, *refs, block_paths: int,
                             is_call: bool, strike: float, cv_disc=None,
-                            **kw):
-    """Test variant of the fused kernel with injected noise (3 planes)."""
-    s = _paths_from_noise(noise_ref[0], noise_ref[1], noise_ref[2],
-                          cr_ref, ci_ref, vd_ref, tri_ref,
-                          **kw)
+                            fgn_form: str = "spectral", **kw):
+    """Test variant of the fused kernel with injected noise planes."""
+    *mats, vd_ref, tri_ref, su_ref, pol_ref, out_ref = refs
+    zr, zi, w = _noise_planes(noise_ref, fgn_form)
+    s = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref, tri_ref, **kw)
     val = _policy_value(s, su_ref, pol_ref, is_call=is_call, strike=strike)
     _store_priced(out_ref, s, val, cv_disc, kw["n_steps"])
 
@@ -324,24 +363,48 @@ def _priced_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref, tri_ref,
 MAX_KERNEL_STEPS = 512
 
 
-def supports(n_steps: int) -> bool:
-    """Whether the fused kernel fits VMEM: the three [s_pad, s_pad]
-    constants (Cr, Ci, tri) plus four noise planes per block must stay
-    well under the ~16 MiB/core budget; past ~512 padded steps they don't
-    (the streaming engine falls back to the XLA generator there)."""
+def supports(n_steps: int, fgn_form: str = "spectral") -> bool:
+    """Whether the fused kernel fits VMEM: the [s_pad, s_pad] constants
+    (Cr+Ci+tri spectral; Lt+tri chol) plus the noise planes per block must
+    stay well under the ~16 MiB/core budget; past ~512 padded steps they
+    don't (the streaming engine falls back to the XLA generator there)."""
     return _round_up(n_steps, LANE) <= MAX_KERNEL_STEPS
+
+
+def _fgn_consts(n_steps: int, s_pad: int, h, eta, dt, fgn_dtype,
+                fgn_form: str):
+    """Padded VMEM-resident fGN constants + their BlockSpecs: [Cr, Ci]
+    (spectral) or [Lt] (chol — half the resident bytes, half the matmul
+    FLOPs, same Gaussian law; see engine._chol_matrix_host)."""
+    from .engine import _chol_matrix_host, _fgn_matrices_host
+
+    if fgn_form == "chol":
+        lt = _chol_matrix_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
+        mats = [jnp.zeros((s_pad, s_pad), fgn_dtype)
+                .at[:n_steps, :n_steps].set(lt)]
+    elif fgn_form == "spectral":
+        cr, ci = _fgn_matrices_host(n_steps, h, eta, dt,
+                                    jnp.dtype(fgn_dtype))
+        mats = [jnp.zeros((s_pad, s_pad), fgn_dtype)
+                .at[:n_steps, :n_steps].set(m) for m in (cr, ci)]
+    else:
+        raise ValueError(f"unknown fgn_form: {fgn_form!r}")
+    specs = [pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM) for _ in mats]
+    return mats, specs
 
 
 def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
            chunk_paths: int, block_paths: int, interpret: bool,
-           noise_input: bool, fgn_dtype=jnp.float32):
+           noise_input: bool, fgn_dtype=jnp.float32,
+           fgn_form: str = "spectral"):
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
     if not noise_input and block_paths % 16:
         raise ValueError("block_paths must divide by 16 (the 1.5-pair "
                          "Box-Muller scheme slices at block and block*3/2, "
                          "which must stay sublane-aligned)")
-    if not supports(n_steps):
+    if not supports(n_steps, fgn_form):
         raise ValueError(
             f"n_steps={n_steps} pads past {MAX_KERNEL_STEPS} lanes; the "
             "fused kernel's VMEM-resident spectral matrices do not fit — "
@@ -349,11 +412,8 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     s_pad = _round_up(n_steps, LANE)
     out_cols = _round_up(n_steps + 1, LANE)
 
-    from .engine import _fgn_matrices_host
-
-    cr, ci = _fgn_matrices_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
-    cr_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(cr)
-    ci_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(ci)
+    mats, mat_specs = _fgn_consts(n_steps, s_pad, h, eta, dt, fgn_dtype,
+                                  fgn_form)
     t = np.arange(n_steps, dtype=np.float64) * dt
     vd = -0.5 * (eta * eta) * t ** (2.0 * h)
     vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
@@ -364,12 +424,13 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     tri_p = jnp.asarray(tri)
 
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
-              dt=float(dt), log_s0=float(math.log(s0)))
+              dt=float(dt), log_s0=float(math.log(s0)), fgn_form=fgn_form)
     body = _pathgen_kernel_noise_in if noise_input else _pathgen_kernel
     kernel = functools.partial(body, **kw)
 
+    planes = n_planes(fgn_form)
     first_spec = (
-        pl.BlockSpec((3, block_paths, s_pad), lambda i: (0, i, 0),
+        pl.BlockSpec((planes, block_paths, s_pad), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
     grid = (chunk_paths // block_paths,)
@@ -378,10 +439,7 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         grid=grid,
         in_specs=[
             first_spec,                                     # seed or noise
-            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),          # Cr
-            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),          # Ci
+            *mat_specs,                                     # Cr/Ci or Lt
             pl.BlockSpec((1, s_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),          # var drift
             pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
@@ -392,12 +450,13 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
         out_shape=jax.ShapeDtypeStruct((chunk_paths, out_cols), jnp.float32),
         interpret=pltpu.InterpretParams() if interpret else False,
     )
-    return call, (cr_p, ci_p, vd_p, tri_p), s_pad
+    return call, (*mats, vd_p, tri_p), s_pad
 
 
 def make_pallas_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                         chunk_paths: int, block_paths: int = 256,
-                        interpret: bool = False, fgn_dtype=jnp.float32):
+                        interpret: bool = False, fgn_dtype=jnp.float32,
+                        fgn_form: str = "spectral"):
     """Build seed -> [chunk_paths, n_steps + 1] float32 rBergomi generator
     with in-kernel RNG.
 
@@ -407,7 +466,7 @@ def make_pallas_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     """
     call, consts, _ = _build(s0, xi, h, eta, rho, r, n_steps, dt, chunk_paths,
                              block_paths, interpret, noise_input=False,
-                             fgn_dtype=fgn_dtype)
+                             fgn_dtype=fgn_dtype, fgn_form=fgn_form)
 
     def gen(seed) -> jax.Array:
         out = call(_as_seed_words(seed), *consts)
@@ -488,7 +547,8 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                              interpret: bool = False,
                              noise_input: bool = False,
                              fgn_dtype=jnp.float32,
-                             with_cv: bool = False):
+                             with_cv: bool = False,
+                             fgn_form: str = "spectral"):
     """Fully fused streaming unit: (seed, policy_rows) -> chunk payoff sum
     under the fitted exercise policy.  Paths live and die in VMEM; HBM
     traffic is one float per grid block.
@@ -501,15 +561,12 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
         raise ValueError("chunk_paths must divide by block_paths")
     if not noise_input and block_paths % 16:
         raise ValueError("block_paths must divide by 16 for in-kernel RNG")
-    if not supports(n_steps):
+    if not supports(n_steps, fgn_form):
         raise ValueError("n_steps too large for the fused kernel")
     s_pad = _round_up(n_steps, LANE)
 
-    from .engine import _fgn_matrices_host
-
-    cr, ci = _fgn_matrices_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
-    cr_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(cr)
-    ci_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(ci)
+    mats, mat_specs = _fgn_consts(n_steps, s_pad, h, eta, dt, fgn_dtype,
+                                  fgn_form)
     t = np.arange(n_steps, dtype=np.float64) * dt
     vd = -0.5 * (eta * eta) * t ** (2.0 * h)
     vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
@@ -525,14 +582,15 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
               dt=float(dt), log_s0=float(math.log(s0)),
               block_paths=block_paths, is_call=bool(is_call),
-              strike=float(strike))
+              strike=float(strike), fgn_form=fgn_form)
     if with_cv:
         kw["cv_disc"] = float(math.exp(-r * n_steps * dt))
     body = _priced_kernel_noise_in if noise_input else _priced_kernel
     kernel = functools.partial(body, **kw)
     grid_n = chunk_paths // block_paths
     first_spec = (
-        pl.BlockSpec((3, block_paths, s_pad), lambda i: (0, i, 0),
+        pl.BlockSpec((n_planes(fgn_form), block_paths, s_pad),
+                     lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
     call = pl.pallas_call(
@@ -540,10 +598,7 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
         grid=(grid_n,),
         in_specs=[
             first_spec,                                     # seed or noise
-            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),          # Cr
-            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),          # Ci
+            *mat_specs,                                     # Cr/Ci or Lt
             pl.BlockSpec((1, s_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),          # var drift
             pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
@@ -566,7 +621,7 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
             first = seed_or_noise.astype(jnp.float32)
         else:
             first = _as_seed_words(seed_or_noise)
-        out = call(first, cr_p, ci_p, vd_p, tri_p, su_p, rows)
+        out = call(first, *mats, vd_p, tri_p, su_p, rows)
         if with_cv:
             return jnp.sum(out[::8, 0]), jnp.sum(out[::8, 1])
         return jnp.sum(out[::8, 0])
@@ -579,7 +634,8 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
                              block_paths: int = 256, is_call: bool = False,
                              interpret: bool = False,
                              noise_input: bool = False,
-                             fgn_dtype=jnp.float32):
+                             fgn_dtype=jnp.float32,
+                             fgn_form: str = "spectral"):
     """Fused K-strike streaming unit: (seed, policy_tables [K, 8, s_pad])
     -> [K] chunk payoff sums, sharing ONE in-VMEM path block across the
     whole strike strip.  Policy tables are per-strike `policy_rows` stacked
@@ -591,16 +647,13 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
         raise ValueError("chunk_paths must divide by block_paths")
     if not noise_input and block_paths % 16:
         raise ValueError("block_paths must divide by 16 for in-kernel RNG")
-    if not supports(n_steps):
+    if not supports(n_steps, fgn_form):
         raise ValueError("n_steps too large for the fused chain kernel")
     s_pad = _round_up(n_steps, LANE)
     k_pad = _round_up(n_k, LANE)
 
-    from .engine import _fgn_matrices_host
-
-    cr, ci = _fgn_matrices_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
-    cr_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(cr)
-    ci_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(ci)
+    mats, mat_specs = _fgn_consts(n_steps, s_pad, h, eta, dt, fgn_dtype,
+                                  fgn_form)
     t = np.arange(n_steps, dtype=np.float64) * dt
     vd = -0.5 * (eta * eta) * t ** (2.0 * h)
     vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
@@ -611,12 +664,14 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
 
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
               dt=float(dt), log_s0=float(math.log(s0)),
-              block_paths=block_paths, is_call=bool(is_call), n_k=n_k)
+              block_paths=block_paths, is_call=bool(is_call), n_k=n_k,
+              fgn_form=fgn_form)
     body = _chain_kernel_noise_in if noise_input else _chain_kernel
     kernel = functools.partial(body, **kw)
     grid_n = chunk_paths // block_paths
     first_spec = (
-        pl.BlockSpec((3, block_paths, s_pad), lambda i: (0, i, 0),
+        pl.BlockSpec((n_planes(fgn_form), block_paths, s_pad),
+                     lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
     call = pl.pallas_call(
@@ -624,10 +679,7 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
         grid=(grid_n,),
         in_specs=[
             first_spec,                                     # seed or noise
-            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),          # Cr
-            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),          # Ci
+            *mat_specs,                                     # Cr/Ci or Lt
             pl.BlockSpec((1, s_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),          # var drift
             pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
@@ -647,7 +699,7 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
             first = seed_or_noise.astype(jnp.float32)
         else:
             first = _as_seed_words(seed_or_noise)
-        out = call(first, cr_p, ci_p, vd_p, tri_p, tables)
+        out = call(first, *mats, vd_p, tri_p, tables)
         return jnp.sum(out[::8, :n_k], axis=0)
 
     return chunk_sums, s_pad
@@ -656,16 +708,19 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
 def make_pallas_pathgen_from_noise(s0, xi, h, eta, rho, r, n_steps: int,
                                    dt: float, chunk_paths: int,
                                    block_paths: int = 256,
-                                   interpret: bool = False):
-    """Test variant: noise [3, chunk, s_pad] (Zr, Zi, W) supplied by the
-    caller, so the kernel's math path can be compared elementwise against
-    the XLA generator on any backend."""
+                                   interpret: bool = False,
+                                   fgn_form: str = "spectral"):
+    """Test variant: noise [planes, chunk, s_pad] supplied by the caller
+    (Zr, Zi, W spectral; N, W chol), so the kernel's math path can be
+    compared elementwise against the XLA generator on any backend."""
     call, consts, s_pad = _build(s0, xi, h, eta, rho, r, n_steps, dt,
                                  chunk_paths, block_paths, interpret,
-                                 noise_input=True)
+                                 noise_input=True, fgn_form=fgn_form)
+    planes = n_planes(fgn_form)
 
     def gen(noise) -> jax.Array:
-        assert noise.shape == (3, chunk_paths, s_pad), (noise.shape, s_pad)
+        assert noise.shape == (planes, chunk_paths, s_pad), (
+            noise.shape, planes, s_pad)
         out = call(noise.astype(jnp.float32), *consts)
         return out[:, : n_steps + 1]
 

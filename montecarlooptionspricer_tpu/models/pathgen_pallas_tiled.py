@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pathgen_pallas import (LANE, _as_seed_words, _fold_words, _normals,
-                             _round_up)
+                             _round_up, n_planes)
 
 TILE = LANE  # step-tile width; == LANE so the carry/stop scratch ([block,
 #              LANE], all lanes equal) broadcasts against tile arrays with
@@ -59,29 +59,44 @@ TILE = LANE  # step-tile width; == LANE so the carry/stop scratch ([block,
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def max_tiled_steps(block_paths: int = 256, fgn_dtype=jnp.float32) -> int:
+def max_tiled_steps(block_paths: int = 256, fgn_dtype=jnp.float32,
+                    fgn_form: str = "spectral") -> int:
     """Largest n_steps the tiled kernels support at this block size/dtype:
-    noise scratch (2 planes) + double-buffered spectral slabs (2 matrices x
-    2 buffers) must fit the VMEM budget."""
+    driver-noise scratch (2 planes spectral, 1 chol) + double-buffered
+    matrix slabs (2 matrices spectral, 1 chol) must fit the VMEM budget."""
     item = jnp.dtype(fgn_dtype).itemsize
-    per_spad = 2 * block_paths * item + 4 * TILE * item
+    n_mats = 1 if fgn_form == "chol" else 2
+    per_spad = (n_planes(fgn_form) - 1) * block_paths * item \
+        + 2 * n_mats * TILE * item
     return (_VMEM_BUDGET - (1 << 20)) // per_spad
 
 
 def supports(n_steps: int, block_paths: int = 256,
-             fgn_dtype=jnp.float32) -> bool:
-    return _round_up(n_steps, LANE) <= max_tiled_steps(block_paths, fgn_dtype)
+             fgn_dtype=jnp.float32, fgn_form: str = "spectral") -> bool:
+    return _round_up(n_steps, LANE) <= max_tiled_steps(block_paths,
+                                                       fgn_dtype, fgn_form)
 
 
-def _consts(s0, xi, h, eta, rho, r, n_steps: int, dt: float, fgn_dtype):
-    """Host-precomputed constant blocks shared by both tiled kernels."""
+def _consts(s0, xi, h, eta, rho, r, n_steps: int, dt: float, fgn_dtype,
+            fgn_form: str = "spectral"):
+    """Host-precomputed constant blocks shared by both tiled kernels:
+    ([Cr, Ci] spectral / [Lt] chol — see engine._chol_matrix_host), then
+    var-drift, cumsum tri, strict-upper."""
     del rho  # distributionally inert — see pathgen_pallas._paths_from_noise
     s_pad = _round_up(n_steps, LANE)
-    from .engine import _fgn_matrices_host
+    from .engine import _chol_matrix_host, _fgn_matrices_host
 
-    cr, ci = _fgn_matrices_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
-    cr_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(cr)
-    ci_p = jnp.zeros((s_pad, s_pad), fgn_dtype).at[:n_steps, :n_steps].set(ci)
+    if fgn_form == "chol":
+        lt = _chol_matrix_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
+        mats = (jnp.zeros((s_pad, s_pad), fgn_dtype)
+                .at[:n_steps, :n_steps].set(lt),)
+    elif fgn_form == "spectral":
+        cr, ci = _fgn_matrices_host(n_steps, h, eta, dt,
+                                    jnp.dtype(fgn_dtype))
+        mats = tuple(jnp.zeros((s_pad, s_pad), fgn_dtype)
+                     .at[:n_steps, :n_steps].set(m) for m in (cr, ci))
+    else:
+        raise ValueError(f"unknown fgn_form: {fgn_form!r}")
     t = np.arange(n_steps, dtype=np.float64) * dt
     vd = -0.5 * (eta * eta) * t ** (2.0 * h)
     vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
@@ -94,12 +109,19 @@ def _consts(s0, xi, h, eta, rho, r, n_steps: int, dt: float, fgn_dtype):
                      jnp.bfloat16)
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
               dt=float(dt), log_s0=float(math.log(s0)))
-    return s_pad, (cr_p, ci_p, vd_p, tri, su), kw
+    return s_pad, (mats, vd_p, tri, su), kw
 
 
-def _fgn_tile(zr, zi, cr_ref, ci_ref):
-    return (jnp.dot(zr, cr_ref[:], preferred_element_type=jnp.float32)
-            - jnp.dot(zi, ci_ref[:], preferred_element_type=jnp.float32))
+def _fgn_tile(planes, mat_refs):
+    """X[:, tile] from the driver planes: Zr @ Cr - Zi @ Ci (spectral) or
+    N @ Lt (chol) column slabs."""
+    if len(mat_refs) == 1:
+        return jnp.dot(planes[0], mat_refs[0][:],
+                       preferred_element_type=jnp.float32)
+    return (jnp.dot(planes[0], mat_refs[0][:],
+                    preferred_element_type=jnp.float32)
+            - jnp.dot(planes[1], mat_refs[1][:],
+                      preferred_element_type=jnp.float32))
 
 
 def _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, *, block: int,
@@ -148,11 +170,23 @@ def _draw_w(block: int):
     return jnp.concatenate([n1, n2], axis=0)
 
 
-def _fill_driver_noise(zr_ref, zi_ref, block: int, n_tiles: int, fgn_dtype):
-    """Draw the fGN driver planes into scratch one TILE-wide column chunk
+def _fill_driver_noise(plane_refs, block: int, n_tiles: int, fgn_dtype):
+    """Draw the fGN driver plane(s) into scratch one TILE-wide column chunk
     at a time: a single full-plane Box-Muller materializes ~7 [block, s_pad]
     f32 temporaries on the kernel's VMEM stack (measured 30 MB at block 512
-    x 1920 lanes — an OOM); chunking bounds the stack at [block, TILE]."""
+    x 1920 lanes — an OOM); chunking bounds the stack at [block, TILE].
+    Spectral: (Zr, Zi), one pair per column chunk.  Chol: one plane N,
+    each pair filling two column chunks (half the draws)."""
+    if len(plane_refs) == 1:
+        (n_ref,) = plane_refs
+        for c in range(0, n_tiles, 2):
+            n1, n2 = _normals((block, TILE))
+            n_ref[:, c * TILE:(c + 1) * TILE] = n1.astype(fgn_dtype)
+            if c + 1 < n_tiles:
+                n_ref[:, (c + 1) * TILE:(c + 2) * TILE] = n2.astype(
+                    fgn_dtype)
+        return
+    zr_ref, zi_ref = plane_refs
     for c in range(n_tiles):
         zr_c, zi_c = _normals((block, TILE))
         zr_ref[:, c * TILE:(c + 1) * TILE] = zr_c.astype(fgn_dtype)
@@ -165,18 +199,21 @@ def _seed_tile(seed_ref, i, j, n_tiles: int):
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), i * n_tiles + j)
 
 
-def _tiled_pathgen_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref,
-                          out_ref, zr_ref, zi_ref, carry_ref, *,
-                          block: int, n_tiles: int, fgn_dtype, **kw):
+def _tiled_pathgen_kernel(seed_ref, *refs, block: int, n_tiles: int,
+                          fgn_dtype, fgn_form: str = "spectral", **kw):
+    nm = 1 if fgn_form == "chol" else 2
+    mats = refs[:nm]
+    vd_ref, tri_ref, out_ref = refs[nm:nm + 3]
+    plane_refs, carry_ref = refs[nm + 3:-1], refs[-1]
     i, j = pl.program_id(0), pl.program_id(1)
     _seed_tile(seed_ref, i, j, n_tiles)
 
     @pl.when(j == 0)
     def _():
-        _fill_driver_noise(zr_ref, zi_ref, block, n_tiles, fgn_dtype)
+        _fill_driver_noise(plane_refs, block, n_tiles, fgn_dtype)
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
-    x = _fgn_tile(zr_ref[:], zi_ref[:], cr_ref, ci_ref)
+    x = _fgn_tile([p[:] for p in plane_refs], mats)
     w = _draw_w(block)
     out_ref[:] = _euler_tile(
         x, w, vd_ref, tri_ref, carry_ref, j, block=block,
@@ -184,22 +221,25 @@ def _tiled_pathgen_kernel(seed_ref, cr_ref, ci_ref, vd_ref, tri_ref,
         log_s0=kw["log_s0"])
 
 
-def _tiled_pathgen_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref,
-                                   tri_ref, out_ref, zr_ref, zi_ref,
-                                   carry_ref, *, block: int, n_tiles: int,
-                                   fgn_dtype, **kw):
-    """Noise-injection variant (3 planes: Zr, Zi, W full-width): CPU-
-    interpretable elementwise check of the tiled math path."""
+def _tiled_pathgen_kernel_noise_in(noise_ref, *refs, block: int,
+                                   n_tiles: int, fgn_dtype,
+                                   fgn_form: str = "spectral", **kw):
+    """Noise-injection variant (full-width planes Zr/Zi/W, or N/W chol):
+    CPU-interpretable elementwise check of the tiled math path."""
+    nm = 1 if fgn_form == "chol" else 2
+    mats = refs[:nm]
+    vd_ref, tri_ref, out_ref = refs[nm:nm + 3]
+    plane_refs, carry_ref = refs[nm + 3:-1], refs[-1]
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        zr_ref[:] = noise_ref[0].astype(fgn_dtype)
-        zi_ref[:] = noise_ref[1].astype(fgn_dtype)
+        for p, ref in enumerate(plane_refs):
+            ref[:] = noise_ref[p].astype(fgn_dtype)
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
-    x = _fgn_tile(zr_ref[:], zi_ref[:], cr_ref, ci_ref)
-    w = noise_ref[2, :, pl.ds(j * TILE, TILE)]
+    x = _fgn_tile([p[:] for p in plane_refs], mats)
+    w = noise_ref[nm, :, pl.ds(j * TILE, TILE)]
     out_ref[:] = _euler_tile(
         x, w, vd_ref, tri_ref, carry_ref, j, block=block,
         n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"], dt=kw["dt"],
@@ -222,21 +262,25 @@ def _accumulate_priced(out_ref, s, val, cv_disc, j, *, n_steps: int):
                     + jnp.where(lane == 1, cv, 0.0))
 
 
-def _tiled_priced_kernel(seed_ref, cr_ref, ci_ref, vd_ref, pol_ref, tri_ref,
-                         su_ref, out_ref, zr_ref, zi_ref, carry_ref,
-                         stop_ref, *, block: int, n_tiles: int, fgn_dtype,
-                         is_call: bool, strike: float, cv_disc=None, **kw):
+def _tiled_priced_kernel(seed_ref, *refs, block: int, n_tiles: int,
+                         fgn_dtype, is_call: bool, strike: float,
+                         cv_disc=None, fgn_form: str = "spectral", **kw):
+    nm = 1 if fgn_form == "chol" else 2
+    mats = refs[:nm]
+    vd_ref, pol_ref, tri_ref, su_ref, out_ref = refs[nm:nm + 5]
+    plane_refs = refs[nm + 5:-2]
+    carry_ref, stop_ref = refs[-2], refs[-1]
     i, j = pl.program_id(0), pl.program_id(1)
     _seed_tile(seed_ref, i, j, n_tiles)
 
     @pl.when(j == 0)
     def _():
-        _fill_driver_noise(zr_ref, zi_ref, block, n_tiles, fgn_dtype)
+        _fill_driver_noise(plane_refs, block, n_tiles, fgn_dtype)
         carry_ref[:] = jnp.zeros_like(carry_ref)
         stop_ref[:] = jnp.zeros_like(stop_ref)
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    x = _fgn_tile(zr_ref[:], zi_ref[:], cr_ref, ci_ref)
+    x = _fgn_tile([p[:] for p in plane_refs], mats)
     w = _draw_w(block)
     s = _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, block=block,
                     n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"],
@@ -246,24 +290,27 @@ def _tiled_priced_kernel(seed_ref, cr_ref, ci_ref, vd_ref, pol_ref, tri_ref,
     _accumulate_priced(out_ref, s, val, cv_disc, j, n_steps=kw["n_steps"])
 
 
-def _tiled_priced_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref,
-                                  pol_ref, tri_ref, su_ref, out_ref, zr_ref,
-                                  zi_ref, carry_ref, stop_ref, *,
-                                  block: int, n_tiles: int, fgn_dtype,
-                                  is_call: bool, strike: float,
-                                  cv_disc=None, **kw):
+def _tiled_priced_kernel_noise_in(noise_ref, *refs, block: int,
+                                  n_tiles: int, fgn_dtype, is_call: bool,
+                                  strike: float, cv_disc=None,
+                                  fgn_form: str = "spectral", **kw):
+    nm = 1 if fgn_form == "chol" else 2
+    mats = refs[:nm]
+    vd_ref, pol_ref, tri_ref, su_ref, out_ref = refs[nm:nm + 5]
+    plane_refs = refs[nm + 5:-2]
+    carry_ref, stop_ref = refs[-2], refs[-1]
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        zr_ref[:] = noise_ref[0].astype(fgn_dtype)
-        zi_ref[:] = noise_ref[1].astype(fgn_dtype)
+        for p, ref in enumerate(plane_refs):
+            ref[:] = noise_ref[p].astype(fgn_dtype)
         carry_ref[:] = jnp.zeros_like(carry_ref)
         stop_ref[:] = jnp.zeros_like(stop_ref)
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    x = _fgn_tile(zr_ref[:], zi_ref[:], cr_ref, ci_ref)
-    w = noise_ref[2, :, pl.ds(j * TILE, TILE)]
+    x = _fgn_tile([p[:] for p in plane_refs], mats)
+    w = noise_ref[nm, :, pl.ds(j * TILE, TILE)]
     s = _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, block=block,
                     n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"],
                     dt=kw["dt"], log_s0=kw["log_s0"])
@@ -273,49 +320,51 @@ def _tiled_priced_kernel_noise_in(noise_ref, cr_ref, ci_ref, vd_ref,
 
 
 def _validate(chunk_paths: int, block_paths: int, n_steps: int,
-              noise_input: bool, fgn_dtype):
+              noise_input: bool, fgn_dtype, fgn_form: str = "spectral"):
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
     if block_paths % 16:
         raise ValueError("block_paths must divide by 16 (sublane-aligned "
                          "Box-Muller halves)")
-    if not supports(n_steps, block_paths, fgn_dtype):
+    if not supports(n_steps, block_paths, fgn_dtype, fgn_form):
         raise ValueError(
             f"n_steps={n_steps} exceeds the tiled kernel's VMEM budget at "
             f"block_paths={block_paths} (max "
-            f"{max_tiled_steps(block_paths, fgn_dtype)}); lower block_paths,"
-            " use bf16 spectral slabs, or the XLA generator")
+            f"{max_tiled_steps(block_paths, fgn_dtype, fgn_form)}); lower "
+            "block_paths, use bf16 spectral slabs, or the XLA generator")
 
 
 def make_tiled_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                        chunk_paths: int, block_paths: int = 256,
                        interpret: bool = False, noise_input: bool = False,
-                       fgn_dtype=jnp.float32):
+                       fgn_dtype=jnp.float32, fgn_form: str = "spectral"):
     """Step-tiled seed -> [chunk_paths, n_steps + 1] rBergomi generator for
     horizons past the single-tile kernel's VMEM cap (seed semantics match
     pathgen_pallas.make_pallas_pathgen)."""
-    _validate(chunk_paths, block_paths, n_steps, noise_input, fgn_dtype)
-    s_pad, (cr_p, ci_p, vd_p, tri, _su), kw = _consts(
-        s0, xi, h, eta, rho, r, n_steps, dt, fgn_dtype)
+    _validate(chunk_paths, block_paths, n_steps, noise_input, fgn_dtype,
+              fgn_form)
+    s_pad, (mats, vd_p, tri, _su), kw = _consts(
+        s0, xi, h, eta, rho, r, n_steps, dt, fgn_dtype, fgn_form)
     n_tiles = s_pad // TILE
+    planes = n_planes(fgn_form)
     grid = (chunk_paths // block_paths, n_tiles)
     body = (_tiled_pathgen_kernel_noise_in if noise_input
             else _tiled_pathgen_kernel)
     kernel = functools.partial(body, block=block_paths, n_tiles=n_tiles,
-                               fgn_dtype=jnp.dtype(fgn_dtype), **kw)
+                               fgn_dtype=jnp.dtype(fgn_dtype),
+                               fgn_form=fgn_form, **kw)
     first_spec = (
-        pl.BlockSpec((3, block_paths, s_pad), lambda i, j: (0, i, 0),
+        pl.BlockSpec((planes, block_paths, s_pad), lambda i, j: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
+    mat_specs = [pl.BlockSpec((s_pad, TILE), lambda i, j: (0, j),
+                              memory_space=pltpu.VMEM) for _ in mats]
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             first_spec,
-            pl.BlockSpec((s_pad, TILE), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),          # Cr slab
-            pl.BlockSpec((s_pad, TILE), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),          # Ci slab
+            *mat_specs,                                     # Cr/Ci|Lt slabs
             pl.BlockSpec((1, TILE), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),          # var-drift tile
             pl.BlockSpec((TILE, TILE), lambda i, j: (0, 0),
@@ -325,8 +374,8 @@ def make_tiled_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((chunk_paths, s_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((block_paths, s_pad), jnp.dtype(fgn_dtype)),  # Zr
-            pltpu.VMEM((block_paths, s_pad), jnp.dtype(fgn_dtype)),  # Zi
+            *([pltpu.VMEM((block_paths, s_pad), jnp.dtype(fgn_dtype))]
+              * (planes - 1)),                              # driver noise
             pltpu.VMEM((block_paths, LANE), jnp.float32),            # carry
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
@@ -335,7 +384,7 @@ def make_tiled_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     def gen(seed_or_noise) -> jax.Array:
         first = (seed_or_noise.astype(jnp.float32) if noise_input
                  else _as_seed_words(seed_or_noise))
-        s = call(first, cr_p, ci_p, vd_p, tri)
+        s = call(first, *mats, vd_p, tri)
         s0_col = jnp.full((chunk_paths, 1), float(s0), jnp.float32)
         return jnp.concatenate([s0_col, s[:, :n_steps]], axis=-1)
 
@@ -348,15 +397,18 @@ def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                             interpret: bool = False,
                             noise_input: bool = False,
                             fgn_dtype=jnp.float32,
-                            with_cv: bool = False):
+                            with_cv: bool = False,
+                            fgn_form: str = "spectral"):
     """Step-tiled fully fused streaming unit: (seed, policy_rows) -> chunk
     payoff sum under the fitted exercise policy, at ANY horizon the VMEM
     noise scratch allows (policy-table semantics match
     pathgen_pallas.make_pallas_priced_chunk)."""
-    _validate(chunk_paths, block_paths, n_steps, noise_input, fgn_dtype)
-    s_pad, (cr_p, ci_p, vd_p, tri, su), kw = _consts(
-        s0, xi, h, eta, rho, r, n_steps, dt, fgn_dtype)
+    _validate(chunk_paths, block_paths, n_steps, noise_input, fgn_dtype,
+              fgn_form)
+    s_pad, (mats, vd_p, tri, su), kw = _consts(
+        s0, xi, h, eta, rho, r, n_steps, dt, fgn_dtype, fgn_form)
     n_tiles = s_pad // TILE
+    planes = n_planes(fgn_form)
     grid_n = chunk_paths // block_paths
     body = (_tiled_priced_kernel_noise_in if noise_input
             else _tiled_priced_kernel)
@@ -365,20 +417,19 @@ def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
     kernel = functools.partial(body, block=block_paths, n_tiles=n_tiles,
                                fgn_dtype=jnp.dtype(fgn_dtype),
                                is_call=bool(is_call), strike=float(strike),
-                               **extra, **kw)
+                               fgn_form=fgn_form, **extra, **kw)
     first_spec = (
-        pl.BlockSpec((3, block_paths, s_pad), lambda i, j: (0, i, 0),
+        pl.BlockSpec((planes, block_paths, s_pad), lambda i, j: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
+    mat_specs = [pl.BlockSpec((s_pad, TILE), lambda i, j: (0, j),
+                              memory_space=pltpu.VMEM) for _ in mats]
     call = pl.pallas_call(
         kernel,
         grid=(grid_n, n_tiles),
         in_specs=[
             first_spec,
-            pl.BlockSpec((s_pad, TILE), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),          # Cr slab
-            pl.BlockSpec((s_pad, TILE), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),          # Ci slab
+            *mat_specs,                                     # Cr/Ci|Lt slabs
             pl.BlockSpec((1, TILE), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),          # var-drift tile
             pl.BlockSpec((8, TILE), lambda i, j: (0, j),
@@ -394,8 +445,8 @@ def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((block_paths, s_pad), jnp.dtype(fgn_dtype)),  # Zr
-            pltpu.VMEM((block_paths, s_pad), jnp.dtype(fgn_dtype)),  # Zi
+            *([pltpu.VMEM((block_paths, s_pad), jnp.dtype(fgn_dtype))]
+              * (planes - 1)),                              # driver noise
             pltpu.VMEM((block_paths, LANE), jnp.float32),            # carry
             pltpu.VMEM((block_paths, LANE), jnp.float32),            # stop
         ],
@@ -405,7 +456,7 @@ def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
     def chunk_sum(seed_or_noise, rows):
         first = (seed_or_noise.astype(jnp.float32) if noise_input
                  else _as_seed_words(seed_or_noise))
-        out = call(first, cr_p, ci_p, vd_p, rows, tri, su)
+        out = call(first, *mats, vd_p, rows, tri, su)
         if with_cv:
             return jnp.sum(out[::8, 0]), jnp.sum(out[::8, 1])
         return jnp.sum(out[::8, 0])

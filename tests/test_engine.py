@@ -144,6 +144,25 @@ def test_pallas_streaming_price_matches_xla():
         config=engine.StreamConfig(**base, pathgen_impl="pallas"))
     assert abs(p_xla - p_pal) < 0.15  # ~3 MC stderr at 32k paths
 
+
+def test_pallas_chol_form_price_matches_spectral():
+    """The Cholesky fGN form (one noise plane, one matmul — identical
+    Gaussian law, see engine._chol_matrix_host) prices within MC error of
+    the spectral form through the fused streaming path (real TPU only)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("requires a real TPU for in-kernel PRNG")
+    base = dict(n_paths=1 << 15, n_steps=32, chunk_paths=1 << 13,
+                pilot_paths=1 << 12, pathgen_impl="pallas")
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    p_spec = engine.price_rbergomi_lsm_streaming(
+        jax.random.key(5), **kwargs,
+        config=engine.StreamConfig(**base, fgn_form="spectral"))
+    p_chol = engine.price_rbergomi_lsm_streaming(
+        jax.random.key(5), **kwargs,
+        config=engine.StreamConfig(**base, fgn_form="chol"))
+    assert abs(p_spec - p_chol) < 0.15  # ~3 MC stderr at 32k paths
+
 needs_mesh = pytest.mark.skipif(
     jax.device_count() < 8,
     reason="needs the 8-device virtual CPU mesh (hardware runs see 1 chip)")
@@ -207,7 +226,11 @@ def test_tiled_streaming_price_matches_xla():
                   strike=102.0, maturity=200 / 252.0, is_call=False)
     p_xla = engine.price_rbergomi_lsm_streaming(
         jax.random.key(5), **kwargs, config=engine.StreamConfig(**base))
-    cfg = engine.StreamConfig(**base, pathgen_impl="pallas")
+    # Pin the factored DFT algorithm (auto prefers the chol slab, which has
+    # its own hardware test below) so both long-horizon kernels stay
+    # covered on the chip.
+    cfg = engine.StreamConfig(**base, pathgen_impl="pallas",
+                              tiled_impl="factored")
     pricer = engine.StreamingPricer(**kwargs, config=cfg)
     assert pricer._pathgen_tiled is False  # 200 steps still single-tile
     import montecarlooptionspricer_tpu.models.pathgen_pallas as pp
@@ -217,6 +240,32 @@ def test_tiled_streaming_price_matches_xla():
         tiled_pricer = engine.StreamingPricer(**kwargs, config=cfg)
         assert tiled_pricer._pathgen_tiled
         p_tiled = tiled_pricer.price(jax.random.key(5))
+    finally:
+        pp.MAX_KERNEL_STEPS = orig
+    assert abs(p_xla - p_tiled) < 0.3  # ~3 MC stderr at 16k paths
+
+
+def test_slab_chol_streaming_price_matches_xla():
+    """Fit-then-stream with the chol-form slab-tiled generator (one noise
+    plane, one triangular matrix streamed as slabs) agrees with the XLA
+    generator within MC error at a multi-tile horizon (real TPU only)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("requires a real TPU for in-kernel PRNG")
+    base = dict(n_paths=1 << 14, n_steps=200, chunk_paths=1 << 12,
+                pilot_paths=1 << 12)
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=200 / 252.0, is_call=False)
+    p_xla = engine.price_rbergomi_lsm_streaming(
+        jax.random.key(5), **kwargs, config=engine.StreamConfig(**base))
+    cfg = engine.StreamConfig(**base, pathgen_impl="pallas",
+                              tiled_impl="slab", fgn_form="chol")
+    import montecarlooptionspricer_tpu.models.pathgen_pallas as pp
+    orig = pp.MAX_KERNEL_STEPS
+    try:
+        pp.MAX_KERNEL_STEPS = 128  # force the tiled kernel at 200 steps
+        pricer = engine.StreamingPricer(**kwargs, config=cfg)
+        assert pricer._pathgen_tiled
+        p_tiled = pricer.price(jax.random.key(5))
     finally:
         pp.MAX_KERNEL_STEPS = orig
     assert abs(p_xla - p_tiled) < 0.3  # ~3 MC stderr at 16k paths
