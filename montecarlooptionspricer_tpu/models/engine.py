@@ -116,6 +116,17 @@ class StreamConfig:
     # kernel (which emits the control sum alongside the payoff sum) at
     # single-tile step counts; elsewhere the generic path stream.
     control_variate: bool = False
+    # Chain-kernel exercise-policy representation (fused K-strike kernel
+    # only): "boundary" — the fitted quadratic's decision is precomputed
+    # into per-(step,strike) exercise boundaries at table-build time
+    # (pathgen_pallas.boundary_rows), collapsing the in-kernel test to
+    # one compare per cell (~2.5x fewer VPU op-slots per strike — the
+    # measured per-strike floor, VERIFY_r02 section 1c); "quadratic" —
+    # evaluate the quadratic per cell (lsm_policy_value's exact f32
+    # decision semantics).  The boundary decisions differ only within
+    # f32 rounding of the root and for pathological non-ITM-anchored
+    # fits (clipped; second-order value impact — see boundary_rows).
+    chain_policy_form: str = "boundary"
     # Chunks per device program: the chunk loop runs as an on-device
     # fori_loop, so host<->device round-trips happen once per
     # `chunks_per_call` chunks, not per chunk (the axon-tunnel dispatch
@@ -1449,7 +1460,8 @@ class StreamingChainPricer:
                 s0, xi, h, eta, rho, r, strikes_f, maturity, dt, n_steps,
                 config.chunk_paths, block_paths=config.pallas_block_paths,
                 is_call=is_call, fgn_dtype=fgn_dtype,
-                fgn_form=_resolve_fgn_form(config))
+                fgn_form=_resolve_fgn_form(config),
+                policy_form=config.chain_policy_form)
         else:
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
@@ -1501,10 +1513,14 @@ class StreamingChainPricer:
         if pathgen_impl == "pallas":
             from . import pathgen_pallas as _pp
 
+            row_fn = (_pp.boundary_rows
+                      if config.chain_policy_form == "boundary"
+                      else _pp.policy_rows)
+
             def stream_fn(k, fits, strikes_, start, count):
                 k = shard_mix(k)
                 tables = jax.vmap(
-                    lambda fit, strike: _pp.policy_rows(
+                    lambda fit, strike: row_fn(
                         fit, r, strike, maturity, dt, n_steps, is_call)
                 )(fits, strikes_)
 

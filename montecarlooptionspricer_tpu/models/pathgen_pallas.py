@@ -253,42 +253,119 @@ def _policy_value_minreduce(s, pol_row, col, *, is_call: bool):
     return jnp.sum(first * p * disc)
 
 
+def _policy_value_boundary(s, pol_row, col, ds, *, is_call: bool):
+    """Boundary-form LSM exercise policy: the per-(step,strike) quadratic
+    decision is precomputed into an exercise INTERVAL [lo, hi]
+    (boundary_rows — the solution set of "payoff >= fitted quadratic" is
+    an interval for every convex-continuation fit), so the in-kernel
+    test is two compares and the exercise value is one subtract against
+    the hoisted disc*S plane (``ds``, shared across the strike strip).
+    ~7 VPU op-slots per cell per strike vs ~13 for the cell-level
+    quadratic (_policy_value_minreduce): the chain kernel's per-strike
+    marginal cost is a pure VPU-elementwise floor, so the op cut is the
+    K-scaling lever (VERIFY_r02 section 1c)."""
+    lo = pol_row[0, :]
+    hi = pol_row[1, :]
+    dk = pol_row[2, :]
+    exf = (s >= lo) & (s <= hi)
+    big = jnp.int32(1 << 30)
+    idx = jnp.min(jnp.where(exf, col, big), axis=1, keepdims=True)
+    val = (ds - dk) if is_call else (dk - ds)
+    return jnp.sum(jnp.where(col == idx, val, 0.0))
+
+
+# Strikes per grid step of the chain policy kernel.  The policy sweep is
+# a pure VPU-elementwise pass whose cost is linear in the unroll count
+# only up to ~10 strikes per kernel body — past that, Mosaic's scheduling
+# degrades superlinearly (measured v5e, 8.4M x 365, boundary form:
+# unrolled K=50 marginal ~38 ms/strike, one-strike-per-iteration
+# fori_loop ~17 ms — each in-kernel dynamic table slice costs ~0.7 us of
+# exposed DMA latency — vs ~6 ms for a 10-strike unroll).
+CHAIN_GROUP = 10
+
+
+def _sweep_values(s, pol_ref, out_shape, *, is_call: bool, group: int,
+                  policy_form: str):
+    """One strike group's [8, LANE] partial-sum tile, lane g = the g-th
+    strike's path-block payoff sum (Mosaic cannot store scalars to VMEM,
+    so the per-strike sums are composed into one vector store via lane
+    masks).  Strikes live in the policy tables; only the strip's GROUP
+    COUNT is compiled in."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    if policy_form == "boundary":
+        # disc*S is strike-independent: pay it once per group (every
+        # boundary_rows table carries the same disc row 3).
+        ds = s * pol_ref[0, 3, :]
+        value = functools.partial(_policy_value_boundary, s, col=col,
+                                  ds=ds, is_call=is_call)
+    else:
+        value = functools.partial(_policy_value_minreduce, s, col=col,
+                                  is_call=is_call)
+    acc = jnp.zeros(out_shape, jnp.float32)
+    for g in range(group):
+        acc = acc + jnp.where(lane == g, value(pol_ref[g]), 0.0)
+    return acc
+
+
+def _chain_policy_kernel(s_ref, pol_ref, out_ref, *, is_call: bool,
+                         group: int, policy_form: str):
+    """One (path block, strike group) step of the wide-strip chain policy
+    sweep.  Paths arrive as a pipelined INPUT block — the grid iterates
+    strike groups innermost, and the pallas pipeline only re-issues the
+    copy when the block index changes, so a path block is fetched from
+    HBM once and revisited by all its strike groups."""
+    out_ref[...] = _sweep_values(s_ref[...], pol_ref, out_ref.shape,
+                                 is_call=is_call, group=group,
+                                 policy_form=policy_form)
+
+
 def _chain_kernel(seed_ref, *refs, block_paths: int, is_call: bool,
-                  n_k: int, fgn_form: str = "spectral", **kw):
-    """Fused K-strike chain kernel: one path block, K exercise policies,
-    [K] partial sums — path data never leaves VMEM and path generation is
-    paid once for the whole strike strip."""
+                  group: int, policy_form: str,
+                  fgn_form: str = "spectral", **kw):
+    """Fused short-strip chain kernel (n_k <= CHAIN_GROUP): one path
+    block, the whole strip's policies, [8, LANE] partial sums — path data
+    never leaves VMEM and path generation is paid once for the strip."""
     *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
     zr, zi, w = _draw_planes(block_paths, kw["s_pad"], fgn_form)
     s = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref, tri_ref, **kw)
-    out_ref[...] = _chain_values(s, pol_ref, out_ref.shape,
-                                 is_call=is_call, n_k=n_k)
+    out_ref[...] = _sweep_values(s, pol_ref, out_ref.shape,
+                                 is_call=is_call, group=group,
+                                 policy_form=policy_form)
 
 
 def _chain_kernel_noise_in(noise_ref, *refs, block_paths: int,
-                           is_call: bool, n_k: int,
+                           is_call: bool, group: int, policy_form: str,
                            fgn_form: str = "spectral", **kw):
-    """Noise-injection variant of the chain kernel (CPU-interpretable)."""
+    """Noise-injection variant of the fused chain kernel."""
     *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
     zr, zi, w = _noise_planes(noise_ref, fgn_form)
     s = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref, tri_ref, **kw)
-    out_ref[...] = _chain_values(s, pol_ref, out_ref.shape,
-                                 is_call=is_call, n_k=n_k)
+    out_ref[...] = _sweep_values(s, pol_ref, out_ref.shape,
+                                 is_call=is_call, group=group,
+                                 policy_form=policy_form)
 
 
-def _chain_values(s, pol_ref, out_shape, *, is_call: bool, n_k: int):
-    """[8, k_pad] tile with lane k = strike k's chunk-block payoff sum
-    (Mosaic cannot store scalars to VMEM, so the K per-strike sums are
-    composed into one vector store via lane masks).  Strikes live in the
-    policy tables; only the strip LENGTH is compiled in."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, out_shape, 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    acc = jnp.zeros(out_shape, jnp.float32)
-    for k in range(n_k):
-        val = _policy_value_minreduce(s, pol_ref[k], col, is_call=is_call)
-        acc = acc + jnp.where(lane == k, val, 0.0)
-    return acc
+def _s_block_kernel(seed_ref, *refs, block_paths: int,
+                    fgn_form: str = "spectral", **kw):
+    """Path generation for the wide-strip chain: the raw S block
+    ([block, s_pad], column c = step c+1 — no S0 column, the policy sweep
+    never reads it) written to HBM for the policy kernel to stream back."""
+    *mats, vd_ref, tri_ref, out_ref = refs
+    pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
+    zr, zi, w = _draw_planes(block_paths, kw["s_pad"], fgn_form)
+    out_ref[...] = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref,
+                                     tri_ref, **kw)
+
+
+def _s_block_kernel_noise_in(noise_ref, *refs, block_paths: int,
+                             fgn_form: str = "spectral", **kw):
+    """Noise-injection variant of the S-block generator."""
+    *mats, vd_ref, tri_ref, out_ref = refs
+    zr, zi, w = _noise_planes(noise_ref, fgn_form)
+    out_ref[...] = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref,
+                                     tri_ref, **kw)
 
 
 def _pathgen_kernel(seed_ref, *refs, fgn_form: str = "spectral", **kw):
@@ -529,6 +606,159 @@ def policy_rows(fits, r, strike, maturity, dt, n_steps: int, is_call: bool):
     return jnp.stack([c0, c1, c2, mu, sd, eps, disc, strike_row])
 
 
+def boundary_rows(fits, r, strike, maturity, dt, n_steps: int,
+                  is_call: bool):
+    """[8, s_pad] exercise-INTERVAL policy table for the chain kernel's
+    ``policy_form="boundary"`` fast path.
+
+    The fitted LSM decision at step j is "exercise iff payoff > eps and
+    payoff >= c2 z^2 + c1 z + c0" (policy_rows semantics) — a sign test
+    of a QUADRATIC in S, so its solution set is known at table-build
+    time: for every convex-continuation fit (the canonical case — the
+    parabola opens upward, c2 > 0) it is a single S-interval, possibly
+    bounded on BOTH sides (deep ITM the extrapolated quadratic rises
+    above the linear payoff, so the fitted policy genuinely says
+    continue there), and the in-kernel test collapses to two compares
+    against precomputed roots.  Rows:
+
+      0: lo — exercise iff S >= lo ...
+      1: hi — ... and S <= hi
+      2: disc * strike (the exercise value is row2 - disc*S for puts)
+      3: discount exp(-r t) (shared across strikes — the kernel hoists
+         the disc*S plane once per strike strip)
+      4-7: zero (layout padding to the [8, s_pad] table shape)
+
+    Exactness vs the quadratic form: decisions agree except (a) within
+    f32 rounding of the roots (the quadratic's own f32 evaluation
+    wobbles there too) and (b) for a CONCAVE-continuation fit (c2 < 0)
+    whose solution set splits into two components — clipped to the
+    deep-ITM component, which perturbs the policy only where payoff ~=
+    fitted continuation, a second-order value change (the envelope
+    argument; agreement is asserted cell-level in tests/test_chain.py).
+    The terminal column exercises iff ITM instead of policy_rows'
+    exercise-always — value-identical, since an OTM terminal exercise
+    contributes max(payoff, 0) = 0 there (LSMPricer.cpp:29-38
+    semantics).
+
+    Root finding is branchless f32 jnp (tables build in-graph from
+    traced fits/strikes — the serving fast path reuses compiled
+    programs for fresh strips): the stable quadratic form
+    q = -(b + sign(b) sqrt(b^2-4ac))/2, roots q/a and c/q.
+    """
+    s_pad = _round_up(n_steps, LANE)
+    big = jnp.float32(1e30)
+    dtf = jnp.float32
+
+    t = (jnp.arange(1, n_steps + 1, dtype=jnp.float32)) * dt
+
+    def shifted(a, fill, pad_value=0.0):
+        v = jnp.concatenate([a[1:].astype(dtf), jnp.asarray([fill], dtf)])
+        return jnp.pad(v, (0, s_pad - n_steps), constant_values=pad_value)
+
+    c0 = shifted(fits.coeffs[:, 0], -1e30)
+    c1 = shifted(fits.coeffs[:, 1], 0.0)
+    c2 = shifted(fits.coeffs[:, 2], 0.0)
+    mu = shifted(fits.mu, 0.0)
+    sd = jnp.maximum(shifted(fits.sd, 1.0, pad_value=1.0), 1e-30)
+
+    from ..ops.timegrid import step_mask
+
+    live = step_mask(n_steps + 1, dt, maturity)[1:]
+    eps = jnp.where(live, jnp.float32(1e-14), big)
+    # Terminal column: ITM test only (see docstring); policy_rows' -1
+    # sentinel would shift the ITM cap by a full dollar here.
+    eps = eps.at[n_steps - 1].set(1e-14)
+    eps = jnp.pad(eps, (0, s_pad - n_steps), constant_values=1e30)
+    disc = jnp.exp(-r * t).astype(dtf)
+    disc = jnp.pad(disc, (0, s_pad - n_steps))
+
+    strike = jnp.asarray(strike, dtf)
+    # Continuation as a raw quadratic in S: cont = A S^2 + B S + C.
+    inv = 1.0 / sd
+    a_z = c2 * inv * inv
+    A = a_z
+    B = c1 * inv - 2.0 * mu * a_z
+    C = (mu * a_z - c1 * inv) * mu + c0
+    # Exercise condition as q(S) >= 0 intersected with the ITM cap.
+    if is_call:
+        a, b, c = -A, 1.0 - B, -(strike + C)
+        # ITM cap: S > strike + eps, i.e. S >= nextafter(strike + eps).
+        cap = jax.lax.nextafter(strike + jnp.maximum(eps, 0.0), big)
+    else:
+        a, b, c = -A, -(1.0 + B), strike - C
+        cap = jax.lax.nextafter(strike - jnp.maximum(eps, 0.0), -big)
+    # The terminal column always exercises when ITM: its c0 = -1e30 makes
+    # c = strike + 1e30 (put), landing in the linear all-ITM branch.
+
+    lin = jnp.abs(a) <= 1e-25
+    safe_b = jnp.where(jnp.abs(b) > 1e-30, b, 1.0)
+    s_lin = -c / safe_b
+    disc_q = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc_q, 0.0))
+    qq = -0.5 * (b + jnp.where(b < 0, -sq, sq))
+    safe_a = jnp.where(lin, jnp.float32(1.0), a)
+    safe_qq = jnp.where(jnp.abs(qq) > 1e-30, qq, 1e-30)
+    r1 = qq / safe_a
+    r2 = c / safe_qq
+    rlo = jnp.minimum(r1, r2)
+    rhi = jnp.maximum(r1, r2)
+    # {q >= 0} as [set_lo, set_hi] (empty encoded as [big, -big]):
+    #   a<0 (convex continuation, canonical): between the roots;
+    #   a>0 (concave): outside the roots -> clip to the deep-ITM
+    #       component ((-inf, rlo] for puts, [rhi, inf) for calls);
+    #   linear: a half-line by sign(b); b==0: everywhere/nowhere.
+    lin_lo = jnp.where(jnp.abs(b) <= 1e-30,
+                       jnp.where(c >= 0, -big, big),
+                       jnp.where(b > 0, s_lin, -big))
+    lin_hi = jnp.where(jnp.abs(b) <= 1e-30,
+                       jnp.where(c >= 0, big, -big),
+                       jnp.where(b > 0, big, s_lin))
+    if is_call:
+        quad_lo = jnp.where(a < 0, jnp.where(disc_q < 0, big, rlo),
+                            jnp.where(disc_q < 0, -big, rhi))
+        quad_hi = jnp.where(a < 0, jnp.where(disc_q < 0, -big, rhi),
+                            big)
+    else:
+        quad_lo = jnp.where(a < 0, jnp.where(disc_q < 0, big, rlo),
+                            -big)
+        quad_hi = jnp.where(a < 0, jnp.where(disc_q < 0, -big, rhi),
+                            jnp.where(disc_q < 0, big, rlo))
+    set_lo = jnp.where(lin, lin_lo, quad_lo)
+    set_hi = jnp.where(lin, lin_hi, quad_hi)
+    # Intersect with the ITM cap (put: S <= cap; call: S >= cap).
+    if is_call:
+        lo_row = jnp.maximum(set_lo, cap)
+        hi_row = set_hi
+    else:
+        lo_row = set_lo
+        hi_row = jnp.minimum(set_hi, cap)
+
+    zeros = jnp.zeros((s_pad,), dtf)
+    return jnp.stack([lo_row, hi_row, disc * strike, disc,
+                      zeros, zeros, zeros, zeros])
+
+
+def boundary_policy_value(paths, table, n_steps: int, is_call: bool):
+    """XLA-side evaluation of ONE boundary_rows table on generated paths
+    [n, >= n_steps+1] (column j = step j): the reference comparator for
+    the boundary-form chain kernel.  Uses the same f32 compares and the
+    same dk - disc*S value arithmetic, so decisions and per-path values
+    are bitwise those of the kernel on bitwise-equal paths; only the
+    summation order differs.  Column 0 (shared S0) is excluded, exactly
+    like the kernel (engine handles time-0 outside)."""
+    s = paths[:, 1:n_steps + 1].astype(jnp.float32)
+    lo = table[0, :n_steps]
+    hi = table[1, :n_steps]
+    dk = table[2, :n_steps]
+    ds = s * table[3, :n_steps]
+    exf = (s >= lo) & (s <= hi)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    big = jnp.int32(1 << 30)
+    idx = jnp.min(jnp.where(exf, col, big), axis=1, keepdims=True)
+    val = (ds - dk) if is_call else (dk - ds)
+    return jnp.sum(jnp.where(col == idx, val, 0.0))
+
+
 def time0_value(fits, s0, strike, is_call: bool):
     """(exercises_at_0, payoff_at_0): every path shares S0, so time-0
     exercise is a single scalar decision handled outside the kernel
@@ -635,13 +865,31 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
                              interpret: bool = False,
                              noise_input: bool = False,
                              fgn_dtype=jnp.float32,
-                             fgn_form: str = "spectral"):
+                             fgn_form: str = "spectral",
+                             policy_form: str = "boundary"):
     """Fused K-strike streaming unit: (seed, policy_tables [K, 8, s_pad])
     -> [K] chunk payoff sums, sharing ONE in-VMEM path block across the
-    whole strike strip.  Policy tables are per-strike `policy_rows` stacked
-    on a leading axis.  Path generation is the dominant per-strike cost in
-    the vmapped XLA chain (models/engine.StreamingChainPricer); here it is
-    paid once per chunk regardless of K."""
+    whole strike strip.  Policy tables are per-strike `boundary_rows`
+    (policy_form="boundary", the fast default — two-compare interval
+    exercise tests, see _policy_value_boundary) or `policy_rows`
+    (policy_form="quadratic" — the cell-level quadratic), stacked on a
+    leading axis.
+
+    Short strips (n_k <= CHAIN_GROUP) run ONE fused kernel: generate a
+    path block in VMEM, sweep every policy over it — zero HBM path
+    traffic, exactly the round-2 design at the unroll size Mosaic
+    schedules well.  Wider strips split into two pipelined kernels:
+    the S-block generator writes raw paths to HBM once, then the policy
+    kernel's (path block, strike group) grid streams each block back as
+    a pipelined input revisited by all its strike groups (groups iterate
+    innermost, so the block's DMA is issued once) — path generation AND
+    path HBM traffic are paid once per chunk regardless of K, while each
+    grid step stays at the CHAIN_GROUP unroll.  (A single-kernel variant
+    holding the paths in VMEM scratch across group steps measured ~5x
+    slower per group step than this split — Mosaic pipelines the
+    two-kernel form, VERIFY_r03 section 6.)"""
+    if policy_form not in ("boundary", "quadratic"):
+        raise ValueError(f"unknown policy_form {policy_form!r}")
     n_k = int(strikes) if isinstance(strikes, int) else len(strikes)
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
@@ -650,10 +898,11 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
     if not supports(n_steps, fgn_form):
         raise ValueError("n_steps too large for the fused chain kernel")
     s_pad = _round_up(n_steps, LANE)
-    k_pad = _round_up(n_k, LANE)
+    group = min(n_k, CHAIN_GROUP)
+    n_g = -(-n_k // group)
+    k_tab = n_g * group
 
-    mats, mat_specs = _fgn_consts(n_steps, s_pad, h, eta, dt, fgn_dtype,
-                                  fgn_form)
+    mats, _ = _fgn_consts(n_steps, s_pad, h, eta, dt, fgn_dtype, fgn_form)
     t = np.arange(n_steps, dtype=np.float64) * dt
     vd = -0.5 * (eta * eta) * t ** (2.0 * h)
     vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
@@ -664,34 +913,76 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
 
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
               dt=float(dt), log_s0=float(math.log(s0)),
-              block_paths=block_paths, is_call=bool(is_call), n_k=n_k,
-              fgn_form=fgn_form)
-    body = _chain_kernel_noise_in if noise_input else _chain_kernel
-    kernel = functools.partial(body, **kw)
+              block_paths=block_paths, fgn_form=fgn_form)
+    pol_kw = dict(is_call=bool(is_call), group=group,
+                  policy_form=policy_form)
     grid_n = chunk_paths // block_paths
+    interp = pltpu.InterpretParams() if interpret else False
     first_spec = (
         pl.BlockSpec((n_planes(fgn_form), block_paths, s_pad),
                      lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
-    call = pl.pallas_call(
-        kernel,
-        grid=(grid_n,),
-        in_specs=[
-            first_spec,                                     # seed or noise
-            *mat_specs,                                     # Cr/Ci or Lt
-            pl.BlockSpec((1, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),          # var drift
-            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),          # cumsum tri
-            pl.BlockSpec((n_k, 8, s_pad), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),          # K policy tables
-        ],
-        out_specs=pl.BlockSpec((8, k_pad), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid_n * 8, k_pad), jnp.float32),
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )
+    const_specs = [
+        *[pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+          for _ in mats],                                   # Cr/Ci or Lt
+        pl.BlockSpec((1, s_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),              # var drift
+        pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),              # cumsum tri
+    ]
+
+    if n_g == 1:
+        body = _chain_kernel_noise_in if noise_input else _chain_kernel
+        fused = pl.pallas_call(
+            functools.partial(body, **kw, **pol_kw),
+            grid=(grid_n,),
+            in_specs=[
+                first_spec,                                 # seed or noise
+                *const_specs,
+                pl.BlockSpec((group, 8, s_pad), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),      # strip's tables
+            ],
+            out_specs=pl.BlockSpec((8, LANE), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
+            interpret=interp,
+        )
+
+        def run(first, tables):
+            return fused(first, *mats, vd_p, tri_p, tables)
+    else:
+        gen_body = (_s_block_kernel_noise_in if noise_input
+                    else _s_block_kernel)
+        gen = pl.pallas_call(
+            functools.partial(gen_body, **kw),
+            grid=(grid_n,),
+            in_specs=[first_spec, *const_specs],
+            out_specs=pl.BlockSpec((block_paths, s_pad), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((chunk_paths, s_pad),
+                                           jnp.float32),
+            interpret=interp,
+        )
+        sweep = pl.pallas_call(
+            functools.partial(_chain_policy_kernel, **pol_kw),
+            grid=(grid_n, n_g),
+            in_specs=[
+                pl.BlockSpec((block_paths, s_pad), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),      # path block
+                pl.BlockSpec((group, 8, s_pad), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),      # group's tables
+            ],
+            out_specs=pl.BlockSpec((8, LANE), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((grid_n * 8, n_g * LANE),
+                                           jnp.float32),
+            interpret=interp,
+        )
+
+        def run(first, tables):
+            return sweep(gen(first, *mats, vd_p, tri_p), tables)
 
     def chunk_sums(seed_or_noise, tables) -> jax.Array:
         """[K] payoff sums for the chunk.  ``tables`` is [K, 8, s_pad]."""
@@ -699,8 +990,16 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
             first = seed_or_noise.astype(jnp.float32)
         else:
             first = _as_seed_words(seed_or_noise)
-        out = call(first, *mats, vd_p, tri_p, tables)
-        return jnp.sum(out[::8, :n_k], axis=0)
+        if k_tab > n_k:
+            # Pad the strip to a whole number of groups by repeating the
+            # last table; the padded lanes are dropped below.
+            pad = jnp.broadcast_to(tables[-1:],
+                                   (k_tab - n_k, *tables.shape[1:]))
+            tables = jnp.concatenate([tables, pad])
+        out = run(first, tables)
+        # [grid_n, n_g * LANE] -> per-group lanes 0..group-1 hold strikes
+        sums = jnp.sum(out[::8], axis=0).reshape(n_g, LANE)[:, :group]
+        return sums.reshape(-1)[:n_k]
 
     return chunk_sums, s_pad
 

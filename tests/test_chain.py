@@ -47,7 +47,7 @@ def test_chain_kernel_matches_vmapped_policy(rng):
     chain, s_pad2 = pathgen_pallas.make_pallas_priced_chain(
         **MKT, strikes=strikes, maturity=maturity, dt=dt, n_steps=n_steps,
         chunk_paths=chunk, block_paths=64, is_call=is_call, interpret=True,
-        noise_input=True)
+        noise_input=True, policy_form="quadratic")
     assert s_pad2 == s_pad
     tables = jax.vmap(
         lambda fit, strike: pathgen_pallas.policy_rows(
@@ -55,6 +55,206 @@ def test_chain_kernel_matches_vmapped_policy(rng):
     )(fits, jnp.asarray(strikes))
     got = np.asarray(chain(noise, tables))
     np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("is_call", [False, True])
+def test_chain_boundary_kernel_matches_table_eval(rng, is_call):
+    """Boundary-form chain kernel == the XLA boundary_policy_value
+    comparator on identical injected noise (same f32 compares, same
+    dk - disc*S value arithmetic => identical per-path decisions; only
+    summation order differs), for puts AND calls."""
+    n_steps, chunk, dt = 48, 256, 1 / 252.0
+    strikes = [94.0, 100.0, 106.0]
+    maturity = 48 / 252.0
+
+    pilot = engine.make_chunk_pathgen(**MKT, n_steps=n_steps, dt=dt,
+                                      chunk_paths=1 << 11)(jax.random.key(0))
+
+    def one_fit(strike):
+        _, fits = lsm_fit(pilot, MKT["r"], strike, maturity, dt, is_call, 2)
+        return fits
+
+    fits = jax.vmap(one_fit)(jnp.asarray(strikes))
+    tables = jax.vmap(
+        lambda fit, strike: pathgen_pallas.boundary_rows(
+            fit, MKT["r"], strike, maturity, dt, n_steps, is_call)
+    )(fits, jnp.asarray(strikes))
+
+    gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
+        **MKT, n_steps=n_steps, dt=dt, chunk_paths=chunk, block_paths=64,
+        interpret=True)
+    noise = jnp.asarray(rng.standard_normal((3, chunk, s_pad)), jnp.float32)
+    paths = gen(noise)
+
+    want = [float(pathgen_pallas.boundary_policy_value(
+        paths, tables[k], n_steps, is_call)) for k in range(len(strikes))]
+
+    chain, _ = pathgen_pallas.make_pallas_priced_chain(
+        **MKT, strikes=strikes, maturity=maturity, dt=dt, n_steps=n_steps,
+        chunk_paths=chunk, block_paths=64, is_call=is_call, interpret=True,
+        noise_input=True, policy_form="boundary")
+    got = np.asarray(chain(noise, tables))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4)
+
+
+@pytest.mark.parametrize("is_call", [False, True])
+def test_boundary_rows_decision_matches_quadratic(is_call):
+    """The precomputed exercise boundary reproduces the fitted quadratic's
+    per-cell decision on a dense S grid: exact agreement away from the
+    root (|payoff - continuation| beyond f32 wobble), and misclassified
+    cells confined to that near-boundary band where the two policies are
+    value-equivalent to first order."""
+    n_steps, dt = 32, 1 / 252.0
+    maturity, strike = 32 / 252.0, 100.0
+    pilot = engine.make_chunk_pathgen(**MKT, n_steps=n_steps, dt=dt,
+                                      chunk_paths=1 << 12)(jax.random.key(1))
+    _, fits = lsm_fit(pilot, MKT["r"], strike, maturity, dt, is_call, 2)
+
+    quad = np.asarray(pathgen_pallas.policy_rows(
+        fits, MKT["r"], strike, maturity, dt, n_steps, is_call),
+        np.float32)
+    bnd = np.asarray(pathgen_pallas.boundary_rows(
+        fits, MKT["r"], strike, maturity, dt, n_steps, is_call),
+        np.float32)
+
+    s = np.linspace(40.0, 180.0, 4001, dtype=np.float32)[:, None]
+    c0, c1, c2, mu, sd, eps = (quad[i, :n_steps] for i in range(6))
+    p = np.maximum(s - strike, 0) if is_call else np.maximum(strike - s, 0)
+    z = (s - mu) / sd
+    cont = (c2 * z + c1) * z + c0
+    ex_quad = (p > eps) & (p >= cont)
+    lo, hi = bnd[0, :n_steps], bnd[1, :n_steps]
+    ex_bnd = (s >= lo) & (s <= hi)
+
+    diff = ex_quad != ex_bnd
+    # The terminal column is allowed to differ exactly on OTM cells:
+    # policy_rows exercises ALWAYS there (eps = -1) with value
+    # max(payoff, 0) = 0, boundary_rows exercises iff ITM — the same
+    # value, and no later step exists to steal priority from.
+    terminal_otm = np.zeros_like(diff)
+    terminal_otm[:, n_steps - 1] = p[:, 0] <= 0
+    # Any other disagreement sits in the near-root band where payoff ~=
+    # cont (f32 root rounding) — the interval form is EXACT for the
+    # canonical convex-continuation fit away from the roots.
+    near = np.abs(p - cont) <= 1e-3 * (1.0 + np.abs(cont))
+    assert not np.any(diff & ~near & ~terminal_otm), (
+        f"{np.sum(diff & ~near & ~terminal_otm)} decisions flipped away "
+        "from the boundary")
+    # and the genuine flips are vanishingly rare on a dense grid
+    assert (diff & ~terminal_otm).mean() < 1e-3
+
+
+@pytest.mark.slow
+def test_chain_boundary_kernel_large_strip_grouped_loop(rng):
+    """Strips with n_k > CHAIN_GROUP run the two-kernel split (S blocks
+    to HBM, policy sweep over a (path block, strike group) grid) — must
+    match the per-strike comparator exactly like the fused short-strip
+    path, including the non-multiple-of-group tail."""
+    n_steps, chunk, dt = 32, 128, 1 / 252.0
+    strikes = [float(v) for v in np.linspace(88.0, 112.0, 18)]
+    maturity, is_call = 32 / 252.0, False
+
+    pilot = engine.make_chunk_pathgen(**MKT, n_steps=n_steps, dt=dt,
+                                      chunk_paths=1 << 10)(jax.random.key(0))
+
+    def one_fit(strike):
+        _, fits = lsm_fit(pilot, MKT["r"], strike, maturity, dt, is_call, 2)
+        return fits
+
+    fits = jax.vmap(one_fit)(jnp.asarray(strikes))
+    tables = jax.vmap(
+        lambda fit, strike: pathgen_pallas.boundary_rows(
+            fit, MKT["r"], strike, maturity, dt, n_steps, is_call)
+    )(fits, jnp.asarray(strikes))
+
+    gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
+        **MKT, n_steps=n_steps, dt=dt, chunk_paths=chunk, block_paths=64,
+        interpret=True)
+    noise = jnp.asarray(rng.standard_normal((3, chunk, s_pad)), jnp.float32)
+    paths = gen(noise)
+    want = [float(pathgen_pallas.boundary_policy_value(
+        paths, tables[k], n_steps, is_call)) for k in range(len(strikes))]
+
+    chain, _ = pathgen_pallas.make_pallas_priced_chain(
+        **MKT, strikes=strikes, maturity=maturity, dt=dt, n_steps=n_steps,
+        chunk_paths=chunk, block_paths=64, is_call=is_call, interpret=True,
+        noise_input=True, policy_form="boundary")
+    got = np.asarray(chain(noise, tables))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4, atol=1e-3)
+
+
+def test_boundary_rows_concave_fit_clips_to_deep_itm_component():
+    """A concave-continuation fit (c2 < 0) can split the exercise set in
+    two; boundary_rows keeps the deep-ITM component (documented clip).
+    Build such a fit synthetically and check the interval against the
+    quadratic decision: agreement on the kept component, the detached
+    near-boundary component dropped."""
+    from montecarlooptionspricer_tpu.ops import PolyFit
+
+    n_steps, dt = 4, 1 / 252.0
+    maturity, strike = 4 / 252.0, 100.0
+    # every step: cont = -0.05 z^2 + 3, z = s - 100 -> payoff (100 - s)
+    # >= cont solves u = 100 - s >= 2.6491 or u <= -22.649 (an OTM-side
+    # branch the ITM cap removes); deep-ITM component survives as
+    # s <= 97.3509.
+    coeffs = np.zeros((n_steps, 3), np.float32)
+    coeffs[:, 0] = 3.0
+    coeffs[:, 2] = -0.05
+    fits = PolyFit(coeffs=jnp.asarray(coeffs),
+                   mu=jnp.full((n_steps,), 100.0, jnp.float32),
+                   sd=jnp.ones((n_steps,), jnp.float32))
+    bnd = np.asarray(pathgen_pallas.boundary_rows(
+        fits, MKT["r"], strike, maturity, dt, n_steps, False), np.float32)
+    lo, hi = bnd[0, 0], bnd[1, 0]
+    assert lo < 40.0                      # unbounded below (deep ITM)
+    assert abs(hi - 97.3509) < 0.01
+    # and on sampled prices the decisions match the quadratic exactly
+    s = np.linspace(50.0, 99.9, 997, dtype=np.float32)
+    p = 100.0 - s
+    cont = -0.05 * (s - 100.0) ** 2 + 3.0
+    ex_quad = (p > 1e-14) & (p >= cont)
+    ex_bnd = (s >= lo) & (s <= hi)
+    np.testing.assert_array_equal(ex_bnd, ex_quad)
+
+
+@pytest.mark.slow
+def test_chain_boundary_price_matches_quadratic_form(rng):
+    """Boundary- and quadratic-form chain kernels on the SAME injected
+    noise price within a hair of each other: decisions differ only in the
+    near-root band, where exercising or continuing is value-neutral to
+    first order."""
+    n_steps, chunk, dt = 48, 512, 1 / 252.0
+    strikes = [94.0, 100.0, 106.0]
+    maturity, is_call = 48 / 252.0, False
+
+    pilot = engine.make_chunk_pathgen(**MKT, n_steps=n_steps, dt=dt,
+                                      chunk_paths=1 << 11)(jax.random.key(0))
+
+    def one_fit(strike):
+        _, fits = lsm_fit(pilot, MKT["r"], strike, maturity, dt, is_call, 2)
+        return fits
+
+    fits = jax.vmap(one_fit)(jnp.asarray(strikes))
+    strikes_j = jnp.asarray(strikes)
+    s_pad = pathgen_pallas._round_up(n_steps, pathgen_pallas.LANE)
+    noise = jnp.asarray(rng.standard_normal((3, chunk, s_pad)), jnp.float32)
+    got = {}
+    for form, row_fn in (("boundary", pathgen_pallas.boundary_rows),
+                         ("quadratic", pathgen_pallas.policy_rows)):
+        chain, _ = pathgen_pallas.make_pallas_priced_chain(
+            **MKT, strikes=strikes, maturity=maturity, dt=dt,
+            n_steps=n_steps, chunk_paths=chunk, block_paths=64,
+            is_call=is_call, interpret=True, noise_input=True,
+            policy_form=form)
+        tables = jax.vmap(
+            lambda fit, strike: row_fn(fit, MKT["r"], strike, maturity,
+                                       dt, n_steps, is_call)
+        )(fits, strikes_j)
+        got[form] = np.asarray(chain(noise, tables))
+    # per-path mean within 2 cents across the strip (same paths)
+    np.testing.assert_allclose(got["boundary"] / chunk,
+                               got["quadratic"] / chunk, atol=0.02)
 
 needs_mesh = pytest.mark.skipif(
     jax.device_count() < 8,

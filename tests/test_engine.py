@@ -416,6 +416,26 @@ def test_chain_pricer_honors_rng_impl():
     assert np.all(np.isfinite(prices)) and prices[0] < prices[1]
 
 
+def test_chain_boundary_form_matches_quadratic_on_chip():
+    """Fused chain kernel, boundary vs quadratic policy form, SAME seed:
+    the in-kernel RNG makes the path blocks bitwise identical, so the
+    per-strike prices may differ only by near-root decision flips —
+    value-neutral to first order (real TPU only)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("requires a real TPU for in-kernel PRNG")
+    base = dict(n_paths=1 << 16, n_steps=48, chunk_paths=1 << 14,
+                pilot_paths=1 << 12, pathgen_impl="pallas")
+    kw = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+              strikes=[92.0, 100.0, 108.0], maturity=48 / 252.0,
+              is_call=False)
+    pb = engine.StreamingChainPricer(**kw, config=engine.StreamConfig(
+        **base, chain_policy_form="boundary")).price(jax.random.key(7))
+    pq = engine.StreamingChainPricer(**kw, config=engine.StreamConfig(
+        **base, chain_policy_form="quadratic")).price(jax.random.key(7))
+    assert np.all(np.isfinite(pb))
+    np.testing.assert_allclose(pb, pq, atol=0.02)
+
+
 def test_fgn_fft_impl_matches_matmul_paths():
     """fgn_impl="fft" (batched spectral form) and "matmul" (MXU form) draw
     the same noise from the same key and must produce identical paths to
