@@ -308,18 +308,6 @@ def _sweep_values(s, pol_ref, out_shape, *, is_call: bool, group: int,
     return acc
 
 
-def _chain_policy_kernel(s_ref, pol_ref, out_ref, *, is_call: bool,
-                         group: int, policy_form: str):
-    """One (path block, strike group) step of the wide-strip chain policy
-    sweep.  Paths arrive as a pipelined INPUT block — the grid iterates
-    strike groups innermost, and the pallas pipeline only re-issues the
-    copy when the block index changes, so a path block is fetched from
-    HBM once and revisited by all its strike groups."""
-    out_ref[...] = _sweep_values(s_ref[...], pol_ref, out_ref.shape,
-                                 is_call=is_call, group=group,
-                                 policy_form=policy_form)
-
-
 def _chain_kernel(seed_ref, *refs, block_paths: int, is_call: bool,
                   group: int, policy_form: str,
                   fgn_form: str = "spectral", **kw):
@@ -345,27 +333,6 @@ def _chain_kernel_noise_in(noise_ref, *refs, block_paths: int,
     out_ref[...] = _sweep_values(s, pol_ref, out_ref.shape,
                                  is_call=is_call, group=group,
                                  policy_form=policy_form)
-
-
-def _s_block_kernel(seed_ref, *refs, block_paths: int,
-                    fgn_form: str = "spectral", **kw):
-    """Path generation for the wide-strip chain: the raw S block
-    ([block, s_pad], column c = step c+1 — no S0 column, the policy sweep
-    never reads it) written to HBM for the policy kernel to stream back."""
-    *mats, vd_ref, tri_ref, out_ref = refs
-    pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
-    zr, zi, w = _draw_planes(block_paths, kw["s_pad"], fgn_form)
-    out_ref[...] = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref,
-                                     tri_ref, **kw)
-
-
-def _s_block_kernel_noise_in(noise_ref, *refs, block_paths: int,
-                             fgn_form: str = "spectral", **kw):
-    """Noise-injection variant of the S-block generator."""
-    *mats, vd_ref, tri_ref, out_ref = refs
-    zr, zi, w = _noise_planes(noise_ref, fgn_form)
-    out_ref[...] = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref,
-                                     tri_ref, **kw)
 
 
 def _pathgen_kernel(seed_ref, *refs, fgn_form: str = "spectral", **kw):
@@ -875,19 +842,19 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
     (policy_form="quadratic" — the cell-level quadratic), stacked on a
     leading axis.
 
-    Short strips (n_k <= CHAIN_GROUP) run ONE fused kernel: generate a
-    path block in VMEM, sweep every policy over it — zero HBM path
-    traffic, exactly the round-2 design at the unroll size Mosaic
-    schedules well.  Wider strips split into two pipelined kernels:
-    the S-block generator writes raw paths to HBM once, then the policy
-    kernel's (path block, strike group) grid streams each block back as
-    a pipelined input revisited by all its strike groups (groups iterate
-    innermost, so the block's DMA is issued once) — path generation AND
-    path HBM traffic are paid once per chunk regardless of K, while each
-    grid step stays at the CHAIN_GROUP unroll.  (A single-kernel variant
-    holding the paths in VMEM scratch across group steps measured ~5x
-    slower per group step than this split — Mosaic pipelines the
-    two-kernel form, VERIFY_r03 section 6.)"""
+    The strip is swept in groups of CHAIN_GROUP strikes, each group one
+    invocation of the fused kernel: generate a path block in VMEM, sweep
+    the group's policies over it — zero HBM path traffic.  Groups REUSE
+    the seed, so every group regenerates bitwise-identical paths (the
+    PRNG is keyed on (seed, block id) only): K strikes cost
+    ceil(K / CHAIN_GROUP) fused passes.  Both alternatives measured
+    worse on v5e (VERIFY_r03 section 6): a >10-strike unroll (Mosaic
+    schedules the policy sweep superlinearly past ~10 strikes) and
+    materializing paths to HBM for a separate policy-sweep kernel
+    (without the generator's matmuls in the same kernel body, Mosaic
+    runs the identical sweep code ~5x slower per strike — the sweep's
+    VPU work stops hiding under the MXU), so paying generation
+    ceil(K/10) times costs less than either."""
     if policy_form not in ("boundary", "quadratic"):
         raise ValueError(f"unknown policy_form {policy_form!r}")
     n_k = int(strikes) if isinstance(strikes, int) else len(strikes)
@@ -933,56 +900,29 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
                      memory_space=pltpu.VMEM),              # cumsum tri
     ]
 
-    if n_g == 1:
-        body = _chain_kernel_noise_in if noise_input else _chain_kernel
-        fused = pl.pallas_call(
-            functools.partial(body, **kw, **pol_kw),
-            grid=(grid_n,),
-            in_specs=[
-                first_spec,                                 # seed or noise
-                *const_specs,
-                pl.BlockSpec((group, 8, s_pad), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),      # strip's tables
-            ],
-            out_specs=pl.BlockSpec((8, LANE), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
-            interpret=interp,
-        )
+    body = _chain_kernel_noise_in if noise_input else _chain_kernel
+    fused = pl.pallas_call(
+        functools.partial(body, **kw, **pol_kw),
+        grid=(grid_n,),
+        in_specs=[
+            first_spec,                                 # seed or noise
+            *const_specs,
+            pl.BlockSpec((group, 8, s_pad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),      # group's tables
+        ],
+        out_specs=pl.BlockSpec((8, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
+        interpret=interp,
+    )
 
-        def run(first, tables):
-            return fused(first, *mats, vd_p, tri_p, tables)
-    else:
-        gen_body = (_s_block_kernel_noise_in if noise_input
-                    else _s_block_kernel)
-        gen = pl.pallas_call(
-            functools.partial(gen_body, **kw),
-            grid=(grid_n,),
-            in_specs=[first_spec, *const_specs],
-            out_specs=pl.BlockSpec((block_paths, s_pad), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((chunk_paths, s_pad),
-                                           jnp.float32),
-            interpret=interp,
-        )
-        sweep = pl.pallas_call(
-            functools.partial(_chain_policy_kernel, **pol_kw),
-            grid=(grid_n, n_g),
-            in_specs=[
-                pl.BlockSpec((block_paths, s_pad), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),      # path block
-                pl.BlockSpec((group, 8, s_pad), lambda i, j: (j, 0, 0),
-                             memory_space=pltpu.VMEM),      # group's tables
-            ],
-            out_specs=pl.BlockSpec((8, LANE), lambda i, j: (i, j),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((grid_n * 8, n_g * LANE),
-                                           jnp.float32),
-            interpret=interp,
-        )
-
-        def run(first, tables):
-            return sweep(gen(first, *mats, vd_p, tri_p), tables)
+    def run(first, tables):
+        # One fused pass per strike group, same seed/noise -> the PRNG
+        # regenerates bitwise-identical paths for every group.
+        outs = [fused(first, *mats, vd_p, tri_p,
+                      tables[g * group:(g + 1) * group])
+                for g in range(n_g)]
+        return jnp.concatenate(outs, axis=1)
 
     def chunk_sums(seed_or_noise, tables) -> jax.Array:
         """[K] payoff sums for the chunk.  ``tables`` is [K, 8, s_pad]."""

@@ -147,10 +147,10 @@ def test_boundary_rows_decision_matches_quadratic(is_call):
 
 @pytest.mark.slow
 def test_chain_boundary_kernel_large_strip_grouped_loop(rng):
-    """Strips with n_k > CHAIN_GROUP run the two-kernel split (S blocks
-    to HBM, policy sweep over a (path block, strike group) grid) — must
+    """Strips with n_k > CHAIN_GROUP run one fused pass per strike group,
+    regenerating bitwise-identical paths from the shared seed/noise — must
     match the per-strike comparator exactly like the fused short-strip
-    path, including the non-multiple-of-group tail."""
+    path, including the non-multiple-of-group tail (18 = 10 + 8)."""
     n_steps, chunk, dt = 32, 128, 1 / 252.0
     strikes = [float(v) for v in np.linspace(88.0, 112.0, 18)]
     maturity, is_call = 32 / 252.0, False
