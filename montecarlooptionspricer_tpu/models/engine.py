@@ -76,9 +76,11 @@ class StreamConfig:
     # Gaussian law, engine._chol_matrix_host): one normal plane instead of
     # two (33% fewer Box-Muller draws — the kernel's measured VPU bound)
     # and one [s, s] matmul instead of two; "auto" — measured winner
-    # (chol).  XLA-generator and long-horizon tiled kernels keep the
-    # spectral form (the factored-DFT kernel's frequency-domain structure
-    # has no Cholesky analogue).
+    # (chol).  The XLA generator and the factored-DFT long-horizon kernel
+    # keep the spectral form (the DFT's frequency-domain structure has no
+    # Cholesky analogue); the slab tiled kernel honors both.  An EXPLICIT
+    # "chol" that resolves to the factored kernel errors rather than
+    # silently benchmarking the wrong map.
     fgn_form: str = "auto"
     # Path generator: "xla" (portable, counter-based keys) or "pallas"
     # (fused TPU kernel, in-kernel hardware PRNG — noise planes never touch
@@ -132,6 +134,18 @@ class StreamConfig:
     # `chunks_per_call` chunks, not per chunk (the axon-tunnel dispatch
     # latency makes per-chunk host loops pathological).
     chunks_per_call: int = 16
+
+    def __post_init__(self):
+        # Catch enum typos at construction: a misspelled form would
+        # otherwise be silently accepted on every XLA code path (only the
+        # Pallas builders resolve it) — "testing" nothing.
+        if self.fgn_form not in ("auto", "spectral", "chol"):
+            raise ValueError(f"unknown fgn_form: {self.fgn_form!r}")
+        if self.tiled_impl not in ("auto", "factored", "slab"):
+            raise ValueError(f"unknown tiled_impl: {self.tiled_impl!r}")
+        if self.chain_policy_form not in ("boundary", "quadratic"):
+            raise ValueError(
+                f"unknown chain_policy_form: {self.chain_policy_form!r}")
 
 
 def _fgn_matrices_np(n_steps: int, h: float, eta: float, dt: float) -> tuple:
@@ -416,6 +430,15 @@ def _resolve_tiled_module(config: "StreamConfig", n_steps: int, fgn_dtype):
         return pathgen_pallas_tiled
     if impl in ("auto", "factored") and pathgen_pallas_factored.supports(
             n_steps, block, fgn_dtype):
+        if config.fgn_form == "chol":
+            # An EXPLICIT chol request cannot ride the factored DFT (its
+            # frequency-domain structure has no Cholesky analogue); erroring
+            # preserves A/B integrity — fgn_form="auto" takes the silent
+            # spectral fallback instead.
+            raise ValueError(
+                "fgn_form='chol' cannot run on the factored-DFT long-horizon "
+                "kernel (spectral-only); use fgn_form='auto', or "
+                "tiled_impl='slab' at horizons within the slab VMEM budget")
         return pathgen_pallas_factored
     if impl == "factored":
         return None

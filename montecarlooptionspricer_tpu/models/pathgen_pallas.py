@@ -409,9 +409,18 @@ MAX_KERNEL_STEPS = 512
 
 def supports(n_steps: int, fgn_form: str = "spectral") -> bool:
     """Whether the fused kernel fits VMEM: the [s_pad, s_pad] constants
-    (Cr+Ci+tri spectral; Lt+tri chol) plus the noise planes per block must
-    stay well under the ~16 MiB/core budget; past ~512 padded steps they
-    don't (the streaming engine falls back to the XLA generator there)."""
+    plus the per-block noise/path planes must stay well under the
+    ~16 MiB/core budget; past ~512 padded steps they don't (the streaming
+    engine hands longer horizons to the step-tiled kernels).
+
+    The bound is deliberately FORM-INDEPENDENT for now: the chol form
+    keeps one [s_pad, s_pad] matrix resident instead of two and could
+    afford a higher cap, but 512 is the hardware-MEASURED spectral limit
+    (VERIFY_r02) and a raised chol cap is unvalidated — the step-tiled
+    slab kernel (whose budget IS form-aware, pathgen_pallas_tiled.
+    max_tiled_steps) already covers everything past it.  ``fgn_form`` is
+    accepted so call sites don't change when the cap differentiates."""
+    del fgn_form
     return _round_up(n_steps, LANE) <= MAX_KERNEL_STEPS
 
 
@@ -537,6 +546,23 @@ def policy_rows(fits, r, strike, maturity, dt, n_steps: int, is_call: bool):
     maturity and pad columns never do (eps = +BIG).
     """
     s_pad = _round_up(n_steps, LANE)
+    c0, c1, c2, mu, sd, eps, disc = _table_prep(
+        fits, r, maturity, dt, n_steps, s_pad, terminal_eps=-1.0)
+    # Row 7 carries the (possibly traced) strike, replicated across
+    # columns: the chain kernel reads it from the table instead of baking
+    # it in, so fresh strike strips reuse the compiled kernel (serving).
+    strike_row = jnp.broadcast_to(jnp.asarray(strike, jnp.float32), (s_pad,))
+    return jnp.stack([c0, c1, c2, mu, sd, eps, disc, strike_row])
+
+
+def _table_prep(fits, r, maturity, dt, n_steps: int, s_pad: int,
+                terminal_eps: float):
+    """Shared policy-table scaffolding for policy_rows / boundary_rows:
+    column-shifted fit arrays, the integer-exact live-window eps, and the
+    pilot-consistent undipped exp(-r t) discount (see
+    engine.lsm_policy_value's consistency contract).  The two table forms
+    differ only in the terminal column's eps: policy_rows forces exercise
+    there (-1, with c0 = -BIG), boundary_rows keeps the ITM test (1e-14)."""
     big = jnp.float32(1e30)
     dtf = jnp.float32
 
@@ -555,22 +581,16 @@ def policy_rows(fits, r, strike, maturity, dt, n_steps: int, is_call: bool):
     # disables exercise).
     sd = jnp.maximum(shifted(fits.sd, 1.0, pad_value=1.0), 1e-30)
 
-    # Integer-exact live window (ops.timegrid.step_mask semantics) and the
-    # pilot-consistent undipped exp(-r t) discount — see
-    # engine.lsm_policy_value's consistency contract.
+    # Integer-exact live window (ops.timegrid.step_mask semantics).
     from ..ops.timegrid import step_mask
 
     live = step_mask(n_steps + 1, dt, maturity)[1:]
     eps = jnp.where(live, jnp.float32(1e-14), big)
-    eps = eps.at[n_steps - 1].set(-1.0)
+    eps = eps.at[n_steps - 1].set(terminal_eps)
     eps = jnp.pad(eps, (0, s_pad - n_steps), constant_values=1e30)
     disc = jnp.exp(-r * t).astype(dtf)
     disc = jnp.pad(disc, (0, s_pad - n_steps))
-    # Row 7 carries the (possibly traced) strike, replicated across
-    # columns: the chain kernel reads it from the table instead of baking
-    # it in, so fresh strike strips reuse the compiled kernel (serving).
-    strike_row = jnp.broadcast_to(jnp.asarray(strike, dtf), (s_pad,))
-    return jnp.stack([c0, c1, c2, mu, sd, eps, disc, strike_row])
+    return c0, c1, c2, mu, sd, eps, disc
 
 
 def boundary_rows(fits, r, strike, maturity, dt, n_steps: int,
@@ -609,53 +629,40 @@ def boundary_rows(fits, r, strike, maturity, dt, n_steps: int,
 
     Root finding is branchless f32 jnp (tables build in-graph from
     traced fits/strikes — the serving fast path reuses compiled
-    programs for fresh strips): the stable quadratic form
-    q = -(b + sign(b) sqrt(b^2-4ac))/2, roots q/a and c/q.
+    programs for fresh strips), solved in the fit's own standardized
+    z basis (raw-S coefficients cancel catastrophically for small sd)
+    with the stable quadratic form q = -(b + sign(b) sqrt(b^2-4ac))/2,
+    roots q/a and c/q, endpoints mapped back via S = mu + sd z.
     """
     s_pad = _round_up(n_steps, LANE)
     big = jnp.float32(1e30)
     dtf = jnp.float32
 
-    t = (jnp.arange(1, n_steps + 1, dtype=jnp.float32)) * dt
-
-    def shifted(a, fill, pad_value=0.0):
-        v = jnp.concatenate([a[1:].astype(dtf), jnp.asarray([fill], dtf)])
-        return jnp.pad(v, (0, s_pad - n_steps), constant_values=pad_value)
-
-    c0 = shifted(fits.coeffs[:, 0], -1e30)
-    c1 = shifted(fits.coeffs[:, 1], 0.0)
-    c2 = shifted(fits.coeffs[:, 2], 0.0)
-    mu = shifted(fits.mu, 0.0)
-    sd = jnp.maximum(shifted(fits.sd, 1.0, pad_value=1.0), 1e-30)
-
-    from ..ops.timegrid import step_mask
-
-    live = step_mask(n_steps + 1, dt, maturity)[1:]
-    eps = jnp.where(live, jnp.float32(1e-14), big)
-    # Terminal column: ITM test only (see docstring); policy_rows' -1
+    # Terminal eps: ITM test only (see docstring); policy_rows' -1
     # sentinel would shift the ITM cap by a full dollar here.
-    eps = eps.at[n_steps - 1].set(1e-14)
-    eps = jnp.pad(eps, (0, s_pad - n_steps), constant_values=1e30)
-    disc = jnp.exp(-r * t).astype(dtf)
-    disc = jnp.pad(disc, (0, s_pad - n_steps))
+    c0, c1, c2, mu, sd, eps, disc = _table_prep(
+        fits, r, maturity, dt, n_steps, s_pad, terminal_eps=1e-14)
 
     strike = jnp.asarray(strike, dtf)
-    # Continuation as a raw quadratic in S: cont = A S^2 + B S + C.
-    inv = 1.0 / sd
-    a_z = c2 * inv * inv
-    A = a_z
-    B = c1 * inv - 2.0 * mu * a_z
-    C = (mu * a_z - c1 * inv) * mu + c0
-    # Exercise condition as q(S) >= 0 intersected with the ITM cap.
+    # Solve the exercise condition in the STANDARDIZED z = (S - mu)/sd
+    # basis the fit lives in.  (Converting to raw-S coefficients first
+    # scales them like (mu/sd)^2, and their f32 discriminant b^2 - 4ac
+    # cancels catastrophically for small sd — measured decision flips far
+    # outside the root band, growing like 1/sd^2.  z-basis coefficients
+    # stay O(fit), and S = mu + sd z is monotone increasing, so interval
+    # endpoints map through directly.)
+    #   put:  strike - S >= cont  ->  -c2 z^2 - (c1+sd) z + (strike-mu-c0)
+    #   call: S - strike >= cont  ->  -c2 z^2 + (sd-c1) z + (mu-strike-c0)
     if is_call:
-        a, b, c = -A, 1.0 - B, -(strike + C)
+        a, b, c = -c2, sd - c1, mu - strike - c0
         # ITM cap: S > strike + eps, i.e. S >= nextafter(strike + eps).
         cap = jax.lax.nextafter(strike + jnp.maximum(eps, 0.0), big)
     else:
-        a, b, c = -A, -(1.0 + B), strike - C
+        a, b, c = -c2, -(sd + c1), strike - mu - c0
         cap = jax.lax.nextafter(strike - jnp.maximum(eps, 0.0), -big)
     # The terminal column always exercises when ITM: its c0 = -1e30 makes
-    # c = strike + 1e30 (put), landing in the linear all-ITM branch.
+    # c ~= +1e30, landing in the linear all-exercise branch (the ITM cap
+    # then carries the whole decision).
 
     lin = jnp.abs(a) <= 1e-25
     safe_b = jnp.where(jnp.abs(b) > 1e-30, b, 1.0)
@@ -690,8 +697,14 @@ def boundary_rows(fits, r, strike, maturity, dt, n_steps: int,
                             -big)
         quad_hi = jnp.where(a < 0, jnp.where(disc_q < 0, -big, rhi),
                             jnp.where(disc_q < 0, big, rlo))
-    set_lo = jnp.where(lin, lin_lo, quad_lo)
-    set_hi = jnp.where(lin, lin_hi, quad_hi)
+    zlo = jnp.where(lin, lin_lo, quad_lo)
+    zhi = jnp.where(lin, lin_hi, quad_hi)
+    # Map the z endpoints back to S.  The +-big sentinels (empty set /
+    # unbounded side) must stay sentinels: passing them through
+    # mu + sd*z with a tiny sd would shrink an unbounded side to a
+    # finite band.
+    set_lo = jnp.where(jnp.abs(zlo) >= big, zlo, mu + sd * zlo)
+    set_hi = jnp.where(jnp.abs(zhi) >= big, zhi, mu + sd * zhi)
     # Intersect with the ITM cap (put: S <= cap; call: S >= cap).
     if is_call:
         lo_row = jnp.maximum(set_lo, cap)
@@ -869,7 +882,8 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
     n_g = -(-n_k // group)
     k_tab = n_g * group
 
-    mats, _ = _fgn_consts(n_steps, s_pad, h, eta, dt, fgn_dtype, fgn_form)
+    mats, mat_specs = _fgn_consts(n_steps, s_pad, h, eta, dt, fgn_dtype,
+                                  fgn_form)
     t = np.arange(n_steps, dtype=np.float64) * dt
     vd = -0.5 * (eta * eta) * t ** (2.0 * h)
     vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
@@ -891,9 +905,7 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
     const_specs = [
-        *[pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                       memory_space=pltpu.VMEM)
-          for _ in mats],                                   # Cr/Ci or Lt
+        *mat_specs,                                         # Cr/Ci or Lt
         pl.BlockSpec((1, s_pad), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),              # var drift
         pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),

@@ -47,8 +47,10 @@ def run(form: str, n_paths: int, n_steps: int, block: int) -> None:
         p = pricer.price(jax.random.key(1))
         jax.block_until_ready(p)
         dt_s = time.perf_counter() - t0
+        # p[0] is the SAME strike (strikes_all[0]) at every K — a cheap
+        # cross-K price-consistency eyeball alongside the timing.
         rows.append((n_k, dt_s, n_paths / dt_s, n_k * n_paths / dt_s,
-                     float(np.asarray(p)[min(n_k - 1, 0)])))
+                     float(np.asarray(p)[0])))
         print(f"  K={n_k:3d}: {dt_s:6.3f}s  {n_paths / dt_s / 1e6:6.2f}M "
               f"paths/s  {n_k * n_paths / dt_s / 1e6:7.1f}M strike-evals/s"
               f"  p[0]={rows[-1][4]:.4f}", flush=True)

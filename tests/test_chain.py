@@ -145,6 +145,44 @@ def test_boundary_rows_decision_matches_quadratic(is_call):
     assert (diff & ~terminal_otm).mean() < 1e-3
 
 
+def test_boundary_rows_small_sd_no_phantom_interval():
+    """A small fit sd must not corrupt the exercise interval: raw-S
+    quadratic coefficients scale like (mu/sd)^2 and their f32
+    discriminant cancels catastrophically — a phantom exercise band
+    near mu where the fitted policy says continue by ~100 value points.
+    The z-basis solve keeps coefficients O(fit).  Here continuation
+    (>= 3 everywhere) always exceeds the near-the-money payoff, so
+    every non-terminal column's interval must be EMPTY, and decisions
+    must match the quadratic evaluator on a dense grid around mu."""
+    from montecarlooptionspricer_tpu.ops import PolyFit
+
+    n_steps, dt = 4, 1 / 252.0
+    maturity, strike = 4 / 252.0, 100.0
+    coeffs = np.zeros((n_steps, 3), np.float32)
+    coeffs[:, 0] = 3.0
+    coeffs[:, 2] = 2.85
+    fits = PolyFit(coeffs=jnp.asarray(coeffs),
+                   mu=jnp.full((n_steps,), 99.35, jnp.float32),
+                   sd=jnp.full((n_steps,), 0.003, jnp.float32))
+    bnd = np.asarray(pathgen_pallas.boundary_rows(
+        fits, MKT["r"], strike, maturity, dt, n_steps, False), np.float32)
+    lo, hi = bnd[0, :n_steps], bnd[1, :n_steps]
+    assert np.all(lo[:-1] > hi[:-1]), (lo, hi)  # empty before terminal
+
+    quad = np.asarray(pathgen_pallas.policy_rows(
+        fits, MKT["r"], strike, maturity, dt, n_steps, False), np.float32)
+    s = np.linspace(94.0, 104.0, 2001, dtype=np.float32)[:, None]
+    c0, c1, c2, mu, sd, eps = (quad[i, :n_steps] for i in range(6))
+    p = np.maximum(strike - s, 0)
+    z = (s - mu) / sd
+    cont = (c2 * z + c1) * z + c0
+    ex_quad = (p > eps) & (p >= cont)
+    ex_bnd = (s >= lo) & (s <= hi)
+    terminal_otm = np.zeros_like(ex_quad)
+    terminal_otm[:, n_steps - 1] = p[:, 0] <= 0
+    assert not np.any((ex_quad != ex_bnd) & ~terminal_otm)
+
+
 @pytest.mark.slow
 def test_chain_boundary_kernel_large_strip_grouped_loop(rng):
     """Strips with n_k > CHAIN_GROUP run one fused pass per strike group,

@@ -77,6 +77,31 @@ def test_streaming_rejects_indivisible():
             16 / 252.0, False, cfg)
 
 
+def test_config_rejects_enum_typos_at_construction():
+    """A misspelled form would otherwise be silently accepted on XLA code
+    paths (only the Pallas builders resolve it) — benchmarking nothing."""
+    for kw in ({"fgn_form": "cholesky"}, {"tiled_impl": "slabs"},
+               {"chain_policy_form": "intervals"}):
+        with pytest.raises(ValueError):
+            engine.StreamConfig(n_paths=1 << 10, n_steps=16, **kw)
+
+
+def test_explicit_chol_on_factored_kernel_errors():
+    """An EXPLICIT fgn_form='chol' must not silently benchmark the
+    spectral-only factored-DFT kernel (A/B integrity)."""
+    with pytest.raises(ValueError, match="factored-DFT"):
+        engine._resolve_tiled_module(
+            engine.StreamConfig(n_paths=1 << 10, n_steps=600,
+                                fgn_form="chol", tiled_impl="factored"),
+            600, jnp.float32)
+    # auto keeps the silent spectral fallback: no error, factored chosen.
+    mod = engine._resolve_tiled_module(
+        engine.StreamConfig(n_paths=1 << 10, n_steps=600,
+                            tiled_impl="factored"),
+        600, jnp.float32)
+    assert mod is not None
+
+
 def test_lsm_fit_shapes():
     from montecarlooptionspricer_tpu.models import gbm
     paths = gbm.generate_paths(jax.random.key(0), 100.0, 0.2, 0.04, 20,

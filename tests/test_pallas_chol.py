@@ -186,12 +186,15 @@ def test_tiled_chol_raises_step_budget():
 
 
 def test_streaming_pricer_accepts_fgn_form(rng):
-    """StreamConfig(fgn_form=...) plumbs through; on CPU the pallas impl
-    falls back to XLA, so just exercise config validation."""
-    cfg = engine.StreamConfig(n_paths=1 << 12, n_steps=16,
-                              chunk_paths=1 << 10, pilot_paths=1 << 10,
-                              fgn_form="nonsense")
+    """fgn_form typos are rejected at CONSTRUCTION (they would otherwise
+    be silently accepted on XLA code paths); valid literals construct and
+    resolve to a concrete form."""
     with pytest.raises(ValueError):
-        engine._resolve_fgn_form(cfg) and pathgen_pallas._fgn_consts(
-            16, 128, 0.15, 1.4, 1 / 252, jnp.float32,
-            engine._resolve_fgn_form(cfg))
+        engine.StreamConfig(n_paths=1 << 12, n_steps=16,
+                            chunk_paths=1 << 10, pilot_paths=1 << 10,
+                            fgn_form="nonsense")
+    for form in ("auto", "spectral", "chol"):
+        cfg = engine.StreamConfig(n_paths=1 << 12, n_steps=16,
+                                  chunk_paths=1 << 10, pilot_paths=1 << 10,
+                                  fgn_form=form)
+        assert engine._resolve_fgn_form(cfg) in ("spectral", "chol")
