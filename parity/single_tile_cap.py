@@ -1,0 +1,79 @@
+"""Probe: can the single-tile fused kernel's step cap rise for chol?
+
+pathgen_pallas.MAX_KERNEL_STEPS = 512 is the hardware-MEASURED spectral
+VMEM limit (Cr + Ci + tri resident).  The chol form keeps ONE [s_pad,
+s_pad] matrix resident instead of two, so padded horizons up to ~1024
+might fit — which would give 513-1024-step horizons single-tile fused
+speed instead of the step-tiled slab's.  This probe patches the cap,
+builds the fused chol pricer at a mid-range horizon, and times it
+against the slab form at the same shapes (real TPU).
+
+Outcome feeds supports()'s deliberately form-independent bound (see
+pathgen_pallas.supports): if the probe runs and wins, the bound can
+differentiate by form; if Mosaic rejects the VMEM footprint, the current
+cap stays documented as correct for both forms.
+
+Usage:  python parity/single_tile_cap.py [--steps 730] [--paths 2097152]
+        [--block 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def run(n_steps: int, n_paths: int, block: int) -> None:
+    import jax
+
+    from montecarlooptionspricer_tpu.models import engine, pathgen_pallas
+
+    mkt = dict(s0=100.0, xi=0.04, h=0.1, eta=1.5, rho=-0.4, r=0.04,
+               strike=100.0, maturity=n_steps / 252.0, is_call=False)
+    base = dict(n_paths=n_paths, n_steps=n_steps, chunk_paths=1 << 18,
+                pilot_paths=1 << 15, pathgen_impl="pallas",
+                pallas_block_paths=block, fgn_form="chol")
+
+    def timed(label, **kw):
+        pricer = engine.StreamingPricer(**mkt,
+                                        config=engine.StreamConfig(**base,
+                                                                   **kw))
+        p = pricer.price(jax.random.key(0))          # compile + warm
+        t0 = time.perf_counter()
+        p = pricer.price(jax.random.key(1))
+        p = float(np.asarray(p))                     # axon: fetch to sync
+        dt_s = time.perf_counter() - t0
+        print(f"  {label}: {dt_s:6.3f}s  {n_paths / dt_s / 1e6:6.2f}M "
+              f"paths/s  price={p:.4f}", flush=True)
+        return dt_s
+
+    s_pad = -(-n_steps // 128) * 128
+    print(f"steps={n_steps} (s_pad={s_pad}) paths={n_paths} block={block}",
+          flush=True)
+    t_slab = timed("chol slab (today's path)")
+
+    saved = pathgen_pallas.MAX_KERNEL_STEPS
+    pathgen_pallas.MAX_KERNEL_STEPS = max(saved, s_pad)
+    try:
+        t_fused = timed("single-tile fused, patched cap")
+        print(f"  fused/slab: {t_slab / t_fused:.2f}x", flush=True)
+    except Exception as e:  # Mosaic VMEM rejection is an expected outcome
+        print(f"  single-tile fused REJECTED at s_pad={s_pad}: "
+              f"{type(e).__name__}: {e}", flush=True)
+    finally:
+        pathgen_pallas.MAX_KERNEL_STEPS = saved
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=730)
+    ap.add_argument("--paths", type=int, default=1 << 21)
+    ap.add_argument("--block", type=int, default=256)
+    args = ap.parse_args()
+    run(args.steps, args.paths, args.block)
+
+
+if __name__ == "__main__":
+    main()
