@@ -82,7 +82,36 @@ def numpy_baseline(n_paths: int) -> float:
     return n_paths / (time.perf_counter() - t0)
 
 
+def probe_device() -> None:
+    """Fail FAST if the device backend is unreachable.
+
+    jax.devices() blocks indefinitely when the tunneled TPU's relay is
+    down — a hung bench is indistinguishable from a slow one to the
+    caller.  A bounded subprocess probe (the hang lives in backend C++
+    where in-process alarms can't interrupt) turns that into a prompt,
+    diagnosable failure.  BENCH_NO_PROBE=1 skips it."""
+    if os.environ.get("BENCH_NO_PROBE") == "1":
+        return
+    import subprocess
+
+    timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", 240))
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        log(f"device backend unreachable: jax.devices() exceeded "
+            f"{timeout_s}s (tunnel down?) — aborting instead of hanging")
+        sys.exit(1)
+    except subprocess.CalledProcessError as e:
+        log(f"device backend probe failed (rc={e.returncode}) — aborting")
+        sys.exit(1)
+
+
 def main() -> None:
+    probe_device()
+
     from montecarlooptionspricer_tpu.utils import enable_persistent_cache
 
     cache_dir = enable_persistent_cache()
