@@ -153,14 +153,16 @@ def main(argv=None) -> int:
         prices, stderrs = chain.price(key, with_stderr=True)
         ivs = [implied_vol(v, args.s0, k, args.r, args.maturity,
                            args.is_call) for v, k in zip(prices, strikes)]
+        # _j throughout: EVERY numeric output field serializes non-finite
+        # values as null, never the invalid bare-NaN JSON token (a bad
+        # market, e.g. --hurst -1, must not break `| jq` consumers).
         out = {
             "strikes": strikes,
-            "prices": [round(float(v), 6) for v in prices],
+            "prices": [_j(v) for v in prices],
             "stderrs": [_j(v) for v in stderrs],
-            # null (not the invalid bare-NaN JSON token) outside the
-            # European no-arbitrage bracket, e.g. deep-ITM American puts.
-            "implied_vols": [None if math.isnan(v) else round(v, 6)
-                             for v in ivs],
+            # null outside the European no-arbitrage bracket too,
+            # e.g. deep-ITM American puts.
+            "implied_vols": [_j(v) for v in ivs],
         }
     else:
         pricer = engine.StreamingPricer(
@@ -170,18 +172,17 @@ def main(argv=None) -> int:
             g, se = pricer.price_and_greeks(key, with_stderr=True)
             names = ("price", "delta", "vega_xi", "vega_eta", "rho_rate",
                      "vega_h")
-            out = {n: round(v, 6) for n, v in zip(names, g)}
+            out = {n: _j(v) for n, v in zip(names, g)}
             out["stderrs"] = {n: _j(s) for n, s in zip(names, se)}
         elif args.bounds:
             lower, upper, lo_se, up_se = pricer.price_with_bounds(
                 key, with_stderr=True)
-            out = {"price": round(lower, 6), "lower": round(lower, 6),
-                   "upper": round(upper, 6),
-                   "duality_gap": round(upper - lower, 6),
+            out = {"price": _j(lower), "lower": _j(lower),
+                   "upper": _j(upper), "duality_gap": _j(upper - lower),
                    "lower_stderr": _j(lo_se), "upper_stderr": _j(up_se)}
         else:
             price, se = pricer.price(key, with_stderr=True)
-            out = {"price": round(price, 6), "stderr": _j(se)}
+            out = {"price": _j(price), "stderr": _j(se)}
     out.update({"n_paths": n_paths, "n_steps": n_steps,
                 "is_call": args.is_call,
                 "elapsed_s": round(time.time() - t0, 3)})
@@ -235,13 +236,15 @@ def serve(args, mkt) -> int:
     max_pricers = 16
     made = 0
 
-    def respond(obj):
-        rid_ = obj.get("id")
-        if isinstance(rid_, str) and rid_.startswith("__warm_"):
+    def respond(obj, warm=False):
+        # `warm` is tracked OUT OF BAND (by which line source produced the
+        # request), never inferred from the id: a legitimate client id that
+        # happens to start with "__warm_" must still get its response.
+        if warm:
             # Warmup self-requests compile a shape class before real
             # quotes arrive; their responses go to the log, never the
             # client stream.
-            log.info("serve: warmed %s (%s s)", rid_,
+            log.info("serve: warmed %s (%s s)", obj.get("id"),
                      obj.get("elapsed_s", obj.get("error", "?")))
             return
         sys.stdout.write(json.dumps(obj) + "\n")
@@ -263,7 +266,9 @@ def serve(args, mkt) -> int:
     import itertools
 
     log.info("serve: ready (JSON lines on stdin)")
-    for line in itertools.chain(warm_lines, sys.stdin):
+    for is_warm, line in itertools.chain(
+            ((True, l) for l in warm_lines),
+            ((False, l) for l in sys.stdin)):
         line = line.strip()
         if not line:
             continue
@@ -415,14 +420,14 @@ def serve(args, mkt) -> int:
                 "n_paths": n_paths, "n_steps": n_steps, "is_call": is_call,
                 "compiled": compiled,
                 "elapsed_s": round(time.time() - t0, 3),
-            })
+            }, warm=is_warm)
         except Exception as e:  # noqa: BLE001 — a bad request must not
             # take the server down; containment mirrors the pipeline's
             # per-row sentinel philosophy (PredictionGen.cpp:825-847).
             # rid comes from THIS line's parse (None if parsing itself
             # failed) — never from a previous request.
             log.warning("serve: request failed: %s", e)
-            respond({"id": rid, "error": str(e)})
+            respond({"id": rid, "error": str(e)}, warm=is_warm)
     log.info("serve: stdin closed after %d compiled pricer(s); exiting",
              made)
     return 0

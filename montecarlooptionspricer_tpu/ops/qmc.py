@@ -53,12 +53,19 @@ def sobol_base(n_paths: int, dim: int, seed: int = 0):
 
 def rotate(base_bits: jax.Array, key: jax.Array) -> jax.Array:
     """Random digital shift: XOR every point's base-2 digits with one
-    random uint32 per dimension, then map to (0, 1) uniforms.  The +0.5ulp
-    offset keeps uniforms strictly inside the interval so ndtri is finite."""
+    random uint32 per dimension, then map to STRICTLY interior (0, 1)
+    uniforms so ndtri stays finite.
+
+    The interior guarantee is exact, not approximate: u = (top23 + 0.5)
+    * 2^-23.  top23 + 0.5 is integer-exact in f32 (needs 24 significand
+    bits), the 2^-23 scale is a power of two, so u ranges over
+    [2^-24, 1 - 2^-24] with NO rounding — a +0.5ulp offset on a 24-bit
+    uniform is NOT safe: for all-ones top bits it lands exactly halfway
+    to 1.0 and round-to-even returns 1.0, so ndtri(u) = +inf poisoned
+    ~1/128 of dimensions per digital shift at 2^17-point nets."""
     shift = jax.random.bits(key, (base_bits.shape[-1],), jnp.uint32)
     bits = base_bits ^ shift
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-    return u + (0.5 / (1 << 24))
+    return ((bits >> 9).astype(jnp.float32) + 0.5) * (1.0 / (1 << 23))
 
 
 def normals(base_bits: jax.Array, key: jax.Array) -> jax.Array:

@@ -25,7 +25,10 @@ def masked_mean(values, mask, axis_name: Optional[str] = None):
     validPaths guard, AsymptoticAnalysisPricer.cpp:99-108)."""
     num = psum_if(jnp.sum(values * mask), axis_name)
     den = psum_if(jnp.sum(mask), axis_name)
-    return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
+    # Divide by den itself (guarded only to keep the untaken branch
+    # finite): maximum(den, 1) would silently HALVE the mean for
+    # fractional weights summing to 0.5.
+    return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
 
 
 def global_mean(values, axis_name: Optional[str] = None):

@@ -46,7 +46,7 @@ def poly_basis(z, order: int):
 
 
 def fit_poly_masked(x, y, w, order: int, axis_name: Optional[str] = None,
-                    ridge: float = 1e-7) -> PolyFit:
+                    ridge: float = 1e-6) -> PolyFit:
     """Weighted polynomial least squares min_c sum_i w_i (P_c(x_i) - y_i)^2.
 
     Args:
@@ -121,6 +121,9 @@ def fit_poly_masked(x, y, w, order: int, axis_name: Optional[str] = None,
     # regularization at all in f32).  1e-6 of the diagonal perturbs a
     # well-conditioned quadratic fit in its 6th digit — far inside MC noise.
     eye = jnp.eye(order + 1, dtype=gram.dtype)
+    # The default IS the floor: 1e-6 is the smallest f32-meaningful ridge
+    # (see above), and the clamp keeps any smaller caller value from
+    # silently meaning "no regularization at all".
     lam = jnp.maximum(ridge, 1e-6)
     diag = jnp.diagonal(gram, axis1=-2, axis2=-1)
     a = gram + (lam * (diag + 1.0))[..., None, :] * eye

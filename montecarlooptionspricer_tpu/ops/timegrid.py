@@ -14,8 +14,17 @@ import jax.numpy as jnp
 
 
 def last_valid_step(dt, maturity):
-    """Largest j with j * dt <= maturity (in exact arithmetic)."""
-    return jnp.floor(maturity / dt + 1e-4)
+    """Largest j with j * dt <= maturity (in exact arithmetic).
+
+    The slack scales with the ratio: maturity often arrives as
+    float32(n * dt) (serve mode traces it), whose rounding error in
+    maturity / dt is ~ratio * 1.2e-7 — a FIXED 1e-4 slack loses the
+    final live step for on-grid maturities past ~2000 steps (silently
+    disabling exercise on the contract's last day).  1e-6 relative is
+    ~8x the f32 error bound yet stays far below one step out to ~1e5
+    steps, so off-grid maturities are still classified identically."""
+    ratio = maturity / dt
+    return jnp.floor(ratio + 1e-4 + ratio * 1e-6)
 
 
 def step_mask(n: int, dt, maturity):

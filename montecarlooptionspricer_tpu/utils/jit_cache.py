@@ -28,14 +28,17 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     import jax
 
     current = jax.config.jax_compilation_cache_dir
-    if current:
-        return current
-    cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-                 or _DEFAULT_DIR)
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # Cache everything: through a remote tunnel even "fast" compiles cost
-    # a round trip worth saving.
+    if not current:
+        cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                     or _DEFAULT_DIR)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        current = cache_dir
+    # Cache everything — EVEN when the directory was configured externally
+    # (JAX_COMPILATION_CACHE_DIR initializes jax_compilation_cache_dir, so
+    # returning early here would leave the 1-second threshold in place and
+    # silently drop every sub-second compile): through a remote tunnel even
+    # "fast" compiles cost a round trip worth saving.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    return cache_dir
+    return current

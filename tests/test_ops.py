@@ -11,6 +11,24 @@ from montecarlooptionspricer_tpu.ops.regression import (
 import oracles
 
 
+def test_step_mask_on_grid_f32_maturity_keeps_final_step():
+    """An on-grid maturity that arrives as float32(n*dt) — the serve path
+    traces maturity in f32 — must keep step n alive for EVERY step count:
+    the old fixed 1e-4 slack was below the f32 rounding of maturity/dt
+    past ~2000 steps, silently disabling exercise on the final day."""
+    from montecarlooptionspricer_tpu.ops.timegrid import step_mask
+
+    dt = 1.0 / 252.0
+    for n in (16, 365, 512, 1825, 2034, 2048, 3000, 4096):
+        mat = jnp.float32(n * dt)
+        live = np.asarray(step_mask(n + 2, dt, mat))
+        assert live[: n + 1].all(), f"step {n} dead at n={n}"
+        assert not live[n + 1], f"step {n + 1} live at n={n}"
+        # half-step off-grid maturities classify identically to exact math
+        live = np.asarray(step_mask(n + 2, dt, jnp.float32((n + 0.5) * dt)))
+        assert live[: n + 1].all() and not live[n + 1]
+
+
 def test_payoff_matches_reference_semantics():
     s = jnp.array([80.0, 100.0, 120.0])
     k = 100.0

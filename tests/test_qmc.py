@@ -38,6 +38,22 @@ def test_qmc_normals_moments():
     assert abs(z.std() - 1.0) < 0.05
 
 
+def test_rotate_extreme_bits_stay_interior():
+    """Adversarial digital-shift outcomes: points whose shifted bits are
+    ALL ONES (or all zeros) must still map strictly inside (0, 1) — a
+    +0.5ulp offset on a 24-bit uniform rounds the all-ones case to
+    exactly 1.0 (round-to-even), making ndtri +inf and poisoning ~1/128
+    of dimensions per shift at 2^17-point nets."""
+    key = jax.random.key(3)
+    shift = jax.random.bits(key, (4,), jnp.uint32)
+    ones_after = (shift ^ jnp.uint32(0xFFFFFFFF))[None, :]
+    zeros_after = shift[None, :]
+    for base in (ones_after, zeros_after):
+        u = np.asarray(qmc.rotate(base, key))
+        assert np.all(u > 0.0) and np.all(u < 1.0), u
+        assert np.all(np.isfinite(np.asarray(qmc.normals(base, key))))
+
+
 def _euro_call_price(paths, r, k, t):
     disc = float(np.exp(-r * t))
     return disc * float(jnp.mean(jnp.maximum(paths[:, -1] - k, 0.0)))
