@@ -29,8 +29,9 @@ from ..ops.timegrid import step_mask
 def exercise_boundary(t, maturity, strike, r, dividend, sigma, is_call):
     """Early-exercise boundary curve B(t)
     (AsymptoticAnalysisPricer.cpp:8-36).  Where the reference would produce
-    NaN (negative sqrt argument), returns -inf (call) / +inf (put) so the
-    exercise region is empty, matching the C++ NaN-comparison behavior.
+    NaN (negative sqrt argument), returns +inf (call) / -inf (put) so the
+    exercise region is empty (calls exercise ABOVE the boundary, puts
+    below), matching the C++ NaN-comparison behavior.
     ``is_call`` may be a static bool or a traced boolean."""
     eps = maturity - t
     arg = eps * jnp.log(1.0 / jnp.maximum(eps, 1e-300))

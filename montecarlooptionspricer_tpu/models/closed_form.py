@@ -22,11 +22,20 @@ def norm_cdf(x) -> float:
 
 def black_scholes(s0, strike, r, sigma, maturity, is_call: bool,
                   dividend: float = 0.0) -> float:
-    """European Black-Scholes price with continuous dividend yield."""
+    """European Black-Scholes price with continuous dividend yield.
+
+    sigma <= 0 with maturity > 0 returns the exact zero-vol limit — the
+    DISCOUNTED forward intrinsic max(0, +-(s0 e^{-qT} - K e^{-rT})) — not
+    the spot intrinsic, which sits below the no-arbitrage lower bound and
+    is discontinuous against sigma -> 0 (a 4-point jump at s0=100, K=90,
+    r=5%, T=1 that breaks vol sweeps and the implied-vol bracket)."""
     s0, strike = float(s0), float(strike)
-    if maturity <= 0 or sigma <= 0:
-        intrinsic = max(0.0, s0 - strike) if is_call else max(0.0, strike - s0)
-        return intrinsic
+    if maturity <= 0:
+        return max(0.0, s0 - strike) if is_call else max(0.0, strike - s0)
+    if sigma <= 0:
+        fwd = s0 * np.exp(-dividend * maturity)
+        k_disc = strike * np.exp(-r * maturity)
+        return max(0.0, fwd - k_disc) if is_call else max(0.0, k_disc - fwd)
     sq = sigma * np.sqrt(maturity)
     d1 = (np.log(s0 / strike) + (r - dividend + 0.5 * sigma**2) * maturity) / sq
     d2 = d1 - sq

@@ -30,11 +30,17 @@ from .lsm import lsm_price
 
 @dataclasses.dataclass(frozen=True)
 class Greeks:
-    """First-order sensitivities of one Monte Carlo price."""
+    """First-order sensitivities of one Monte Carlo price.
+
+    ``vega_xi`` is the MODEL-VOL-LEVEL sensitivity and its meaning follows
+    the producer: d price / d xi (forward-variance level) from the
+    rBergomi pricers (lsm_greeks), d price / d sigma from the GBM
+    european_greeks control.  Converting between them (xi = sigma^2 ->
+    divide by 2 sigma) must only be applied to the rBergomi flavor."""
 
     price: float
     delta: float      # d price / d s0
-    vega_xi: float    # d price / d xi (forward-variance level)
+    vega_xi: float    # d price / d model vol level (see class docstring)
     rho_rate: float   # d price / d r  (interest-rate rho)
 
 
@@ -56,7 +62,12 @@ def lsm_greeks(key, s0, xi, h, eta, rho, r, strike, maturity,
                n_steps: int, n_paths: int, dt: float = 1.0 / 252.0,
                is_call: bool = False, poly_order: int = 2) -> Greeks:
     """Price + pathwise (delta, vega_xi, rho) for an American option priced
-    with LSM on rBergomi paths, all from one reverse-mode pass."""
+    with LSM on rBergomi paths, all from one reverse-mode pass.
+
+    ``is_call`` defaults to False — a PUT, the package-wide reference
+    convention (note european_greeks defaults to True, the classic
+    Black-Scholes call validation case: pass it explicitly when moving
+    between the two)."""
     price, (d_s0, d_xi, d_r) = _lsm_value_and_grads(
         key, s0, xi, h, eta, rho, r, strike, maturity, dt,
         n_steps=n_steps, n_paths=n_paths, is_call=is_call,
@@ -83,8 +94,21 @@ def european_greeks(key, s0, sigma, r, strike, maturity, n_steps: int,
                     n_paths: int, dt: Optional[float] = None,
                     is_call: bool = True) -> Greeks:
     """European GBM control case (validatable against Black-Scholes):
-    pathwise delta/vega/rho of the discounted terminal payoff."""
-    dt = maturity / n_steps if dt is None else dt
+    pathwise delta/vega/rho of the discounted terminal payoff.
+
+    ``vega_xi`` here holds d price / d SIGMA (the BS vega — see the Greeks
+    docstring); ``is_call`` defaults to True, the classic call validation
+    case.  The paths diffuse exactly to maturity, so an explicit ``dt``
+    must satisfy n_steps * dt == maturity — a codebase-conventional
+    dt=1/252 with mismatched (n_steps, maturity) used to return a price
+    for the wrong horizon discounted over the right one, silently."""
+    if dt is None:
+        dt = maturity / n_steps
+    elif abs(n_steps * dt - maturity) > 1e-9 * max(1.0, abs(maturity)):
+        raise ValueError(
+            f"n_steps * dt = {n_steps * dt} != maturity = {maturity}: the "
+            "GBM control diffuses exactly to maturity (omit dt to derive "
+            "it as maturity / n_steps)")
     price, (d_s0, d_sig, d_r) = _euro_value_and_grads(
         key, jnp.float32(s0), jnp.float32(sigma), jnp.float32(r),
         jnp.float32(strike), jnp.float32(maturity), jnp.float32(dt),

@@ -108,10 +108,14 @@ def lsm_fit(paths, r, strike, maturity, dt, is_call: bool,
     scale path of this framework (see models/engine.py).
 
     Returns (price, fits) where fits is a PolyFit pytree with leading axis
-    of length n_steps in *forward* time order (index j covers step j).
+    of length paths.shape[1] - 1 (the PADDED width for bucketed blocks,
+    NOT the live n_steps) in *forward* time order (index j covers step j).
     ``n_steps`` (optionally traced) marks columns past the true horizon as
     padding, exactly as in ``lsm_price`` — for step-bucketed path blocks
-    that are flat past n_steps."""
+    that are flat past n_steps.  Entries at padded / past-maturity indices
+    are garbage fits (intercept-only regressions of the flat carry):
+    CONSUMERS MUST MASK to the live window themselves, as
+    engine.lsm_policy_path_values does with its col < n_steps_live guard."""
     price, fits_rev = _lsm_backward(paths, r, strike, maturity, dt, is_call,
                                     poly_order, axis_name, n_steps=n_steps)
     fits = jax.tree.map(lambda a: jnp.flip(a, axis=0), fits_rev)

@@ -163,25 +163,37 @@ def generate_paths_bucketed(key: jax.Array, s0, xi, h, eta, rho, r,
     n_steps = jnp.asarray(n_steps, jnp.int32)
     k_var, k_euler = jax.random.split(key)
 
+    zc = rng_ops.complex_normal(k_var, (n_paths, n_pad), dtype)
+    w = rng_ops.normal(k_euler, (n_paths, n_pad), dtype)
+    sqrt_dt = jnp.sqrt(jnp.asarray(dt, dtype))
+    return _bucketed_paths_from_noise(s0, xi, h, eta, r, n_steps, n_pad, m1,
+                                      zc, w * sqrt_dt, dt, dtype)
+
+
+def _bucketed_paths_from_noise(s0, xi, h, eta, r, n_steps, n_pad: int,
+                               m1: int, zc, dw, dt, dtype) -> jax.Array:
+    """Shared masked-spectrum fGN + Euler-cumsum core of the two bucketed
+    generators: ``zc`` is the complex fGN noise plane, ``dw`` the Brownian
+    increments INCLUDING their sqrt(dt) scale (white noise * sqrt(dt) for
+    the threefry variant, the PCA construction for QMC).  Factored so the
+    masking / FFT contract — the subtlest code in this file, see
+    generate_paths_bucketed's docstring — has exactly one implementation."""
     time_grid = jnp.arange(n_pad + 1, dtype=dtype) * dt
     lam = fgn_ops.rbergomi_lambda(time_grid, h)
     lam = jnp.where(jnp.arange(n_pad + 1) <= n_steps, lam, 0.0)
     phi = jnp.conj(jnp.fft.fft(lam, n=m1, axis=-1))
 
     kmask = jnp.arange(n_pad) < n_steps
-    z = rng_ops.complex_normal(k_var, (n_paths, n_pad), dtype)
-    a = jnp.where(kmask[None, :], phi[:n_pad] * z, 0.0)
+    a = jnp.where(kmask[None, :], phi[:n_pad] * zc, 0.0)
     x = (jnp.sqrt(2.0 * h) * eta
          * jnp.real(jnp.fft.fft(a, n=n_pad, axis=-1)) / n_pad)
 
     v = fgn_ops.forward_variance(x, time_grid, xi, h, eta)
-    w = rng_ops.normal(k_euler, (n_paths, n_pad), dtype)
-    sqrt_dt = jnp.sqrt(jnp.asarray(dt, dtype))
-    inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * (w * sqrt_dt)
+    inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
     inc = jnp.where(kmask[None, :], inc, 0.0)
     log_s = jnp.log(jnp.asarray(s0, dtype)) + jnp.cumsum(inc, axis=-1)
     s = jnp.exp(log_s)
-    s0_col = jnp.full((n_paths, 1), 1.0, dtype) * s0
+    s0_col = jnp.full((zc.shape[0], 1), 1.0, dtype) * s0
     return jnp.concatenate([s0_col, s], axis=-1)
 
 
@@ -207,25 +219,11 @@ def generate_paths_qmc_bucketed(key: jax.Array, s0, xi, h, eta, rho, r,
     z = qmc.normals(base_u, key).astype(dtype)          # [n_paths, 3*n_pad]
     zc = jax.lax.complex(z[:, n_pad:2 * n_pad], z[:, 2 * n_pad:])
 
-    time_grid = jnp.arange(n_pad + 1, dtype=dtype) * dt
-    lam = fgn_ops.rbergomi_lambda(time_grid, h)
-    lam = jnp.where(jnp.arange(n_pad + 1) <= n_steps, lam, 0.0)
-    phi = jnp.conj(jnp.fft.fft(lam, n=m1, axis=-1))
-    kmask = jnp.arange(n_pad) < n_steps
-    a = jnp.where(kmask[None, :], phi[:n_pad] * zc, 0.0)
-    x = (jnp.sqrt(2.0 * h) * eta
-         * jnp.real(jnp.fft.fft(a, n=n_pad, axis=-1)) / n_pad)
-    v = fgn_ops.forward_variance(x, time_grid, xi, h, eta)
-
     pca = qmc.brownian_pca_matrix(n_pad, float(dt))
     dw = jnp.matmul(z[:, :n_pad], pca.T,
                     preferred_element_type=jnp.float32).astype(dtype)
-    inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
-    inc = jnp.where(kmask[None, :], inc, 0.0)
-    log_s = jnp.log(jnp.asarray(s0, dtype)) + jnp.cumsum(inc, axis=-1)
-    s = jnp.exp(log_s)
-    s0_col = jnp.full((n_paths, 1), 1.0, dtype) * s0
-    return jnp.concatenate([s0_col, s], axis=-1)
+    return _bucketed_paths_from_noise(s0, xi, h, eta, r, n_steps, n_pad, m1,
+                                      zc, dw, dt, dtype)
 
 
 def generate_paths_from_history(key: jax.Array, historical_prices,

@@ -42,6 +42,33 @@ def test_european_greeks_match_black_scholes(is_call):
     assert g.rho_rate == pytest.approx(rho, rel=0.06, abs=0.5)
 
 
+def test_european_greeks_rejects_inconsistent_dt():
+    """The GBM control diffuses exactly to maturity: an explicit dt with
+    n_steps*dt != maturity used to price the wrong horizon discounted over
+    the right one, silently (e.g. the codebase-conventional dt=1/252)."""
+    with pytest.raises(ValueError, match="maturity"):
+        greeks.european_greeks(jax.random.key(0), 100.0, 0.2, 0.05, 100.0,
+                               0.5, n_steps=63, n_paths=128, dt=1 / 252.0)
+    # consistent explicit dt is fine
+    g = greeks.european_greeks(jax.random.key(0), 100.0, 0.2, 0.05, 100.0,
+                               0.5, n_steps=63, n_paths=128, dt=0.5 / 63)
+    assert g.price > 0
+
+
+def test_black_scholes_zero_vol_limit_is_discounted_forward():
+    """sigma -> 0 must be continuous: the zero-vol price is the DISCOUNTED
+    forward intrinsic (the spot intrinsic sits below the no-arbitrage
+    lower bound S - K e^{-rT})."""
+    s0, k, r, t = 100.0, 90.0, 0.05, 1.0
+    limit = black_scholes(s0, k, r, 1e-9, t, True)
+    exact = black_scholes(s0, k, r, 0.0, t, True)
+    assert exact == pytest.approx(limit, abs=1e-5)
+    assert exact >= s0 - k * np.exp(-r * t) - 1e-12
+    # expired option: plain intrinsic, both types
+    assert black_scholes(s0, k, r, 0.3, 0.0, True) == 10.0
+    assert black_scholes(s0, k, r, 0.0, t, False) == 0.0
+
+
 def test_lsm_greeks_bounds_and_determinism():
     key = jax.random.key(3)
     kwargs = dict(s0=100.0, xi=0.04, h=0.1, eta=1.5, rho=-0.4, r=0.04,
