@@ -441,9 +441,21 @@ def _resolve_tiled_module(config: "StreamConfig", n_steps: int, fgn_dtype):
                 "tiled_impl='slab' at horizons within the slab VMEM budget")
         return pathgen_pallas_factored
     if impl == "factored":
-        return None
+        # EXPLICITLY requested kernel can't cover the horizon: erroring
+        # preserves A/B integrity (same contract as the chol-on-factored
+        # case above) — a benchmark labeled "factored" must never silently
+        # measure the XLA generator.  "auto" keeps the silent fallback.
+        raise ValueError(
+            f"tiled_impl='factored' cannot cover n_steps={n_steps} at "
+            f"block {block} (past the kernel's VMEM budget); use "
+            "tiled_impl='auto' for the XLA fallback")
     if pathgen_pallas_tiled.supports(n_steps, block, fgn_dtype, form):
         return pathgen_pallas_tiled
+    if impl == "slab":
+        raise ValueError(
+            f"tiled_impl='slab' cannot cover n_steps={n_steps} at block "
+            f"{block} with fgn_form={form!r} (past the slab VMEM budget); "
+            "use tiled_impl='auto' for the XLA fallback")
     return None
 
 
@@ -1453,6 +1465,17 @@ class StreamingChainPricer:
                              "bucketed=True (the serving configuration)")
 
         pathgen_impl = config.pathgen_impl
+        if pathgen_impl not in ("xla", "pallas"):
+            # Same loud rejection as StreamingPricer: a typo'd impl must
+            # not silently price through the XLA path.
+            raise ValueError(f"unknown pathgen_impl: {pathgen_impl!r}")
+        if config.control_variate:
+            raise ValueError(
+                "control_variate is not supported by the chain pricer: the "
+                "fused K-strike kernel emits per-strike payoff sums only "
+                "(no control sums), and silently returning plain-MC stderrs "
+                "would misattribute the missing variance reduction.  Use "
+                "StreamingPricer per strike for CV estimates.")
         if config.qmc or bucketed:
             pathgen_impl = "xla"  # see StreamingPricer: QMC is XLA-only
         if pathgen_impl == "pallas":
@@ -1567,7 +1590,7 @@ class StreamingChainPricer:
                 z0 = (s0 - fits.mu[:, 0]) / fits.sd[:, 0]
                 cont0 = ((fits.coeffs[:, 0, 2] * z0 + fits.coeffs[:, 0, 1])
                          * z0 + fits.coeffs[:, 0, 0])
-                ex0 = (p0 > 1e-14) & (p0 >= cont0)
+                ex0 = (p0 > ITM_EPS) & (p0 >= cont0)
                 nchunk = (count * config.chunk_paths).astype(jnp.float32)
                 all0 = (p0 * nchunk).astype(jnp.float32)
                 # Deterministic time-0 value: every chunk total equals

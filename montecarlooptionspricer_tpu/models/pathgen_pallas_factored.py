@@ -52,13 +52,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.fgn import next_pow2 as _next_pow2
 from .pathgen_pallas import LANE, _as_seed_words, _normals, _round_up
-from .pathgen_pallas_tiled import (TILE, _accumulate_priced, _draw_w,
-                                   _euler_tile, _policy_tile, _seed_tile)
+from .pathgen_pallas_tiled import (TILE, _VMEM_BUDGET, _accumulate_priced,
+                                   _draw_w, _euler_tile, _policy_tile,
+                                   _seed_tile)
 
 assert TILE == LANE  # stage 2's output tile is one lane group
 
-# Scratch + resident-input budget (see pathgen_pallas_tiled._VMEM_BUDGET).
-_VMEM_BUDGET = 12 * 1024 * 1024
+# Scratch + resident-input budget is SHARED with the slab module: the
+# engine's auto kernel selection compares both modules' supports(), so the
+# two budgets drifting independently would silently shift the crossover.
 
 
 def max_factored_steps(block_paths: int = 256,

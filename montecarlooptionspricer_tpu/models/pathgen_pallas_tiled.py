@@ -60,14 +60,21 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def max_tiled_steps(block_paths: int = 256, fgn_dtype=jnp.float32,
-                    fgn_form: str = "spectral") -> int:
+                    fgn_form: str = "spectral",
+                    noise_input: bool = False) -> int:
     """Largest n_steps the tiled kernels support at this block size/dtype:
     driver-noise scratch (2 planes spectral, 1 chol) + double-buffered
-    matrix slabs (2 matrices spectral, 1 chol) must fit the VMEM budget."""
+    matrix slabs (2 matrices spectral, 1 chol) must fit the VMEM budget.
+    The noise-injection test variant additionally keeps its
+    [planes, block, s_pad] f32 input block resident — charged here so a
+    test build at the production edge fails at validation, not inside
+    Mosaic on hardware."""
     item = jnp.dtype(fgn_dtype).itemsize
     n_mats = 1 if fgn_form == "chol" else 2
     per_spad = (n_planes(fgn_form) - 1) * block_paths * item \
         + 2 * n_mats * TILE * item
+    if noise_input:
+        per_spad += n_planes(fgn_form) * block_paths * 4
     return (_VMEM_BUDGET - (1 << 20)) // per_spad
 
 
@@ -326,12 +333,14 @@ def _validate(chunk_paths: int, block_paths: int, n_steps: int,
     if block_paths % 16:
         raise ValueError("block_paths must divide by 16 (sublane-aligned "
                          "Box-Muller halves)")
-    if not supports(n_steps, block_paths, fgn_dtype, fgn_form):
+    limit = max_tiled_steps(block_paths, fgn_dtype, fgn_form, noise_input)
+    if _round_up(n_steps, LANE) > limit:
         raise ValueError(
             f"n_steps={n_steps} exceeds the tiled kernel's VMEM budget at "
-            f"block_paths={block_paths} (max "
-            f"{max_tiled_steps(block_paths, fgn_dtype, fgn_form)}); lower "
-            "block_paths, use bf16 spectral slabs, or the XLA generator")
+            f"block_paths={block_paths} (max {limit}"
+            f"{' with injected noise resident' if noise_input else ''}); "
+            "lower block_paths, use bf16 spectral slabs, or the XLA "
+            "generator")
 
 
 def make_tiled_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,

@@ -102,6 +102,40 @@ def test_explicit_chol_on_factored_kernel_errors():
     assert mod is not None
 
 
+def test_explicit_tiled_impl_beyond_budget_errors():
+    """An EXPLICITLY requested long-horizon kernel whose budget can't
+    cover the horizon must error, not silently benchmark the XLA
+    generator (A/B integrity, same contract as chol-on-factored);
+    tiled_impl='auto' keeps the silent XLA fallback."""
+    huge = 100_000  # past both kernels' budgets at block 256
+    for impl in ("factored", "slab"):
+        with pytest.raises(ValueError, match="VMEM budget"):
+            engine._resolve_tiled_module(
+                engine.StreamConfig(n_paths=1 << 10, n_steps=huge,
+                                    tiled_impl=impl), huge, jnp.float32)
+    mod = engine._resolve_tiled_module(
+        engine.StreamConfig(n_paths=1 << 10, n_steps=huge), huge,
+        jnp.float32)
+    assert mod is None  # auto -> XLA generator takes over
+
+
+def test_chain_pricer_rejects_silent_misconfiguration():
+    """StreamingChainPricer must reject what StreamingPricer rejects: a
+    typo'd pathgen_impl used to fall through to the XLA path, and
+    control_variate was silently dropped (no control sums in the chain
+    kernel) while StreamConfig's docstring promised CV everywhere."""
+    kw = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+              strikes=[95.0, 105.0], maturity=16 / 252.0, is_call=False)
+    with pytest.raises(ValueError, match="pathgen_impl"):
+        engine.StreamingChainPricer(**kw, config=engine.StreamConfig(
+            n_paths=1 << 10, n_steps=16, chunk_paths=1 << 9,
+            pilot_paths=1 << 9, pathgen_impl="Pallas"))
+    with pytest.raises(ValueError, match="control_variate"):
+        engine.StreamingChainPricer(**kw, config=engine.StreamConfig(
+            n_paths=1 << 10, n_steps=16, chunk_paths=1 << 9,
+            pilot_paths=1 << 9, control_variate=True))
+
+
 def test_lsm_fit_shapes():
     from montecarlooptionspricer_tpu.models import gbm
     paths = gbm.generate_paths(jax.random.key(0), 100.0, 0.2, 0.04, 20,
