@@ -486,6 +486,20 @@ def _resolve_fgn_form(config: "StreamConfig") -> str:
     return "chol"
 
 
+def _fused_block(config: "StreamConfig", n_steps: int) -> int:
+    """Path block for the single-tile fused kernel: the configured block,
+    clamped to the kernel's VMEM budget at this horizon.  The clamp only
+    engages where the configured block cannot compile at all (e.g. chol
+    past 768 padded steps admits 128, not the default 256 —
+    pathgen_pallas.max_block_paths); the block is a scheduling knob, so
+    clamping changes PRNG block-stream assignment but never the law."""
+    from . import pathgen_pallas
+
+    return min(config.pallas_block_paths,
+               pathgen_pallas.max_block_paths(n_steps,
+                                              _resolve_fgn_form(config)))
+
+
 def lsm_policy_value(paths, fits: PolyFit, r, strike, maturity, dt,
                      is_call: bool, n_steps_live=None):
     """Per-chunk sum of discounted payoffs under the fitted exercise policy.
@@ -864,15 +878,15 @@ class StreamingPricer:
         if pathgen_impl == "pallas":
             from . import pathgen_pallas
 
-            if pathgen_pallas.supports(n_steps):
+            if pathgen_pallas.supports(n_steps, _resolve_fgn_form(config)):
                 pass  # single-tile kernel: everything VMEM-resident
             else:
-                # Past ~512 padded steps the single-tile kernel's
-                # VMEM-resident [s_pad, s_pad] matrices don't fit; a
-                # long-horizon kernel module takes over (factored
-                # four-step DFT by default, dense slab streaming as the
-                # fallback/escape hatch).  Beyond even those budgets the
-                # XLA generator handles any length (HBM-resident
+                # Past the single-tile VMEM cap (512 padded steps
+                # spectral, 1024 chol) the resident [s_pad, s_pad]
+                # matrices don't fit; a long-horizon kernel module takes
+                # over (chol slab by default, factored four-step DFT for
+                # spectral/longer horizons).  Beyond even those budgets
+                # the XLA generator handles any length (HBM-resident
                 # matrices).
                 tiled = _resolve_tiled_module(config, n_steps, fgn_dtype)
                 if tiled is None:
@@ -891,11 +905,11 @@ class StreamingPricer:
             else:
                 pilot_gen = pathgen_pallas.make_pallas_pathgen(
                     s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                    block_paths=config.pallas_block_paths,
+                    block_paths=_fused_block(config, n_steps),
                     fgn_dtype=fgn_dtype, fgn_form=_resolve_fgn_form(config))
                 chunk_gen = pathgen_pallas.make_pallas_pathgen(
                     s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
-                    block_paths=config.pallas_block_paths,
+                    block_paths=_fused_block(config, n_steps),
                     fgn_dtype=fgn_dtype, fgn_form=_resolve_fgn_form(config))
             # Carriers are int32 (run_word, stream_index) pairs; the kernel
             # also folds the grid block id.  Chunk i advances the stream
@@ -1016,7 +1030,7 @@ class StreamingPricer:
                 priced_chunk_cv, _ = pathgen_pallas.make_pallas_priced_chunk(
                     s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
                     config.chunk_paths,
-                    block_paths=config.pallas_block_paths,
+                    block_paths=_fused_block(config, n_steps),
                     is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True,
                     fgn_form=_resolve_fgn_form(config))
 
@@ -1068,7 +1082,7 @@ class StreamingPricer:
                 priced_chunk, _ = pathgen_pallas.make_pallas_priced_chunk(
                     s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
                     config.chunk_paths,
-                    block_paths=config.pallas_block_paths,
+                    block_paths=_fused_block(config, n_steps),
                     is_call=is_call, fgn_dtype=fgn_dtype,
                     fgn_form=_resolve_fgn_form(config))
 

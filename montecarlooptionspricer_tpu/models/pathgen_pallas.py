@@ -404,24 +404,62 @@ def _priced_kernel_noise_in(noise_ref, *refs, block_paths: int,
     _store_priced(out_ref, s, val, cv_disc, kw["n_steps"])
 
 
-MAX_KERNEL_STEPS = 512
+MAX_KERNEL_STEPS = 512        # spectral: hardware-measured cap (VERIFY_r02)
+MAX_KERNEL_STEPS_CHOL = 1024  # chol: hardware-measured cap (VERIFY_r03 §11)
+
+# VMEM byte model for max_block_paths, calibrated against real v5e Mosaic
+# compiles (parity/single_tile_cap.py, VERIFY_r03 §11): at (chol,
+# s_pad=1024) block 256 overran the 16 MiB scoped-vmem limit by 60 KiB
+# while block 128 compiled and ran, and (chol, s_pad=768, block 256) fits.
+# Block-scaled planes measured ~7.3 at the failure point; 8 is the
+# conservative round-up (noise + path/price + val/scratch planes).
+_VMEM_SOFT_BUDGET = 15_500_000
+_BLOCK_PLANES = 8
+
+
+def max_block_paths(n_steps: int, fgn_form: str = "spectral") -> int:
+    """Largest pow2 path block (<= 512) whose fused-kernel VMEM footprint
+    fits the scoped budget at this horizon, or 0 if none does.
+
+    Footprint = resident [s_pad, s_pad] constants (fGN matrices + cumsum
+    tri in f32, plus the priced kernels' strict-upper counting matrix in
+    bf16 — included unconditionally so the bound covers the worst caller)
+    + _BLOCK_PLANES block-scaled [block, s_pad] f32 planes."""
+    s_pad = _round_up(n_steps, LANE)
+    n_mats = 1 if fgn_form == "chol" else 2
+    resident = (n_mats + 1) * s_pad * s_pad * 4 + s_pad * s_pad * 2
+    blk = 512
+    while blk >= 16 and (resident + blk * s_pad * 4 * _BLOCK_PLANES
+                         > _VMEM_SOFT_BUDGET):
+        blk //= 2
+    return blk if blk >= 16 else 0
+
+
+def _check_block_budget(n_steps: int, block_paths: int,
+                        fgn_form: str) -> None:
+    """Loud rejection of a path block the VMEM budget cannot admit at this
+    horizon (a silent Mosaic scoped-vmem overrun is a compile-time crash
+    with an opaque message; this names the fix)."""
+    cap = max_block_paths(n_steps, fgn_form)
+    if block_paths > cap:
+        raise ValueError(
+            f"block_paths={block_paths} exceeds the fused kernel's VMEM "
+            f"budget at n_steps={n_steps} ({fgn_form}): max is {cap} "
+            "(the engine clamps automatically; direct callers must pass "
+            "block_paths <= max_block_paths(n_steps, fgn_form))")
 
 
 def supports(n_steps: int, fgn_form: str = "spectral") -> bool:
     """Whether the fused kernel fits VMEM: the [s_pad, s_pad] constants
     plus the per-block noise/path planes must stay well under the
-    ~16 MiB/core budget; past ~512 padded steps they don't (the streaming
-    engine hands longer horizons to the step-tiled kernels).
-
-    The bound is deliberately FORM-INDEPENDENT for now: the chol form
-    keeps one [s_pad, s_pad] matrix resident instead of two and could
-    afford a higher cap, but 512 is the hardware-MEASURED spectral limit
-    (VERIFY_r02) and a raised chol cap is unvalidated — the step-tiled
-    slab kernel (whose budget IS form-aware, pathgen_pallas_tiled.
-    max_tiled_steps) already covers everything past it.  ``fgn_form`` is
-    accepted so call sites don't change when the cap differentiates."""
-    del fgn_form
-    return _round_up(n_steps, LANE) <= MAX_KERNEL_STEPS
+    ~16 MiB/core budget.  The bound is form-AWARE: the chol form keeps
+    one [s_pad, s_pad] matrix resident instead of two, raising its
+    hardware-measured cap to 1024 padded steps (1.09-1.19x the step-tiled
+    slab over 513-1024, VERIFY_r03 §11) — at a reduced path block past
+    768 (see max_block_paths; the engine clamps automatically)."""
+    cap = MAX_KERNEL_STEPS_CHOL if fgn_form == "chol" else MAX_KERNEL_STEPS
+    return (_round_up(n_steps, LANE) <= cap
+            and max_block_paths(n_steps, fgn_form) >= 16)
 
 
 def _fgn_consts(n_steps: int, s_pad: int, h, eta, dt, fgn_dtype,
@@ -459,9 +497,10 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                          "which must stay sublane-aligned)")
     if not supports(n_steps, fgn_form):
         raise ValueError(
-            f"n_steps={n_steps} pads past {MAX_KERNEL_STEPS} lanes; the "
-            "fused kernel's VMEM-resident spectral matrices do not fit — "
+            f"n_steps={n_steps} pads past the fused kernel's "
+            f"{fgn_form} VMEM cap; "
             "use the step-tiled kernel (pathgen_tiled) or the XLA generator")
+    _check_block_budget(n_steps, block_paths, fgn_form)
     s_pad = _round_up(n_steps, LANE)
     out_cols = _round_up(n_steps + 1, LANE)
 
@@ -773,6 +812,7 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
         raise ValueError("block_paths must divide by 16 for in-kernel RNG")
     if not supports(n_steps, fgn_form):
         raise ValueError("n_steps too large for the fused kernel")
+    _check_block_budget(n_steps, block_paths, fgn_form)
     s_pad = _round_up(n_steps, LANE)
 
     mats, mat_specs = _fgn_consts(n_steps, s_pad, h, eta, dt, fgn_dtype,
@@ -875,7 +915,12 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
         raise ValueError("chunk_paths must divide by block_paths")
     if not noise_input and block_paths % 16:
         raise ValueError("block_paths must divide by 16 for in-kernel RNG")
-    if not supports(n_steps, fgn_form):
+    # The chain kernel keeps the CONSERVATIVE spectral cap for both forms:
+    # its per-group policy tables and K-lane value scratch add VMEM the
+    # max_block_paths byte model does not account for, and the raised chol
+    # cap is only hardware-validated for the single-strike kernels
+    # (VERIFY_r03 §11).  Horizons past 512 fall back to the XLA chain.
+    if _round_up(n_steps, LANE) > MAX_KERNEL_STEPS:
         raise ValueError("n_steps too large for the fused chain kernel")
     s_pad = _round_up(n_steps, LANE)
     group = min(n_k, CHAIN_GROUP)

@@ -52,10 +52,21 @@ def run(n_steps: int, n_paths: int, block: int) -> None:
     s_pad = -(-n_steps // 128) * 128
     print(f"steps={n_steps} (s_pad={s_pad}) paths={n_paths} block={block}",
           flush=True)
-    t_slab = timed("chol slab (today's path)")
+    # Slab leg: force the step-tiled path — the ADOPTED form-aware cap
+    # (pathgen_pallas.MAX_KERNEL_STEPS_CHOL = 1024, the outcome of this
+    # probe, VERIFY_r03 §11) would otherwise route 513-1024-step chol to
+    # the fused kernel in both legs.
+    saved = (pathgen_pallas.MAX_KERNEL_STEPS,
+             pathgen_pallas.MAX_KERNEL_STEPS_CHOL)
+    pathgen_pallas.MAX_KERNEL_STEPS_CHOL = pathgen_pallas.MAX_KERNEL_STEPS
+    try:
+        t_slab = timed("chol slab, forced", tiled_impl="slab")
+    finally:
+        (pathgen_pallas.MAX_KERNEL_STEPS,
+         pathgen_pallas.MAX_KERNEL_STEPS_CHOL) = saved
 
-    saved = pathgen_pallas.MAX_KERNEL_STEPS
-    pathgen_pallas.MAX_KERNEL_STEPS = max(saved, s_pad)
+    pathgen_pallas.MAX_KERNEL_STEPS = max(saved[0], s_pad)
+    pathgen_pallas.MAX_KERNEL_STEPS_CHOL = max(saved[1], s_pad)
     try:
         t_fused = timed("single-tile fused, patched cap")
         print(f"  fused/slab: {t_slab / t_fused:.2f}x", flush=True)
@@ -63,7 +74,8 @@ def run(n_steps: int, n_paths: int, block: int) -> None:
         print(f"  single-tile fused REJECTED at s_pad={s_pad}: "
               f"{type(e).__name__}: {e}", flush=True)
     finally:
-        pathgen_pallas.MAX_KERNEL_STEPS = saved
+        (pathgen_pallas.MAX_KERNEL_STEPS,
+         pathgen_pallas.MAX_KERNEL_STEPS_CHOL) = saved
 
 
 def main() -> None:

@@ -252,15 +252,26 @@ def test_streaming_pricer_sharded_matches_single_chip():
 
 
 def test_pallas_falls_back_for_long_horizons():
-    """Past the single-tile kernel's VMEM limit the engine selects the
-    step-tiled kernel (the reference's 1825-step horizon); past even the
-    tiled kernel's noise-scratch budget it silently uses the XLA
-    generator — same API, any horizon."""
-    cfg = engine.StreamConfig(n_paths=1 << 11, n_steps=600,
-                              chunk_paths=1 << 10, pilot_paths=1 << 9,
-                              pathgen_impl="pallas")
-    p = engine.StreamingPricer(100.0, 0.04, 0.2, 1.0, -0.4, 0.04, 102.0,
-                               600 / 252.0, False, cfg)
+    """Past the single-tile kernel's form-aware VMEM cap (512 padded steps
+    spectral, 1024 chol) the engine selects the step-tiled kernel (the
+    reference's 1825-step horizon); past even the tiled kernel's
+    noise-scratch budget it silently uses the XLA generator — same API,
+    any horizon."""
+    base = dict(n_paths=1 << 11, chunk_paths=1 << 10, pilot_paths=1 << 9,
+                pathgen_impl="pallas")
+    mkt = (100.0, 0.04, 0.2, 1.0, -0.4, 0.04, 102.0)
+    # 600 steps: single-tile for chol (the auto default, raised cap),
+    # step-tiled for spectral (cap 512).
+    p = engine.StreamingPricer(*mkt, 600 / 252.0, False,
+                               engine.StreamConfig(**base, n_steps=600))
+    assert p._pathgen_impl == "pallas" and not p._pathgen_tiled
+    p_spec = engine.StreamingPricer(
+        *mkt, 600 / 252.0, False,
+        engine.StreamConfig(**base, n_steps=600, fgn_form="spectral"))
+    assert p_spec._pathgen_impl == "pallas" and p_spec._pathgen_tiled
+    # 1825 steps: step-tiled for both forms.
+    p = engine.StreamingPricer(*mkt, 1825 / 252.0, False,
+                               engine.StreamConfig(**base, n_steps=1825))
     assert p._pathgen_impl == "pallas" and p._pathgen_tiled
     if jax.devices()[0].platform == "tpu":
         price = p.price(jax.random.key(0))
@@ -293,14 +304,15 @@ def test_tiled_streaming_price_matches_xla():
     pricer = engine.StreamingPricer(**kwargs, config=cfg)
     assert pricer._pathgen_tiled is False  # 200 steps still single-tile
     import montecarlooptionspricer_tpu.models.pathgen_pallas as pp
-    orig = pp.MAX_KERNEL_STEPS
+    orig = pp.MAX_KERNEL_STEPS, pp.MAX_KERNEL_STEPS_CHOL
     try:
-        pp.MAX_KERNEL_STEPS = 128  # force the tiled kernel at 200 steps
+        # Force the tiled kernel at 200 steps (both form caps).
+        pp.MAX_KERNEL_STEPS = pp.MAX_KERNEL_STEPS_CHOL = 128
         tiled_pricer = engine.StreamingPricer(**kwargs, config=cfg)
         assert tiled_pricer._pathgen_tiled
         p_tiled = tiled_pricer.price(jax.random.key(5))
     finally:
-        pp.MAX_KERNEL_STEPS = orig
+        pp.MAX_KERNEL_STEPS, pp.MAX_KERNEL_STEPS_CHOL = orig
     assert abs(p_xla - p_tiled) < 0.3  # ~3 MC stderr at 16k paths
 
 
@@ -319,15 +331,48 @@ def test_slab_chol_streaming_price_matches_xla():
     cfg = engine.StreamConfig(**base, pathgen_impl="pallas",
                               tiled_impl="slab", fgn_form="chol")
     import montecarlooptionspricer_tpu.models.pathgen_pallas as pp
-    orig = pp.MAX_KERNEL_STEPS
+    orig = pp.MAX_KERNEL_STEPS, pp.MAX_KERNEL_STEPS_CHOL
     try:
-        pp.MAX_KERNEL_STEPS = 128  # force the tiled kernel at 200 steps
+        # Force the tiled kernel at 200 steps (both form caps).
+        pp.MAX_KERNEL_STEPS = pp.MAX_KERNEL_STEPS_CHOL = 128
         pricer = engine.StreamingPricer(**kwargs, config=cfg)
         assert pricer._pathgen_tiled
         p_tiled = pricer.price(jax.random.key(5))
     finally:
-        pp.MAX_KERNEL_STEPS = orig
+        pp.MAX_KERNEL_STEPS, pp.MAX_KERNEL_STEPS_CHOL = orig
     assert abs(p_xla - p_tiled) < 0.3  # ~3 MC stderr at 16k paths
+
+
+def test_fused_chol_raised_cap_matches_slab_on_chip():
+    """513-1024-step chol horizons now run the single-tile fused kernel
+    (form-aware cap, VERIFY_r03 §11: 1.09-1.19x the slab); its price at a
+    768-pad horizon agrees with the slab kernel within MC error, with the
+    engine auto-clamping the path block to the VMEM budget (real TPU
+    only)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("requires a real TPU for in-kernel PRNG")
+    base = dict(n_paths=1 << 14, n_steps=700, chunk_paths=1 << 12,
+                pilot_paths=1 << 12, pathgen_impl="pallas", fgn_form="chol")
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=700 / 252.0, is_call=False)
+    fused = engine.StreamingPricer(**kwargs,
+                                   config=engine.StreamConfig(**base))
+    assert fused._pathgen_tiled is False  # 700 steps single-tile for chol
+    p_fused = fused.price(jax.random.key(5))
+    slab = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base, tiled_impl="slab"))
+    assert slab._pathgen_tiled is False  # supports() wins over tiled_impl
+    import montecarlooptionspricer_tpu.models.pathgen_pallas as pp
+    orig = pp.MAX_KERNEL_STEPS_CHOL
+    try:
+        pp.MAX_KERNEL_STEPS_CHOL = 512
+        slab = engine.StreamingPricer(
+            **kwargs, config=engine.StreamConfig(**base, tiled_impl="slab"))
+        assert slab._pathgen_tiled
+        p_slab = slab.price(jax.random.key(5))
+    finally:
+        pp.MAX_KERNEL_STEPS_CHOL = orig
+    assert abs(p_fused - p_slab) < 0.6  # ~3 MC stderr at 16k paths, T=2.8y
 
 
 @pytest.mark.slow

@@ -198,3 +198,60 @@ def test_streaming_pricer_accepts_fgn_form(rng):
                                   chunk_paths=1 << 10, pilot_paths=1 << 10,
                                   fgn_form=form)
         assert engine._resolve_fgn_form(cfg) in ("spectral", "chol")
+
+def test_single_tile_cap_is_form_aware():
+    """The fused single-tile cap differentiates by form (VERIFY_r03 §11):
+    chol keeps one [s_pad, s_pad] matrix resident instead of two, raising
+    the hardware-measured cap to 1024 padded steps; the VMEM byte model
+    reproduces the measured block limits exactly (parity/single_tile_cap:
+    block 256 fits at 768 pad, overruns by 60 KiB at 1024 pad, 128 fits)."""
+    assert pathgen_pallas.supports(512)
+    assert not pathgen_pallas.supports(513)           # spectral cap: 512
+    assert pathgen_pallas.supports(513, "chol")
+    assert pathgen_pallas.supports(1024, "chol")      # chol cap: 1024
+    assert not pathgen_pallas.supports(1025, "chol")
+
+    assert pathgen_pallas.max_block_paths(365, "chol") == 512
+    assert pathgen_pallas.max_block_paths(700, "chol") == 256
+    assert pathgen_pallas.max_block_paths(1000, "chol") == 128
+    assert pathgen_pallas.max_block_paths(512, "spectral") >= 256
+
+
+def test_fused_block_budget_rejects_loudly():
+    """A direct caller passing a block past the VMEM budget gets a named
+    error instead of an opaque Mosaic scoped-vmem compile crash; the
+    engine clamps the configured block automatically."""
+    with pytest.raises(ValueError, match="max is 128"):
+        pathgen_pallas.make_pallas_pathgen(
+            **KW, n_steps=1000, dt=1 / 252, chunk_paths=1 << 10,
+            block_paths=256, interpret=True, fgn_form="chol")
+    cfg = engine.StreamConfig(n_paths=1 << 12, n_steps=1000,
+                              chunk_paths=1 << 10, pilot_paths=1 << 10,
+                              pathgen_impl="pallas", fgn_form="chol")
+    assert engine._fused_block(cfg, 1000) == 128
+
+
+def test_chol_math_path_matches_xla_at_raised_cap(rng):
+    """Elementwise math-path check (CPU interpreter) at a horizon past the
+    old 512-lane cap: the single-tile chol kernel at s_pad = 768 computes
+    the same map as the f64 NumPy oracle."""
+    n_steps, chunk, dt = 700, 256, 1 / 252
+    gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
+        **KW, n_steps=n_steps, dt=dt, chunk_paths=chunk,
+        block_paths=128, interpret=True, fgn_form="chol")
+    assert s_pad == 768
+    noise = np.zeros((2, chunk, s_pad), np.float32)
+    noise[:, :, :n_steps] = rng.normal(size=(2, chunk, n_steps))
+    ours = np.asarray(gen(jnp.asarray(noise)))
+
+    lt = np.asarray(engine._chol_matrix_host(n_steps, KW["h"], KW["eta"],
+                                             dt, jnp.float32), np.float64)
+    x = noise[0, :, :n_steps].astype(np.float64) @ lt
+    t = np.arange(n_steps + 1) * dt
+    v = KW["xi"] * np.exp(x - 0.5 * KW["eta"] ** 2
+                          * t[:n_steps] ** (2 * KW["h"]))
+    inc = ((KW["r"] - 0.5 * v) * dt
+           + np.sqrt(np.maximum(v, 0)) * noise[1, :, :n_steps] * np.sqrt(dt))
+    ref = KW["s0"] * np.exp(np.cumsum(inc, axis=1))
+    ref = np.concatenate([np.full((chunk, 1), KW["s0"]), ref], axis=1)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-5)
