@@ -125,7 +125,15 @@ def _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref, *,
     With ``zi is None`` (the "chol" fGN form), ``zr`` is ONE normal plane
     and ``cr_ref`` the Cholesky factor Lt of the spectral map's covariance
     (engine._chol_matrix_host): X = N @ Lt — same Gaussian law from half
-    the noise and one matmul."""
+    the noise and one matmul.
+
+    HALF-SCALED constants contract: the fGN matrices arrive pre-scaled by
+    0.5 (_fgn_consts) and ``vd_ref`` carries 0.5*(ln xi + drift)
+    (_half_var_drift), so ONE exp yields sqrt(v) directly and v = sv*sv —
+    eliminating the sqrt(v) transcendental and the max(v, 0) clamp per
+    cell (exp is positive by construction).  Multiplication by 0.5 is
+    exact in binary floating point, so the computed map is identical."""
+    del xi  # folded into vd_ref as ln(xi)/2 (half-scaled constants)
     block = zr.shape[0]
     # fGN via MXU: X = Zr @ Cr - Zi @ Ci (padded cols of C are zero, so the
     # padded tail of Z is annihilated in the products' valid columns).
@@ -141,9 +149,9 @@ def _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref, *,
              - jnp.dot(zi.astype(ci_ref.dtype), ci_ref[:],
                        preferred_element_type=jnp.float32))
 
-    v = xi * jnp.exp(x + vd_ref[:])                     # forward variance
-    inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(v, 0.0)) * (
-        w * math.sqrt(dt))
+    sv = jnp.exp(x + vd_ref[:])            # sqrt of the forward variance
+    v = sv * sv
+    inc = (r - 0.5 * v) * dt + sv * (w * math.sqrt(dt))
 
     # Zero the padded step columns so the accumulation stays flat past
     # n_steps (belt and braces: tri's padded rows are zero too).
@@ -466,23 +474,40 @@ def _fgn_consts(n_steps: int, s_pad: int, h, eta, dt, fgn_dtype,
                 fgn_form: str):
     """Padded VMEM-resident fGN constants + their BlockSpecs: [Cr, Ci]
     (spectral) or [Lt] (chol — half the resident bytes, half the matmul
-    FLOPs, same Gaussian law; see engine._chol_matrix_host)."""
+    FLOPs, same Gaussian law; see engine._chol_matrix_host).
+
+    Matrices are PRE-SCALED by 0.5 (exact — a binary exponent shift, even
+    in bf16) so the kernel's variance exp yields sqrt(v) directly; see
+    the _paths_from_noise half-scaled constants contract."""
     from .engine import _chol_matrix_host, _fgn_matrices_host
 
     if fgn_form == "chol":
         lt = _chol_matrix_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
         mats = [jnp.zeros((s_pad, s_pad), fgn_dtype)
-                .at[:n_steps, :n_steps].set(lt)]
+                .at[:n_steps, :n_steps].set(0.5 * lt)]
     elif fgn_form == "spectral":
         cr, ci = _fgn_matrices_host(n_steps, h, eta, dt,
                                     jnp.dtype(fgn_dtype))
         mats = [jnp.zeros((s_pad, s_pad), fgn_dtype)
-                .at[:n_steps, :n_steps].set(m) for m in (cr, ci)]
+                .at[:n_steps, :n_steps].set(0.5 * m) for m in (cr, ci)]
     else:
         raise ValueError(f"unknown fgn_form: {fgn_form!r}")
     specs = [pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
                           memory_space=pltpu.VMEM) for _ in mats]
     return mats, specs
+
+
+def _half_var_drift(n_steps: int, s_pad: int, xi, h, eta, dt) -> jax.Array:
+    """[1, s_pad] VMEM row of 0.5*(ln xi - 0.5 eta^2 t_c^{2H}) at the
+    increment times t_c = c*dt, c = 0..n_steps-1 (the reference's
+    forwardVariance convention; pad columns zero — inc is masked there
+    anyway): with the half-scaled fGN matrices, sv = exp(x' + this) is
+    exactly sqrt(xi * exp(X - eta^2/2 t^{2H})) = sqrt(forward
+    variance)."""
+    t = np.arange(n_steps, dtype=np.float64) * dt
+    hvd = 0.5 * (math.log(xi) - 0.5 * (eta * eta) * t ** (2.0 * h))
+    return jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
+        jnp.asarray(hvd, jnp.float32))
 
 
 def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
@@ -506,10 +531,7 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
 
     mats, mat_specs = _fgn_consts(n_steps, s_pad, h, eta, dt, fgn_dtype,
                                   fgn_form)
-    t = np.arange(n_steps, dtype=np.float64) * dt
-    vd = -0.5 * (eta * eta) * t ** (2.0 * h)
-    vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
-        jnp.asarray(vd, jnp.float32))
+    vd_p = _half_var_drift(n_steps, s_pad, xi, h, eta, dt)
     # Upper-triangular ones, rows past n_steps zeroed (annihilates padding).
     tri = np.triu(np.ones((s_pad, s_pad), np.float32))
     tri[n_steps:, :] = 0.0
@@ -817,10 +839,7 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
 
     mats, mat_specs = _fgn_consts(n_steps, s_pad, h, eta, dt, fgn_dtype,
                                   fgn_form)
-    t = np.arange(n_steps, dtype=np.float64) * dt
-    vd = -0.5 * (eta * eta) * t ** (2.0 * h)
-    vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
-        jnp.asarray(vd, jnp.float32))
+    vd_p = _half_var_drift(n_steps, s_pad, xi, h, eta, dt)
     tri = np.triu(np.ones((s_pad, s_pad), np.float32))
     tri[n_steps:, :] = 0.0
     tri_p = jnp.asarray(tri)
@@ -929,10 +948,7 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
 
     mats, mat_specs = _fgn_consts(n_steps, s_pad, h, eta, dt, fgn_dtype,
                                   fgn_form)
-    t = np.arange(n_steps, dtype=np.float64) * dt
-    vd = -0.5 * (eta * eta) * t ** (2.0 * h)
-    vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
-        jnp.asarray(vd, jnp.float32))
+    vd_p = _half_var_drift(n_steps, s_pad, xi, h, eta, dt)
     tri = np.triu(np.ones((s_pad, s_pad), np.float32))
     tri[n_steps:, :] = 0.0
     tri_p = jnp.asarray(tri)

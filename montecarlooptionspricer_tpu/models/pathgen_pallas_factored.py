@@ -98,10 +98,13 @@ def _consts(s0, xi, h, eta, rho, r, n_steps: int, dt: float, fgn_dtype):
     n1, n2 = LANE, m2 // LANE
 
     # phi exactly as engine._fgn_matrices_host (float64 host precision).
+    # The extra 0.5 pre-halves the (linear) factored map — the half-scaled
+    # constants contract of pathgen_pallas._paths_from_noise, letting
+    # _euler_tile's one exp yield sqrt(v) directly.
     t = np.arange(n_steps + 1, dtype=np.float64) * dt
     lam = 0.5 * t ** (2.0 * h)
     phi = np.conj(np.fft.fft(lam, n=_next_pow2(lam.size)))
-    scale = np.sqrt(2.0 * h) * eta / m2
+    scale = 0.5 * np.sqrt(2.0 * h) * eta / m2
     a_diag = np.zeros(m2, np.complex128)
     a_diag[:n_steps] = phi[:n_steps] * scale
 
@@ -121,9 +124,9 @@ def _consts(s0, xi, h, eta, rho, r, n_steps: int, dt: float, fgn_dtype):
         jnp.asarray(tw.real, jnp.float32),
         jnp.asarray(tw.imag, jnp.float32),
     )
-    vd = -0.5 * (eta * eta) * (t[:n_steps]) ** (2.0 * h)
-    vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
-        jnp.asarray(vd, jnp.float32))
+    from .pathgen_pallas import _half_var_drift
+
+    vd_p = _half_var_drift(n_steps, s_pad, xi, h, eta, dt)
     tri = jnp.asarray(np.triu(np.ones((TILE, TILE), np.float32)))
     # bf16 like pathgen_pallas_tiled: {0,1} indicator counts stay exact.
     su = jnp.asarray(np.triu(np.ones((TILE, TILE), np.float32), k=1),

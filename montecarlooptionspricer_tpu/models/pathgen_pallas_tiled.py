@@ -93,21 +93,23 @@ def _consts(s0, xi, h, eta, rho, r, n_steps: int, dt: float, fgn_dtype,
     s_pad = _round_up(n_steps, LANE)
     from .engine import _chol_matrix_host, _fgn_matrices_host
 
+    # Matrices pre-scaled by 0.5 and the half variance drift (ln xi
+    # folded in): one exp yields sqrt(v) directly in _euler_tile — see
+    # pathgen_pallas._paths_from_noise's half-scaled constants contract.
     if fgn_form == "chol":
         lt = _chol_matrix_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
         mats = (jnp.zeros((s_pad, s_pad), fgn_dtype)
-                .at[:n_steps, :n_steps].set(lt),)
+                .at[:n_steps, :n_steps].set(0.5 * lt),)
     elif fgn_form == "spectral":
         cr, ci = _fgn_matrices_host(n_steps, h, eta, dt,
                                     jnp.dtype(fgn_dtype))
         mats = tuple(jnp.zeros((s_pad, s_pad), fgn_dtype)
-                     .at[:n_steps, :n_steps].set(m) for m in (cr, ci))
+                     .at[:n_steps, :n_steps].set(0.5 * m) for m in (cr, ci))
     else:
         raise ValueError(f"unknown fgn_form: {fgn_form!r}")
-    t = np.arange(n_steps, dtype=np.float64) * dt
-    vd = -0.5 * (eta * eta) * t ** (2.0 * h)
-    vd_p = jnp.zeros((1, s_pad), jnp.float32).at[0, :n_steps].set(
-        jnp.asarray(vd, jnp.float32))
+    from .pathgen_pallas import _half_var_drift
+
+    vd_p = _half_var_drift(n_steps, s_pad, xi, h, eta, dt)
     tri = jnp.asarray(np.triu(np.ones((TILE, TILE), np.float32)))
     # {0,1} indicators are exact in bf16 and the accumulation is f32, so
     # the per-tile prior-exercise count matmul runs at the bf16 MXU rate
@@ -136,11 +138,15 @@ def _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, *, block: int,
                 log_s0: float):
     """One step-tile of the Euler log-recursion.  Returns S for the tile and
     advances the per-path cumsum carry (all-lanes-equal [block, LANE])."""
-    v = xi * jnp.exp(x + vd_ref[:])
-    inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(v, 0.0)) * (
-        w * math.sqrt(dt))
+    del xi  # folded into vd_ref as ln(xi)/2 (half-scaled constants)
+    # Half-scaled constants contract (pathgen_pallas._paths_from_noise):
+    # x and vd arrive pre-halved with ln(xi)/2 folded in, so one exp is
+    # sqrt(v) — no sqrt / max(v, 0) per cell.
+    sv = jnp.exp(x + vd_ref[:])
+    v = sv * sv
+    inc = (r - 0.5 * v) * dt + sv * (w * math.sqrt(dt))
     # Mask the padded step columns (vd/C pads are zero, which still leaves
-    # inc = (r - xi/2) dt + noise there).
+    # inc = (r - 1/2) dt + noise there).
     col = jax.lax.broadcasted_iota(jnp.int32, (block, TILE), 1) + j * TILE
     inc = jnp.where(col < n_steps, inc, 0.0)
     local = jnp.dot(inc, tri_ref[:], preferred_element_type=jnp.float32)
