@@ -129,6 +129,18 @@ class StreamConfig:
     # f32 rounding of the root and for pathological non-ITM-anchored
     # fits (clipped; second-order value impact — see boundary_rows).
     chain_policy_form: str = "boundary"
+    # Single-strike fused-kernel exercise-policy representation:
+    # "boundary" — boundary_rows intervals evaluated in LOG space
+    # (pathgen_pallas.log_boundary_rows / _policy_value_log_boundary):
+    # the interval test runs on the log price plane, so the per-cell
+    # exp(log S) disappears (one exp per PATH at the stop step) and the
+    # strict-upper counting matmul is replaced by a min-index reduction —
+    # the kernels' measured bound is VPU transcendentals, making this the
+    # fast default (VERIFY_r03 §12); "quadratic" — the cell-level
+    # quadratic on the S plane (lsm_policy_value's exact f32 decision
+    # semantics, the r02 form).  Decision differences are the same
+    # one-ulp root-band class as chain_policy_form's.
+    policy_form: str = "boundary"
     # Chunks per device program: the chunk loop runs as an on-device
     # fori_loop, so host<->device round-trips happen once per
     # `chunks_per_call` chunks, not per chunk (the axon-tunnel dispatch
@@ -146,6 +158,9 @@ class StreamConfig:
         if self.chain_policy_form not in ("boundary", "quadratic"):
             raise ValueError(
                 f"unknown chain_policy_form: {self.chain_policy_form!r}")
+        if self.policy_form not in ("boundary", "quadratic"):
+            raise ValueError(
+                f"unknown policy_form: {self.policy_form!r}")
 
 
 def _fgn_matrices_np(n_steps: int, h: float, eta: float, dt: float) -> tuple:
@@ -484,6 +499,29 @@ def _resolve_fgn_form(config: "StreamConfig") -> str:
     if config.fgn_form != "auto":
         return config.fgn_form
     return "chol"
+
+
+def _fused_rows_builder(config: "StreamConfig", tiled, r, strike, maturity,
+                        dt, n_steps: int, is_call: bool):
+    """fits -> policy-table builder matched to the fused kernel in use:
+    log-space boundary tables for the single-tile kernel under
+    StreamConfig.policy_form="boundary" (built in-graph from the pilot
+    fit, so serving's traced-fit reuse carries over); quadratic
+    policy_rows for the step-tiled kernels (whose _policy_tile carries
+    first-exercise state across tiles on the S plane) and for
+    policy_form="quadratic"."""
+    from . import pathgen_pallas
+
+    if tiled is None and config.policy_form == "boundary":
+        def make_rows(fits):
+            tab = pathgen_pallas.boundary_rows(fits, r, strike, maturity,
+                                               dt, n_steps, is_call)
+            return pathgen_pallas.log_boundary_rows(tab)
+    else:
+        def make_rows(fits):
+            return pathgen_pallas.policy_rows(fits, r, strike, maturity,
+                                              dt, n_steps, is_call)
+    return make_rows
 
 
 def _fused_block(config: "StreamConfig", n_steps: int) -> int:
@@ -1032,13 +1070,16 @@ class StreamingPricer:
                     config.chunk_paths,
                     block_paths=_fused_block(config, n_steps),
                     is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True,
-                    fgn_form=_resolve_fgn_form(config))
+                    fgn_form=_resolve_fgn_form(config),
+                    policy_form=config.policy_form)
+            make_rows_cv = _fused_rows_builder(config, tiled, r, strike,
+                                               maturity, dt, n_steps,
+                                               is_call)
 
             def stream_fn(k, fits_beta, start, count):  # noqa: F811
                 fits, beta = fits_beta
                 k = shard_mix(k)
-                rows = pathgen_pallas.policy_rows(fits, r, strike, maturity,
-                                                  dt, n_steps, is_call)
+                rows = make_rows_cv(fits)
                 ex0, p0 = pathgen_pallas.time0_value(fits, s0, strike,
                                                      is_call)
 
@@ -1084,12 +1125,14 @@ class StreamingPricer:
                     config.chunk_paths,
                     block_paths=_fused_block(config, n_steps),
                     is_call=is_call, fgn_dtype=fgn_dtype,
-                    fgn_form=_resolve_fgn_form(config))
+                    fgn_form=_resolve_fgn_form(config),
+                    policy_form=config.policy_form)
+            make_rows = _fused_rows_builder(config, tiled, r, strike,
+                                            maturity, dt, n_steps, is_call)
 
             def stream_fn(k, fits, start, count):  # noqa: F811 — fused form
                 k = shard_mix(k)
-                rows = pathgen_pallas.policy_rows(fits, r, strike, maturity,
-                                                  dt, n_steps, is_call)
+                rows = make_rows(fits)
                 ex0, p0 = pathgen_pallas.time0_value(fits, s0, strike,
                                                      is_call)
 

@@ -110,11 +110,12 @@ def _normals3(block: int, s_pad: int):
     return zr, zi, w
 
 
-def _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref, *,
-                      n_steps: int, s_pad: int, xi: float, r: float,
-                      dt: float, log_s0: float):
+def _logpaths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref, *,
+                         n_steps: int, s_pad: int, xi: float, r: float,
+                         dt: float, log_s0: float):
     """Shared math path: fGN matmul + variance curve + Euler accumulation.
-    Returns S [block, s_pad] with column c = step c+1 (pad columns flat).
+    Returns log S [block, s_pad] with column c = step c+1 (pad columns
+    flat).
 
     ``w`` is the single price-Brownian plane: the reference's
     rho*w1 + sqrt(1-rho^2)*w2 is one N(0,1) independent of the fGN driver
@@ -161,9 +162,16 @@ def _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref, *,
     # Cumulative sum as an MXU product with the upper-triangular ones
     # matrix (Pallas TPU has no cumsum lowering; the matmul is also the
     # faster form at these step counts).
-    log_s = log_s0 + jnp.dot(inc, tri_ref[:],
-                             preferred_element_type=jnp.float32)
-    return jnp.exp(log_s)
+    return log_s0 + jnp.dot(inc, tri_ref[:],
+                            preferred_element_type=jnp.float32)
+
+
+def _paths_from_noise(*args, **kw):
+    """S = exp(log S) of _logpaths_from_noise — the form consumers of the
+    PRICE plane use.  The log-boundary priced kernel skips this exp (one
+    per cell) and works on the log plane directly (_policy_value_log_
+    boundary: one exp per PATH at the stop step)."""
+    return jnp.exp(_logpaths_from_noise(*args, **kw))
 
 
 def _draw_planes(block: int, s_pad: int, fgn_form: str):
@@ -282,6 +290,50 @@ def _policy_value_boundary(s, pol_row, col, ds, *, is_call: bool):
     return jnp.sum(jnp.where(col == idx, val, 0.0))
 
 
+def _policy_value_log_boundary(ls, pol_ref, *, is_call: bool,
+                               strike: float):
+    """Log-space boundary policy on the LOG price plane: the exercise
+    interval test runs directly on log S (log_boundary_rows pre-logs the
+    endpoints — exp is monotone, so the decisions are those of
+    _policy_value_boundary up to one-ulp root-band rounding), the stop
+    step's log price and discount are extracted by one-hot masked
+    reductions, and exp runs once per PATH at the stop step instead of
+    once per cell in the path plane — the fused kernels' measured bound
+    is VPU transcendentals, and this removes 1 of the 5 per-cell slots
+    (VERIFY_r03 §12).  Non-exercising paths reduce to ls_stop = d_stop =
+    0, so their value term is d_stop * payoff = 0 exactly."""
+    llo, lhi, disc = pol_ref[0, :], pol_ref[1, :], pol_ref[2, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, ls.shape, 1)
+    exf = (ls >= llo) & (ls <= lhi)
+    big = jnp.int32(1 << 30)
+    idx = jnp.min(jnp.where(exf, col, big), axis=1, keepdims=True)
+    first = col == idx
+    ls_stop = jnp.sum(jnp.where(first, ls, 0.0), axis=1, keepdims=True)
+    d_stop = jnp.sum(jnp.where(first, disc, 0.0), axis=1, keepdims=True)
+    s_stop = jnp.exp(ls_stop)
+    p = s_stop - strike if is_call else strike - s_stop
+    # max() guards the f32 root band at the ITM cap (a decision flip
+    # there must never contribute a negative payoff).
+    return jnp.sum(d_stop * jnp.maximum(p, 0.0))
+
+
+def log_boundary_rows(table) -> jax.Array:
+    """boundary_rows -> the log-space [8, s_pad] table consumed by
+    _policy_value_log_boundary: row 0 = log lo, row 1 = log hi, row 2 =
+    the discount.  Built in-graph per fit (cheap [s_pad] ops).  The
+    +-1e30 sentinels survive: lo <= 0 means every S > 0 passes the lower
+    test (log -> -1e30); an empty set's lo = +1e30 / hi = -1e30 keep
+    their signs, and log(1e30) ~= 69 still exceeds any real log price by
+    orders of magnitude — but the sentinel is kept exact anyway."""
+    big = jnp.float32(1e30)
+    lo, hi, disc = table[0], table[1], table[3]
+    safe_log = lambda v: jnp.log(jnp.maximum(v, 1e-38))
+    llo = jnp.where(lo <= 0.0, -big, jnp.where(lo >= big, big, safe_log(lo)))
+    lhi = jnp.where(hi <= 0.0, -big, jnp.where(hi >= big, big, safe_log(hi)))
+    zeros = jnp.zeros_like(disc)
+    return jnp.stack([llo, lhi, disc, zeros, zeros, zeros, zeros, zeros])
+
+
 # Strikes per grid step of the chain policy kernel.  The policy sweep is
 # a pure VPU-elementwise pass whose cost is linear in the unroll count
 # only up to ~10 strikes per kernel body — past that, Mosaic's scheduling
@@ -386,30 +438,68 @@ def _store_priced(out_ref, s, val, cv_disc, n_steps: int):
                     + jnp.where(lane == 1, cv, 0.0))
 
 
+def _store_priced_log(out_ref, ls, val, cv_disc, n_steps: int):
+    """_store_priced on the LOG price plane: the martingale-control sum
+    extracts the terminal log price per path (one-hot masked row
+    reduction) and pays exp once per path instead of once per cell."""
+    if cv_disc is None:
+        out_ref[...] = jnp.full(out_ref.shape, val, jnp.float32)
+        return
+    scol = jax.lax.broadcasted_iota(jnp.int32, ls.shape, 1)
+    ls_t = jnp.sum(jnp.where(scol == n_steps - 1, ls, 0.0), axis=1,
+                   keepdims=True)
+    cv = cv_disc * jnp.sum(jnp.exp(ls_t))
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    out_ref[...] = (jnp.where(lane == 0, val, 0.0)
+                    + jnp.where(lane == 1, cv, 0.0))
+
+
+def _priced_body(noise, *refs, is_call: bool, strike: float, cv_disc,
+                 policy_form: str, **kw):
+    """Shared body of the fused priced kernels: paths + policy + store.
+
+    policy_form="log_boundary" (the engine's default via StreamConfig.
+    policy_form="boundary") works on the LOG price plane end to end —
+    no per-cell exp, no strict-upper matmul (the first-exercise step
+    comes from a min-index reduction); "quadratic" is the cell-level
+    quadratic on the S plane (the r02 form, kept for A/B and direct
+    callers)."""
+    if policy_form == "log_boundary":
+        *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
+        ls = _logpaths_from_noise(*noise, *_mats2(mats), vd_ref, tri_ref,
+                                  **kw)
+        val = _policy_value_log_boundary(ls, pol_ref, is_call=is_call,
+                                         strike=strike)
+        _store_priced_log(out_ref, ls, val, cv_disc, kw["n_steps"])
+    else:
+        *mats, vd_ref, tri_ref, su_ref, pol_ref, out_ref = refs
+        s = _paths_from_noise(*noise, *_mats2(mats), vd_ref, tri_ref, **kw)
+        val = _policy_value(s, su_ref, pol_ref, is_call=is_call,
+                            strike=strike)
+        _store_priced(out_ref, s, val, cv_disc, kw["n_steps"])
+
+
 def _priced_kernel(seed_ref, *refs, block_paths: int, is_call: bool,
                    strike: float, cv_disc=None, fgn_form: str = "spectral",
-                   **kw):
+                   policy_form: str = "quadratic", **kw):
     """Fully fused kernel: RNG + paths + LSM policy value, emitting ONE
     partial sum per grid block — path data never leaves VMEM.  With
     cv_disc, also emits the martingale-control partial sum so the control
     variate rides the fused kernel instead of the generic path stream."""
-    *mats, vd_ref, tri_ref, su_ref, pol_ref, out_ref = refs
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
-    zr, zi, w = _draw_planes(block_paths, kw["s_pad"], fgn_form)
-    s = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref, tri_ref, **kw)
-    val = _policy_value(s, su_ref, pol_ref, is_call=is_call, strike=strike)
-    _store_priced(out_ref, s, val, cv_disc, kw["n_steps"])
+    noise = _draw_planes(block_paths, kw["s_pad"], fgn_form)
+    _priced_body(noise, *refs, is_call=is_call, strike=strike,
+                 cv_disc=cv_disc, policy_form=policy_form, **kw)
 
 
 def _priced_kernel_noise_in(noise_ref, *refs, block_paths: int,
                             is_call: bool, strike: float, cv_disc=None,
-                            fgn_form: str = "spectral", **kw):
+                            fgn_form: str = "spectral",
+                            policy_form: str = "quadratic", **kw):
     """Test variant of the fused kernel with injected noise planes."""
-    *mats, vd_ref, tri_ref, su_ref, pol_ref, out_ref = refs
-    zr, zi, w = _noise_planes(noise_ref, fgn_form)
-    s = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref, tri_ref, **kw)
-    val = _policy_value(s, su_ref, pol_ref, is_call=is_call, strike=strike)
-    _store_priced(out_ref, s, val, cv_disc, kw["n_steps"])
+    noise = _noise_planes(noise_ref, fgn_form)
+    _priced_body(noise, *refs, is_call=is_call, strike=strike,
+                 cv_disc=cv_disc, policy_form=policy_form, **kw)
 
 
 MAX_KERNEL_STEPS = 512        # spectral: hardware-measured cap (VERIFY_r02)
@@ -819,10 +909,17 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                              noise_input: bool = False,
                              fgn_dtype=jnp.float32,
                              with_cv: bool = False,
-                             fgn_form: str = "spectral"):
-    """Fully fused streaming unit: (seed, policy_rows) -> chunk payoff sum
-    under the fitted exercise policy.  Paths live and die in VMEM; HBM
-    traffic is one float per grid block.
+                             fgn_form: str = "spectral",
+                             policy_form: str = "quadratic"):
+    """Fully fused streaming unit: (seed, policy table) -> chunk payoff
+    sum under the fitted exercise policy.  Paths live and die in VMEM;
+    HBM traffic is one float per grid block.
+
+    policy_form="boundary" evaluates the policy in LOG space (exercise
+    intervals pre-logged by log_boundary_rows; one exp per path at the
+    stop step instead of one per cell) — the engine's default via
+    StreamConfig.policy_form; "quadratic" is the cell-level quadratic on
+    the S plane against policy_rows tables.
 
     with_cv=True additionally returns the martingale-control partial sum
     sum(e^{-r T} S_T) per chunk (engine.martingale_control semantics), so
@@ -845,13 +942,32 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
     tri_p = jnp.asarray(tri)
     # {0,1} exactly representable; accumulation is f32 -> exact counts at
     # the bf16 MXU rate.
-    su_p = jnp.asarray(np.triu(np.ones((s_pad, s_pad), np.float32), k=1),
-                       jnp.bfloat16)
+    if policy_form not in ("quadratic", "boundary"):
+        raise ValueError(f"unknown policy_form {policy_form!r}")
+    log_boundary = policy_form == "boundary"
+    consts = [*mats, vd_p, tri_p]
+    const_specs = [
+        *mat_specs,                                     # Cr/Ci or Lt
+        pl.BlockSpec((1, s_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),          # var drift
+        pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),          # cumsum tri
+    ]
+    if not log_boundary:
+        # The quadratic form finds "first exercise" via a strict-upper
+        # counting matmul; the log-boundary form min-reduces instead and
+        # needs no [s_pad, s_pad] bf16 matrix at all.
+        consts.append(jnp.asarray(
+            np.triu(np.ones((s_pad, s_pad), np.float32), k=1),
+            jnp.bfloat16))
+        const_specs.append(pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM))
 
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
               dt=float(dt), log_s0=float(math.log(s0)),
               block_paths=block_paths, is_call=bool(is_call),
-              strike=float(strike), fgn_form=fgn_form)
+              strike=float(strike), fgn_form=fgn_form,
+              policy_form="log_boundary" if log_boundary else "quadratic")
     if with_cv:
         kw["cv_disc"] = float(math.exp(-r * n_steps * dt))
     body = _priced_kernel_noise_in if noise_input else _priced_kernel
@@ -867,13 +983,7 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
         grid=(grid_n,),
         in_specs=[
             first_spec,                                     # seed or noise
-            *mat_specs,                                     # Cr/Ci or Lt
-            pl.BlockSpec((1, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),          # var drift
-            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),          # cumsum tri
-            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),          # strict-upper
+            *const_specs,
             pl.BlockSpec((8, s_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),          # policy rows
         ],
@@ -886,11 +996,13 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
     )
 
     def chunk_sum(seed_or_noise, rows):
+        """``rows``: policy_rows output for the quadratic form,
+        log_boundary_rows(boundary_rows(...)) for the boundary form."""
         if noise_input:
             first = seed_or_noise.astype(jnp.float32)
         else:
             first = _as_seed_words(seed_or_noise)
-        out = call(first, *mats, vd_p, tri_p, su_p, rows)
+        out = call(first, *consts, rows)
         if with_cv:
             return jnp.sum(out[::8, 0]), jnp.sum(out[::8, 1])
         return jnp.sum(out[::8, 0])

@@ -343,6 +343,32 @@ def test_slab_chol_streaming_price_matches_xla():
     assert abs(p_xla - p_tiled) < 0.3  # ~3 MC stderr at 16k paths
 
 
+def test_fused_log_boundary_policy_matches_quadratic_on_chip():
+    """StreamingPricer with the log-space boundary policy (the default,
+    VERIFY_r03 §12) prices within the root-band tolerance of the
+    quadratic form on the SAME seed — the in-kernel RNG is keyed on
+    (seed, block id) only, so both forms sweep bitwise-identical paths
+    (real TPU only)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("requires a real TPU for in-kernel PRNG")
+    base = dict(n_paths=1 << 15, n_steps=48, chunk_paths=1 << 13,
+                pilot_paths=1 << 12, pathgen_impl="pallas")
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=48 / 252.0, is_call=False)
+    prices = {}
+    for form in ("boundary", "quadratic"):
+        for cv in (False, True):
+            cfg = engine.StreamConfig(**base, policy_form=form,
+                                      control_variate=cv)
+            prices[form, cv] = engine.StreamingPricer(
+                **kwargs, config=cfg).price(jax.random.key(7))
+    # Same paths, near-identical decisions: differences are confined to
+    # the f32 root band (documented in boundary_rows), far below MC
+    # stderr (~0.05 at 32k paths).
+    assert abs(prices["boundary", False] - prices["quadratic", False]) < 0.02
+    assert abs(prices["boundary", True] - prices["quadratic", True]) < 0.02
+
+
 def test_fused_chol_raised_cap_matches_slab_on_chip():
     """513-1024-step chol horizons now run the single-tile fused kernel
     (form-aware cap, VERIFY_r03 §11: 1.09-1.19x the slab); its price at a

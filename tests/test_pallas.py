@@ -177,3 +177,79 @@ def test_fused_kernel_cv_output_matches_path_block(rng):
     got_a, got_c = cv(noise, rows)
     np.testing.assert_allclose(float(got_a), got_plain, rtol=1e-6)
     np.testing.assert_allclose(float(got_c), want_cv, rtol=2e-5)
+
+def test_fused_priced_log_boundary_matches_comparator(rng):
+    """Fused priced kernel with policy_form="boundary" (LOG-space interval
+    test, one exp per path — VERIFY_r03 §12) == the XLA boundary-form
+    comparator on identical injected noise (CPU interpreter).  Tolerance
+    covers the one-ulp root-band decision class shared with the chain
+    kernel's boundary form."""
+    from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.2, 1.0, -0.4, 0.04
+    n_steps, chunk, dt = 48, 256, 1 / 252.0
+    strike, maturity, is_call = 97.0, 48 / 252.0, False
+
+    pilot = engine.make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                      1 << 11)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call, 2)
+
+    gen, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
+        s0, xi, h, eta, rho, r, n_steps, dt, chunk, block_paths=64,
+        interpret=True)
+    noise = jnp.asarray(rng.standard_normal((3, chunk, s_pad)), jnp.float32)
+    paths = gen(noise)
+
+    tab = pathgen_pallas.boundary_rows(fits, r, strike, maturity, dt,
+                                       n_steps, is_call)
+    want = pathgen_pallas.boundary_policy_value(paths, tab, n_steps,
+                                                is_call)
+
+    priced, _ = pathgen_pallas.make_pallas_priced_chunk(
+        s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps, chunk,
+        block_paths=64, is_call=is_call, interpret=True, noise_input=True,
+        policy_form="boundary")
+    got = priced(noise, pathgen_pallas.log_boundary_rows(tab))
+    np.testing.assert_allclose(float(got), float(want), rtol=5e-4)
+
+    # CV variant: the martingale-control lane (one exp per path at the
+    # terminal step) matches the direct e^{-rT} sum(S_T).
+    priced_cv, _ = pathgen_pallas.make_pallas_priced_chunk(
+        s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps, chunk,
+        block_paths=64, is_call=is_call, interpret=True, noise_input=True,
+        policy_form="boundary", with_cv=True)
+    got2, cv = priced_cv(noise, pathgen_pallas.log_boundary_rows(tab))
+    want_cv = float(np.exp(-r * n_steps * dt)
+                    * np.sum(np.asarray(paths)[:, n_steps]))
+    np.testing.assert_allclose(float(got2), float(got), rtol=1e-5)
+    np.testing.assert_allclose(float(cv), want_cv, rtol=2e-4)
+
+
+def test_fused_priced_log_boundary_no_exercise_is_zero(rng):
+    """Paths that never enter the exercise interval contribute exactly 0
+    (the masked reductions collapse to ls_stop = d_stop = 0)."""
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.2, 1.0, -0.4, 0.04
+    n_steps, chunk, dt = 32, 128, 1 / 252.0
+    priced, s_pad = pathgen_pallas.make_pallas_priced_chunk(
+        s0, xi, h, eta, rho, r, 90.0, 32 / 252.0, dt, n_steps, chunk,
+        block_paths=64, is_call=False, interpret=True, noise_input=True,
+        policy_form="boundary")
+    noise = jnp.asarray(rng.standard_normal((3, chunk, s_pad)) * 1e-3,
+                        jnp.float32)
+    big = 1e30
+    # Empty intervals everywhere: lo = +big, hi = -big.
+    rows = jnp.zeros((8, s_pad), jnp.float32)
+    rows = rows.at[0].set(big).at[1].set(-big).at[2].set(1.0)
+    assert float(priced(noise, rows)) == 0.0
+
+
+def test_stream_config_validates_policy_form():
+    with pytest.raises(ValueError, match="policy_form"):
+        engine.StreamConfig(n_paths=1 << 10, n_steps=16,
+                            chunk_paths=1 << 9, pilot_paths=1 << 9,
+                            policy_form="nonsense")
+    with pytest.raises(ValueError, match="policy_form"):
+        pathgen_pallas.make_pallas_priced_chunk(
+            100.0, 0.04, 0.2, 1.0, -0.4, 0.04, 97.0, 48 / 252.0, 1 / 252.0,
+            48, 256, block_paths=64, interpret=True, noise_input=True,
+            policy_form="nonsense")
