@@ -474,15 +474,18 @@ def _resolve_tiled_module(config: "StreamConfig", n_steps: int, fgn_dtype):
     return None
 
 
-def _tiled_maker_kwargs(tiled, config: "StreamConfig") -> dict:
+def _tiled_maker_kwargs(tiled, config: "StreamConfig",
+                        priced: bool = False) -> dict:
     """Extra maker kwargs for the resolved tiled module: the slab kernel
     takes the fGN form; the factored four-step DFT is spectral-only (its
-    frequency-domain structure has no Cholesky analogue)."""
+    frequency-domain structure has no Cholesky analogue); both priced
+    makers take the policy form."""
     from . import pathgen_pallas_tiled
 
+    kw = {"policy_form": config.policy_form} if priced else {}
     if tiled is pathgen_pallas_tiled:
-        return {"fgn_form": _resolve_fgn_form(config)}
-    return {}
+        kw["fgn_form"] = _resolve_fgn_form(config)
+    return kw
 
 
 def _resolve_fgn_impl(config: "StreamConfig", n_steps: int) -> str:
@@ -503,16 +506,15 @@ def _resolve_fgn_form(config: "StreamConfig") -> str:
 
 def _fused_rows_builder(config: "StreamConfig", tiled, r, strike, maturity,
                         dt, n_steps: int, is_call: bool):
-    """fits -> policy-table builder matched to the fused kernel in use:
-    log-space boundary tables for the single-tile kernel under
-    StreamConfig.policy_form="boundary" (built in-graph from the pilot
-    fit, so serving's traced-fit reuse carries over); quadratic
-    policy_rows for the step-tiled kernels (whose _policy_tile carries
-    first-exercise state across tiles on the S plane) and for
-    policy_form="quadratic"."""
+    """fits -> policy-table builder matched to StreamConfig.policy_form:
+    log-space boundary tables under "boundary" (built in-graph from the
+    pilot fit, so serving's traced-fit reuse carries over; consumed by
+    every fused priced kernel family — single-tile, slab, factored);
+    quadratic policy_rows under "quadratic"."""
     from . import pathgen_pallas
 
-    if tiled is None and config.policy_form == "boundary":
+    del tiled  # every fused priced kernel family honors both forms now
+    if config.policy_form == "boundary":
         def make_rows(fits):
             tab = pathgen_pallas.boundary_rows(fits, r, strike, maturity,
                                                dt, n_steps, is_call)
@@ -1063,7 +1065,7 @@ class StreamingPricer:
                     n_steps, config.chunk_paths,
                     block_paths=config.pallas_block_paths,
                     is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True,
-                    **_tiled_maker_kwargs(tiled, config))
+                    **_tiled_maker_kwargs(tiled, config, priced=True))
             else:
                 priced_chunk_cv, _ = pathgen_pallas.make_pallas_priced_chunk(
                     s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
@@ -1118,7 +1120,7 @@ class StreamingPricer:
                     config.chunk_paths,
                     block_paths=config.pallas_block_paths,
                     is_call=is_call, fgn_dtype=fgn_dtype,
-                    **_tiled_maker_kwargs(tiled, config))
+                    **_tiled_maker_kwargs(tiled, config, priced=True))
             else:
                 priced_chunk, _ = pathgen_pallas.make_pallas_priced_chunk(
                     s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,

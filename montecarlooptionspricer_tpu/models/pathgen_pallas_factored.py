@@ -53,8 +53,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.fgn import next_pow2 as _next_pow2
 from .pathgen_pallas import LANE, _as_seed_words, _normals, _round_up
 from .pathgen_pallas_tiled import (TILE, _VMEM_BUDGET, _accumulate_priced,
-                                   _draw_w, _euler_tile, _policy_tile,
-                                   _seed_tile)
+                                   _draw_w, _euler_tile,
+                                   _finalize_priced_log, _policy_tile,
+                                   _policy_tile_log, _seed_tile)
 
 assert TILE == LANE  # stage 2's output tile is one lane group
 
@@ -260,42 +261,86 @@ def _factored_pathgen_kernel_noise_in(noise_ref, f1r_ref, f1i_ref, pr_ref,
         log_s0=kw["log_s0"])
 
 
+def _priced_refs(refs, policy_form: str):
+    """(policy refs, stage scratch, refs to zero at j == 0) for the two
+    factored priced kernels' ref layout (mirrors pathgen_pallas_tiled.
+    _priced_refs_layout: the log-boundary form has no strict-upper input
+    and carries two extra per-path scratch accumulators, and its out_ref
+    is written wholesale at the last tile — no zero-init)."""
+    if policy_form == "log_boundary":
+        vd_ref, pol_ref, tri_ref, out_ref = refs[:4]
+        sr_ref, si_ref = refs[4:6]
+        zero_refs = refs[6:]           # carry, stop, lsst, dst
+        return (vd_ref, pol_ref, tri_ref, None, out_ref), (sr_ref, si_ref), \
+            list(zero_refs)
+    vd_ref, pol_ref, tri_ref, su_ref, out_ref = refs[:5]
+    sr_ref, si_ref, carry_ref, stop_ref = refs[5:]
+    return (vd_ref, pol_ref, tri_ref, su_ref, out_ref), (sr_ref, si_ref), \
+        [carry_ref, stop_ref, out_ref]
+
+
+def _priced_step(x, w, refs, j, *, block: int, n_tiles: int,
+                 is_call: bool, strike: float, cv_disc, policy_form: str,
+                 **kw):
+    """Shared per-tile Euler + policy + store of the factored priced
+    kernels (same semantics as pathgen_pallas_tiled._priced_tile_body)."""
+    if policy_form == "log_boundary":
+        vd_ref, pol_ref, tri_ref, out_ref = refs[:4]
+        carry_ref, stop_ref, lsst_ref, dst_ref = refs[6:]
+        ls = _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, block=block,
+                         n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"],
+                         dt=kw["dt"], log_s0=kw["log_s0"], return_log=True)
+        _policy_tile_log(ls, pol_ref, stop_ref, lsst_ref, dst_ref)
+
+        @pl.when(j == n_tiles - 1)
+        def _():
+            _finalize_priced_log(out_ref, ls, lsst_ref, dst_ref, cv_disc,
+                                 j, n_steps=kw["n_steps"], strike=strike,
+                                 is_call=is_call)
+    else:
+        vd_ref, pol_ref, tri_ref, su_ref, out_ref = refs[:5]
+        carry_ref, stop_ref = refs[7], refs[8]
+        s = _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, block=block,
+                        n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"],
+                        dt=kw["dt"], log_s0=kw["log_s0"])
+        val = _policy_tile(s, pol_ref, su_ref, stop_ref, is_call=is_call,
+                           strike=strike)
+        _accumulate_priced(out_ref, s, val, cv_disc, j,
+                           n_steps=kw["n_steps"])
+
+
 def _factored_priced_kernel(seed_ref, f1r_ref, f1i_ref, pr_ref, pi_ref,
-                            tr_ref, ti_ref, vd_ref, pol_ref, tri_ref,
-                            su_ref, out_ref, sr_ref, si_ref, carry_ref,
-                            stop_ref, *, block: int, n_tiles: int, n2: int,
-                            fgn_dtype, is_call: bool, strike: float,
-                            cv_disc=None, **kw):
+                            tr_ref, ti_ref, *refs, block: int,
+                            n_tiles: int, n2: int, fgn_dtype,
+                            is_call: bool, strike: float, cv_disc=None,
+                            policy_form: str = "quadratic", **kw):
     i, j = pl.program_id(0), pl.program_id(1)
     _seed_tile(seed_ref, i, j, n_tiles)
+    _, (sr_ref, si_ref), zero_refs = _priced_refs(refs, policy_form)
 
     @pl.when(j == 0)
     def _():
         _fill_stage1(f1r_ref, f1i_ref, pr_ref, pi_ref, tr_ref, ti_ref,
                      sr_ref, si_ref, block=block, n2=n2,
                      fgn_dtype=fgn_dtype)
-        carry_ref[:] = jnp.zeros_like(carry_ref)
-        stop_ref[:] = jnp.zeros_like(stop_ref)
-        out_ref[...] = jnp.zeros_like(out_ref)
+        for ref in zero_refs:
+            ref[...] = jnp.zeros_like(ref)
 
     x = _stage2_tile(sr_ref, si_ref, j, n2=n2, block=block)
     w = _draw_w(block)
-    s = _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, block=block,
-                    n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"],
-                    dt=kw["dt"], log_s0=kw["log_s0"])
-    val = _policy_tile(s, pol_ref, su_ref, stop_ref, is_call=is_call,
-                       strike=strike)
-    _accumulate_priced(out_ref, s, val, cv_disc, j, n_steps=kw["n_steps"])
+    _priced_step(x, w, refs, j, block=block, n_tiles=n_tiles,
+                 is_call=is_call, strike=strike, cv_disc=cv_disc,
+                 policy_form=policy_form, **kw)
 
 
 def _factored_priced_kernel_noise_in(noise_ref, f1r_ref, f1i_ref, pr_ref,
-                                     pi_ref, tr_ref, ti_ref, vd_ref,
-                                     pol_ref, tri_ref, su_ref, out_ref,
-                                     sr_ref, si_ref, carry_ref, stop_ref,
-                                     *, block: int, n_tiles: int, n2: int,
+                                     pi_ref, tr_ref, ti_ref, *refs,
+                                     block: int, n_tiles: int, n2: int,
                                      fgn_dtype, is_call: bool,
-                                     strike: float, cv_disc=None, **kw):
+                                     strike: float, cv_disc=None,
+                                     policy_form: str = "quadratic", **kw):
     j = pl.program_id(1)
+    _, (sr_ref, si_ref), zero_refs = _priced_refs(refs, policy_form)
 
     @pl.when(j == 0)
     def _():
@@ -304,18 +349,14 @@ def _factored_priced_kernel_noise_in(noise_ref, f1r_ref, f1i_ref, pr_ref,
         _fill_stage1(f1r_ref, f1i_ref, pr_ref, pi_ref, tr_ref, ti_ref,
                      sr_ref, si_ref, block=block, n2=n2,
                      fgn_dtype=fgn_dtype, noise=(zr3, zi3))
-        carry_ref[:] = jnp.zeros_like(carry_ref)
-        stop_ref[:] = jnp.zeros_like(stop_ref)
-        out_ref[...] = jnp.zeros_like(out_ref)
+        for ref in zero_refs:
+            ref[...] = jnp.zeros_like(ref)
 
     x = _stage2_tile(sr_ref, si_ref, j, n2=n2, block=block)
     w = noise_ref[2, :, pl.ds(j * TILE, TILE)]
-    s = _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, block=block,
-                    n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"],
-                    dt=kw["dt"], log_s0=kw["log_s0"])
-    val = _policy_tile(s, pol_ref, su_ref, stop_ref, is_call=is_call,
-                       strike=strike)
-    _accumulate_priced(out_ref, s, val, cv_disc, j, n_steps=kw["n_steps"])
+    _priced_step(x, w, refs, j, block=block, n_tiles=n_tiles,
+                 is_call=is_call, strike=strike, cv_disc=cv_disc,
+                 policy_form=policy_form, **kw)
 
 
 def _validate(chunk_paths: int, block_paths: int, n_steps: int, fgn_dtype):
@@ -415,11 +456,17 @@ def make_factored_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                                interpret: bool = False,
                                noise_input: bool = False,
                                fgn_dtype=jnp.float32,
-                               with_cv: bool = False):
-    """Factored-DFT fully fused streaming unit: (seed, policy_rows) ->
-    chunk payoff sum under the fitted exercise policy (policy-table
-    semantics match pathgen_pallas.make_pallas_priced_chunk; with_cv adds
-    the martingale-control partial sum in lane 1)."""
+                               with_cv: bool = False,
+                               policy_form: str = "quadratic"):
+    """Factored-DFT fully fused streaming unit: (seed, policy table) ->
+    chunk payoff sum under the fitted exercise policy (policy-table and
+    policy_form semantics match pathgen_pallas.make_pallas_priced_chunk:
+    "boundary" consumes log_boundary_rows tables, evaluated in LOG space;
+    "quadratic" consumes policy_rows; with_cv adds the martingale-control
+    partial sum in lane 1)."""
+    if policy_form not in ("quadratic", "boundary"):
+        raise ValueError(f"unknown policy_form {policy_form!r}")
+    log_boundary = policy_form == "boundary"
     _validate(chunk_paths, block_paths, n_steps, fgn_dtype)
     s_pad, m2, n2, consts, (vd_p, tri, su), kw = _consts(
         s0, xi, h, eta, rho, r, n_steps, dt, fgn_dtype)
@@ -429,39 +476,49 @@ def make_factored_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
             else _factored_priced_kernel)
     extra = ({"cv_disc": float(math.exp(-r * n_steps * dt))}
              if with_cv else {})
-    kernel = functools.partial(body, block=block_paths, n_tiles=n_tiles,
-                               n2=n2, fgn_dtype=jnp.dtype(fgn_dtype),
-                               is_call=bool(is_call), strike=float(strike),
-                               **extra, **kw)
+    kernel = functools.partial(
+        body, block=block_paths, n_tiles=n_tiles,
+        n2=n2, fgn_dtype=jnp.dtype(fgn_dtype),
+        is_call=bool(is_call), strike=float(strike),
+        policy_form="log_boundary" if log_boundary else "quadratic",
+        **extra, **kw)
     first_spec, const_specs, scratch = _common_specs(
         m2, noise_input, block_paths, fgn_dtype)
+    in_specs = [first_spec] + const_specs + [
+        pl.BlockSpec((1, TILE), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),           # var-drift tile
+        pl.BlockSpec((8, TILE), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),           # policy tile
+        pl.BlockSpec((TILE, TILE), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),           # tri (cumsum)
+    ]
+    if not log_boundary:
+        in_specs.append(pl.BlockSpec((TILE, TILE), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))  # strict-up
+    extra_scratch = 3 if log_boundary else 1   # stop (+ lsst, dst)
     call = pl.pallas_call(
         kernel,
         grid=(grid_n, n_tiles),
-        in_specs=[first_spec] + const_specs + [
-            pl.BlockSpec((1, TILE), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),           # var-drift tile
-            pl.BlockSpec((8, TILE), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),           # policy tile
-            pl.BlockSpec((TILE, TILE), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),           # tri (cumsum)
-            pl.BlockSpec((TILE, TILE), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),           # strict-upper
-        ],
+        in_specs=in_specs,
         # One [8, LANE] stripe per path block, revisited across step tiles.
         out_specs=pl.BlockSpec((8, LANE), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
         scratch_shapes=scratch + [
-            pltpu.VMEM((block_paths, LANE), jnp.float32),    # stop flag
-        ],
+            pltpu.VMEM((block_paths, LANE), jnp.float32),
+        ] * extra_scratch,
         interpret=pltpu.InterpretParams() if interpret else False,
     )
 
     def chunk_sum(seed_or_noise, rows):
+        """``rows``: policy_rows output for the quadratic form,
+        log_boundary_rows(boundary_rows(...)) for the boundary form."""
         first = (seed_or_noise.astype(jnp.float32) if noise_input
                  else _as_seed_words(seed_or_noise))
-        out = call(first, *consts, vd_p, rows, tri, su)
+        if log_boundary:
+            out = call(first, *consts, vd_p, rows, tri)
+        else:
+            out = call(first, *consts, vd_p, rows, tri, su)
         if with_cv:
             return jnp.sum(out[::8, 0]), jnp.sum(out[::8, 1])
         return jnp.sum(out[::8, 0])

@@ -135,9 +135,11 @@ def _fgn_tile(planes, mat_refs):
 
 def _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, *, block: int,
                 n_steps: int, xi: float, r: float, dt: float,
-                log_s0: float):
-    """One step-tile of the Euler log-recursion.  Returns S for the tile and
-    advances the per-path cumsum carry (all-lanes-equal [block, LANE])."""
+                log_s0: float, return_log: bool = False):
+    """One step-tile of the Euler log-recursion.  Returns S for the tile
+    (or log S with ``return_log`` — the log-boundary policy path skips
+    the per-cell exp) and advances the per-path cumsum carry
+    (all-lanes-equal [block, LANE])."""
     del xi  # folded into vd_ref as ln(xi)/2 (half-scaled constants)
     # Half-scaled constants contract (pathgen_pallas._paths_from_noise):
     # x and vd arrive pre-halved with ln(xi)/2 folded in, so one exp is
@@ -150,9 +152,9 @@ def _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, *, block: int,
     col = jax.lax.broadcasted_iota(jnp.int32, (block, TILE), 1) + j * TILE
     inc = jnp.where(col < n_steps, inc, 0.0)
     local = jnp.dot(inc, tri_ref[:], preferred_element_type=jnp.float32)
-    s = jnp.exp(log_s0 + carry_ref[:] + local)
+    ls = log_s0 + carry_ref[:] + local
     carry_ref[:] = carry_ref[:] + jnp.sum(inc, axis=1, keepdims=True)
-    return s
+    return ls if return_log else jnp.exp(ls)
 
 
 def _policy_tile(s, pol_ref, su_ref, stop_ref, *, is_call: bool,
@@ -174,6 +176,55 @@ def _policy_tile(s, pol_ref, su_ref, stop_ref, *, is_call: bool,
     stop_ref[:] = jnp.maximum(stop_ref[:],
                               jnp.max(exf, axis=1, keepdims=True))
     return jnp.sum(first * p * disc)
+
+
+def _policy_tile_log(ls, pol_ref, stop_ref, lsst_ref, dst_ref):
+    """Tile slice of the LOG-space boundary policy (pathgen_pallas.
+    _policy_value_log_boundary) with cross-tile first-exercise state:
+    ``stop_ref`` marks paths already exercised in an earlier tile;
+    ``lsst_ref`` / ``dst_ref`` accumulate the stop step's log price and
+    discount (each path contributes at most once — the one-hot in-tile
+    min-index AND the not-yet-stopped mask), finalized to a value by
+    _finalize_priced_log at the last tile.  Policy tiles are
+    log_boundary_rows slices: row 0 = log lo, row 1 = log hi, row 2 =
+    discount."""
+    llo, lhi, disc = pol_ref[0, :], pol_ref[1, :], pol_ref[2, :]
+    exf = (ls >= llo) & (ls <= lhi)
+    col = jax.lax.broadcasted_iota(jnp.int32, ls.shape, 1)
+    big = jnp.int32(1 << 30)
+    idx = jnp.min(jnp.where(exf, col, big), axis=1, keepdims=True)
+    first = (col == idx) & (stop_ref[:] == 0.0)
+    lsst_ref[:] = lsst_ref[:] + jnp.sum(jnp.where(first, ls, 0.0), axis=1,
+                                        keepdims=True)
+    dst_ref[:] = dst_ref[:] + jnp.sum(jnp.where(first, disc, 0.0), axis=1,
+                                      keepdims=True)
+    stop_ref[:] = jnp.maximum(
+        stop_ref[:], jnp.max(exf.astype(jnp.float32), axis=1,
+                             keepdims=True))
+
+
+def _finalize_priced_log(out_ref, ls, lsst_ref, dst_ref, cv_disc, j, *,
+                         n_steps: int, strike: float, is_call: bool):
+    """Last-tile epilogue of the log-boundary priced kernels: ONE exp per
+    path at the accumulated stop step (never-exercising paths reduce to
+    lsst = dst = 0, so their term is 0 exactly), written into lane 0 of
+    the [8, LANE] output stripe; with cv_disc, the martingale-control
+    sum (terminal log price, one more exp per path) into lane 1.  The
+    scratch planes are all-lanes-equal, so the full-plane sum counts
+    each path LANE times — hence the 1/LANE."""
+    sstop = jnp.exp(lsst_ref[:])
+    p = (sstop - strike) if is_call else (strike - sstop)
+    val = jnp.sum(dst_ref[:] * jnp.maximum(p, 0.0)) * (1.0 / LANE)
+    if cv_disc is None:
+        out_ref[...] = jnp.full(out_ref.shape, val, jnp.float32)
+        return
+    col = jax.lax.broadcasted_iota(jnp.int32, ls.shape, 1) + j * TILE
+    lst = jnp.sum(jnp.where(col == n_steps - 1, ls, 0.0), axis=1,
+                  keepdims=True)
+    cv = cv_disc * jnp.sum(jnp.exp(lst))
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    out_ref[...] = (jnp.where(lane == 0, val, 0.0)
+                    + jnp.where(lane == 1, cv, 0.0))
 
 
 def _draw_w(block: int):
@@ -275,61 +326,97 @@ def _accumulate_priced(out_ref, s, val, cv_disc, j, *, n_steps: int):
                     + jnp.where(lane == 1, cv, 0.0))
 
 
+def _priced_tile_body(x, w, refs, nm, j, *, block: int, n_tiles: int,
+                      is_call: bool, strike: float, cv_disc,
+                      policy_form: str, **kw):
+    """Shared per-tile policy/store step of the tiled priced kernels (the
+    two kernel bodies differ only in where noise comes from).  Returns
+    the ref-layout metadata needed by the j == 0 initializer: (plane_refs,
+    zero_refs) — for the log-boundary form out_ref is written wholesale
+    at the last tile, so it needs no zero-init."""
+    if policy_form == "log_boundary":
+        vd_ref, pol_ref, tri_ref, out_ref = refs[nm:nm + 4]
+        carry_ref, stop_ref, lsst_ref, dst_ref = refs[-4:]
+        ls = _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, block=block,
+                         n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"],
+                         dt=kw["dt"], log_s0=kw["log_s0"], return_log=True)
+        _policy_tile_log(ls, pol_ref, stop_ref, lsst_ref, dst_ref)
+
+        @pl.when(j == n_tiles - 1)
+        def _():
+            _finalize_priced_log(out_ref, ls, lsst_ref, dst_ref, cv_disc,
+                                 j, n_steps=kw["n_steps"], strike=strike,
+                                 is_call=is_call)
+    else:
+        vd_ref, pol_ref, tri_ref, su_ref, out_ref = refs[nm:nm + 5]
+        carry_ref, stop_ref = refs[-2], refs[-1]
+        s = _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, block=block,
+                        n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"],
+                        dt=kw["dt"], log_s0=kw["log_s0"])
+        val = _policy_tile(s, pol_ref, su_ref, stop_ref, is_call=is_call,
+                           strike=strike)
+        _accumulate_priced(out_ref, s, val, cv_disc, j,
+                           n_steps=kw["n_steps"])
+
+
+def _priced_refs_layout(refs, nm, policy_form: str):
+    """(plane_refs, refs to zero at j == 0) for the given ref layout."""
+    if policy_form == "log_boundary":
+        out_ref = refs[nm + 3]
+        plane_refs = refs[nm + 4:-4]
+        zero_refs = refs[-4:]          # carry, stop, lsst, dst
+        del out_ref  # written wholesale at the last tile
+        return plane_refs, list(zero_refs)
+    out_ref = refs[nm + 4]
+    plane_refs = refs[nm + 5:-2]
+    return plane_refs, [refs[-2], refs[-1], out_ref]
+
+
 def _tiled_priced_kernel(seed_ref, *refs, block: int, n_tiles: int,
                          fgn_dtype, is_call: bool, strike: float,
-                         cv_disc=None, fgn_form: str = "spectral", **kw):
+                         cv_disc=None, fgn_form: str = "spectral",
+                         policy_form: str = "quadratic", **kw):
     nm = 1 if fgn_form == "chol" else 2
     mats = refs[:nm]
-    vd_ref, pol_ref, tri_ref, su_ref, out_ref = refs[nm:nm + 5]
-    plane_refs = refs[nm + 5:-2]
-    carry_ref, stop_ref = refs[-2], refs[-1]
+    plane_refs, zero_refs = _priced_refs_layout(refs, nm, policy_form)
     i, j = pl.program_id(0), pl.program_id(1)
     _seed_tile(seed_ref, i, j, n_tiles)
 
     @pl.when(j == 0)
     def _():
         _fill_driver_noise(plane_refs, block, n_tiles, fgn_dtype)
-        carry_ref[:] = jnp.zeros_like(carry_ref)
-        stop_ref[:] = jnp.zeros_like(stop_ref)
-        out_ref[...] = jnp.zeros_like(out_ref)
+        for ref in zero_refs:
+            ref[...] = jnp.zeros_like(ref)
 
     x = _fgn_tile([p[:] for p in plane_refs], mats)
     w = _draw_w(block)
-    s = _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, block=block,
-                    n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"],
-                    dt=kw["dt"], log_s0=kw["log_s0"])
-    val = _policy_tile(s, pol_ref, su_ref, stop_ref, is_call=is_call,
-                       strike=strike)
-    _accumulate_priced(out_ref, s, val, cv_disc, j, n_steps=kw["n_steps"])
+    _priced_tile_body(x, w, refs, nm, j, block=block, n_tiles=n_tiles,
+                      is_call=is_call, strike=strike, cv_disc=cv_disc,
+                      policy_form=policy_form, **kw)
 
 
 def _tiled_priced_kernel_noise_in(noise_ref, *refs, block: int,
                                   n_tiles: int, fgn_dtype, is_call: bool,
                                   strike: float, cv_disc=None,
-                                  fgn_form: str = "spectral", **kw):
+                                  fgn_form: str = "spectral",
+                                  policy_form: str = "quadratic", **kw):
     nm = 1 if fgn_form == "chol" else 2
     mats = refs[:nm]
-    vd_ref, pol_ref, tri_ref, su_ref, out_ref = refs[nm:nm + 5]
-    plane_refs = refs[nm + 5:-2]
-    carry_ref, stop_ref = refs[-2], refs[-1]
+    plane_refs, zero_refs = _priced_refs_layout(refs, nm, policy_form)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         for p, ref in enumerate(plane_refs):
             ref[:] = noise_ref[p].astype(fgn_dtype)
-        carry_ref[:] = jnp.zeros_like(carry_ref)
-        stop_ref[:] = jnp.zeros_like(stop_ref)
-        out_ref[...] = jnp.zeros_like(out_ref)
+        for ref in zero_refs:
+            ref[...] = jnp.zeros_like(ref)
 
     x = _fgn_tile([p[:] for p in plane_refs], mats)
     w = noise_ref[nm, :, pl.ds(j * TILE, TILE)]
-    s = _euler_tile(x, w, vd_ref, tri_ref, carry_ref, j, block=block,
-                    n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"],
-                    dt=kw["dt"], log_s0=kw["log_s0"])
-    val = _policy_tile(s, pol_ref, su_ref, stop_ref, is_call=is_call,
-                       strike=strike)
-    _accumulate_priced(out_ref, s, val, cv_disc, j, n_steps=kw["n_steps"])
+    _priced_tile_body(x, w, refs, nm, j, block=block, n_tiles=n_tiles,
+                      is_call=is_call, strike=strike, cv_disc=cv_disc,
+                      policy_form=policy_form, **kw)
 
 
 def _validate(chunk_paths: int, block_paths: int, n_steps: int,
@@ -413,11 +500,17 @@ def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                             noise_input: bool = False,
                             fgn_dtype=jnp.float32,
                             with_cv: bool = False,
-                            fgn_form: str = "spectral"):
-    """Step-tiled fully fused streaming unit: (seed, policy_rows) -> chunk
-    payoff sum under the fitted exercise policy, at ANY horizon the VMEM
-    noise scratch allows (policy-table semantics match
-    pathgen_pallas.make_pallas_priced_chunk)."""
+                            fgn_form: str = "spectral",
+                            policy_form: str = "quadratic"):
+    """Step-tiled fully fused streaming unit: (seed, policy table) ->
+    chunk payoff sum under the fitted exercise policy, at ANY horizon the
+    VMEM noise scratch allows (policy-table and policy_form semantics
+    match pathgen_pallas.make_pallas_priced_chunk: "boundary" consumes
+    log_boundary_rows tables and evaluates in LOG space — no per-cell
+    exp, no strict-upper matrix; "quadratic" consumes policy_rows)."""
+    if policy_form not in ("quadratic", "boundary"):
+        raise ValueError(f"unknown policy_form {policy_form!r}")
+    log_boundary = policy_form == "boundary"
     _validate(chunk_paths, block_paths, n_steps, noise_input, fgn_dtype,
               fgn_form)
     s_pad, (mats, vd_p, tri, su), kw = _consts(
@@ -429,31 +522,40 @@ def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
             else _tiled_priced_kernel)
     extra = ({"cv_disc": float(math.exp(-r * n_steps * dt))}
              if with_cv else {})
-    kernel = functools.partial(body, block=block_paths, n_tiles=n_tiles,
-                               fgn_dtype=jnp.dtype(fgn_dtype),
-                               is_call=bool(is_call), strike=float(strike),
-                               fgn_form=fgn_form, **extra, **kw)
+    kernel = functools.partial(
+        body, block=block_paths, n_tiles=n_tiles,
+        fgn_dtype=jnp.dtype(fgn_dtype),
+        is_call=bool(is_call), strike=float(strike), fgn_form=fgn_form,
+        policy_form="log_boundary" if log_boundary else "quadratic",
+        **extra, **kw)
     first_spec = (
         pl.BlockSpec((planes, block_paths, s_pad), lambda i, j: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
     mat_specs = [pl.BlockSpec((s_pad, TILE), lambda i, j: (0, j),
                               memory_space=pltpu.VMEM) for _ in mats]
+    in_specs = [
+        first_spec,
+        *mat_specs,                                     # Cr/Ci|Lt slabs
+        pl.BlockSpec((1, TILE), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),          # var-drift tile
+        pl.BlockSpec((8, TILE), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),          # policy tile
+        pl.BlockSpec((TILE, TILE), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),          # tri (cumsum)
+    ]
+    consts = [*mats, vd_p]
+    if not log_boundary:
+        in_specs.append(pl.BlockSpec((TILE, TILE), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))  # strict-up
+    # The log form's first-exercise comes from a min-index reduction (no
+    # strict-upper matrix); it instead carries two extra per-path scratch
+    # accumulators (stop log price / discount).
+    extra_scratch = 2 if log_boundary else 0
     call = pl.pallas_call(
         kernel,
         grid=(grid_n, n_tiles),
-        in_specs=[
-            first_spec,
-            *mat_specs,                                     # Cr/Ci|Lt slabs
-            pl.BlockSpec((1, TILE), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),          # var-drift tile
-            pl.BlockSpec((8, TILE), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),          # policy tile
-            pl.BlockSpec((TILE, TILE), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),          # tri (cumsum)
-            pl.BlockSpec((TILE, TILE), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),          # strict-upper
-        ],
+        in_specs=in_specs,
         # One [8, LANE] stripe per path block, revisited across step tiles
         # (index_map ignores j, so the block stays in VMEM until i changes).
         out_specs=pl.BlockSpec((8, LANE), lambda i, j: (i, 0),
@@ -464,14 +566,21 @@ def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
               * (planes - 1)),                              # driver noise
             pltpu.VMEM((block_paths, LANE), jnp.float32),            # carry
             pltpu.VMEM((block_paths, LANE), jnp.float32),            # stop
+            *([pltpu.VMEM((block_paths, LANE), jnp.float32)]
+              * extra_scratch),                             # lsst, dst
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )
 
     def chunk_sum(seed_or_noise, rows):
+        """``rows``: policy_rows output for the quadratic form,
+        log_boundary_rows(boundary_rows(...)) for the boundary form."""
         first = (seed_or_noise.astype(jnp.float32) if noise_input
                  else _as_seed_words(seed_or_noise))
-        out = call(first, *mats, vd_p, rows, tri, su)
+        if log_boundary:
+            out = call(first, *consts, rows, tri)
+        else:
+            out = call(first, *consts, rows, tri, su)
         if with_cv:
             return jnp.sum(out[::8, 0]), jnp.sum(out[::8, 1])
         return jnp.sum(out[::8, 0])

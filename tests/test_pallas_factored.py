@@ -171,3 +171,38 @@ def test_factored_rejects_bad_shapes():
         pathgen_pallas_factored.make_factored_pathgen(
             **KW, n_steps=200, dt=1 / 252, chunk_paths=100,
             block_paths=64)
+
+def test_factored_priced_log_boundary_matches_comparator(rng):
+    """Factored-DFT fused with policy_form="boundary" == the XLA
+    boundary-form comparator on identical injected noise (the factored
+    kernel's x reaches _euler_tile pre-halved through the 0.5-scaled
+    spectral diagonal — see _consts)."""
+    from montecarlooptionspricer_tpu.models import pathgen_pallas
+    from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.2, 1.0, -0.4, 0.04
+    n_steps, chunk, dt = 200, 128, 1 / 252.0
+    strike, maturity, is_call = 97.0, 200 / 252.0, False
+
+    pilot = engine.make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                      1 << 11)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call, 2)
+
+    gen, m2 = pathgen_pallas_factored.make_factored_pathgen(
+        s0, xi, h, eta, rho, r, n_steps, dt, chunk, block_paths=64,
+        interpret=True, noise_input=True)
+    noise = jnp.asarray(1.5 * rng.standard_normal((3, chunk, m2)),
+                        jnp.float32)
+    paths = gen(noise)
+
+    tab = pathgen_pallas.boundary_rows(fits, r, strike, maturity, dt,
+                                       n_steps, is_call)
+    want = pathgen_pallas.boundary_policy_value(paths, tab, n_steps,
+                                                is_call)
+
+    priced, _ = pathgen_pallas_factored.make_factored_priced_chunk(
+        s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps, chunk,
+        block_paths=64, is_call=is_call, interpret=True, noise_input=True,
+        policy_form="boundary")
+    got = priced(noise, pathgen_pallas.log_boundary_rows(tab))
+    np.testing.assert_allclose(float(got), float(want), rtol=5e-4)

@@ -164,3 +164,44 @@ def test_tiled_priced_kernel_cv_output(rng):
     got_a, got_c = cv(noise, rows)
     np.testing.assert_allclose(float(got_a), got_plain, rtol=1e-6)
     np.testing.assert_allclose(float(got_c), want_cv, rtol=2e-5)
+
+def test_tiled_priced_log_boundary_matches_comparator(rng):
+    """Tiled fused with policy_form="boundary" (LOG-space interval test,
+    cross-tile stop accumulators, one exp per path at the last tile —
+    VERIFY_r03 §12) == the XLA boundary-form comparator on identical
+    injected noise, across a multi-tile horizon, incl. the CV lane."""
+    from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.2, 1.0, -0.4, 0.04
+    n_steps, chunk, dt = 200, 128, 1 / 252.0
+    strike, maturity, is_call = 97.0, 200 / 252.0, False
+
+    pilot = engine.make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                      1 << 11)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call, 2)
+
+    gen, s_pad = pathgen_pallas_tiled.make_tiled_pathgen(
+        s0, xi, h, eta, rho, r, n_steps, dt, chunk, block_paths=64,
+        interpret=True, noise_input=True)
+    # wilder noise than the quadratic test: exercises must land in
+    # multiple tiles for the cross-tile accumulators to be exercised
+    noise = jnp.asarray(1.5 * rng.standard_normal((3, chunk, s_pad)),
+                        jnp.float32)
+    paths = gen(noise)
+
+    tab = pathgen_pallas.boundary_rows(fits, r, strike, maturity, dt,
+                                       n_steps, is_call)
+    want = pathgen_pallas.boundary_policy_value(paths, tab, n_steps,
+                                                is_call)
+    rows = pathgen_pallas.log_boundary_rows(tab)
+
+    priced_cv, s_pad2 = pathgen_pallas_tiled.make_tiled_priced_chunk(
+        s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps, chunk,
+        block_paths=64, is_call=is_call, interpret=True, noise_input=True,
+        policy_form="boundary", with_cv=True)
+    assert s_pad2 == s_pad
+    got, cv = priced_cv(noise, rows)
+    np.testing.assert_allclose(float(got), float(want), rtol=5e-4)
+    want_cv = float(np.exp(-r * n_steps * dt)
+                    * np.sum(np.asarray(paths)[:, n_steps]))
+    np.testing.assert_allclose(float(cv), want_cv, rtol=2e-4)
