@@ -151,6 +151,8 @@ def main() -> None:
                                   "BENCH_TILED", "auto"),
                               fgn_form=os.environ.get(
                                   "BENCH_FGN_FORM", "auto"),
+                              policy_form=os.environ.get(
+                                  "BENCH_POLICY", "boundary"),
                               fgn_matmul_dtype=os.environ.get(
                                   "BENCH_FGN_DTYPE", default_fgn))
     pricer = engine.StreamingPricer(S0, XI, H, ETA, RHO, R, STRIKE,
