@@ -213,6 +213,12 @@ def _chol_matrix_host(n_steps: int, h: float, eta: float, dt: float, dtype):
     spectral-matmul MXU FLOPs.  Returns L^T so the kernel's row-major
     path-block matmul X[p, :] = N[p, :] @ Lt keeps the [paths, steps]
     layout of the spectral form."""
+    return jnp.asarray(_chol_np(n_steps, h, eta, dt).T, dtype)
+
+
+def _chol_np(n_steps: int, h: float, eta: float, dt: float) -> np.ndarray:
+    """Lower-triangular f64 Cholesky factor of the spectral fGN
+    covariance (the host core of _chol_matrix_host)."""
     cr, ci = _fgn_matrices_np(n_steps, h, eta, dt)
     cov = cr.T @ cr + ci.T @ ci
     # The Gram form is PSD by construction; rank deficiency (possible in
@@ -223,15 +229,27 @@ def _chol_matrix_host(n_steps: int, h: float, eta: float, dt: float, dtype):
     scale = float(np.max(np.diag(cov))) or 1.0
     for jitter in (0.0, 1e-14, 1e-10, 1e-6):
         try:
-            low = np.linalg.cholesky(cov + jitter * scale *
-                                     np.eye(n_steps))
-            break
+            return np.linalg.cholesky(cov + jitter * scale *
+                                      np.eye(n_steps))
         except np.linalg.LinAlgError:
             continue
-    else:
-        raise np.linalg.LinAlgError(
-            f"fGN covariance not PSD at n={n_steps}, h={h}")
-    return jnp.asarray(low.T, dtype)
+    raise np.linalg.LinAlgError(
+        f"fGN covariance not PSD at n={n_steps}, h={h}")
+
+
+def _chol_dh_matrix_host(n_steps: int, h: float, eta: float, dt: float,
+                         dtype, eps: float = 1e-5):
+    """d(Lt)/dH by f64 central finite difference — the host constant
+    behind the fused kernel's pathwise vega_h (pathgen_pallas.
+    _greeks_body).  The map h -> Lt is smooth away from the jitter
+    fallback (which never engages at realistic parameters), so the
+    truncation error is O(eps^2) ~ 1e-10 relative — far below the f32
+    cast the kernel applies and the MC noise of any Greek estimate.
+    An analytic alternative (differentiating the spectral build and the
+    Cholesky) buys nothing at that accuracy level."""
+    lp = _chol_np(n_steps, h + eps, eta, dt)
+    lm = _chol_np(n_steps, h - eps, eta, dt)
+    return jnp.asarray(((lp - lm) / (2.0 * eps)).T, dtype)
 
 
 def _safe_tpow(t, p):
@@ -1233,6 +1251,73 @@ class StreamingPricer:
                 init = _pvary(init, ax)
             return jax.lax.fori_loop(0, count, body, (init, init))
 
+        # --- fused-kernel Greeks fast path --------------------------------
+        # The chol + log-boundary fused kernel computes all six outputs
+        # (price, delta, vega_xi, vega_eta, rho_rate, vega_h) in VMEM with
+        # hand-rolled forward tangents (pathgen_pallas._greeks_body) —
+        # measured ~5x the XLA jvp stream.  Eligible exactly where the
+        # fused priced kernel runs with the boundary policy at single-tile
+        # horizons; everywhere else price_and_greeks keeps the jvp stream.
+        fused_greek_fns = None
+        if (pathgen_impl == "pallas" and tiled is None
+                and config.fuse_policy and config.poly_order == 2
+                and config.policy_form == "boundary"
+                and _resolve_fgn_form(config) == "chol" and not config.qmc):
+            from . import pathgen_pallas
+
+            # Lt' AND dLt'/dH resident: the greeks kernel needs the
+            # two-matrix (spectral) VMEM cap even in chol form —
+            # 513..1024-step chol configs price single-tile but keep the
+            # jvp stream for Greeks.
+            fused_greeks_ok = pathgen_pallas.supports(n_steps, "spectral")
+        else:
+            fused_greeks_ok = False
+        if fused_greeks_ok:
+            greeks_chunk, _ = pathgen_pallas.make_pallas_greeks_chunk(
+                s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
+                config.chunk_paths,
+                block_paths=_fused_block(config, n_steps),
+                is_call=is_call, fgn_dtype=fgn_dtype)
+
+            def fused_greek_fit_fn(k):
+                pilot = pilot_gen(shard_mix(k))
+                _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call,
+                                  config.poly_order, axis_name=ax)
+                return fits
+
+            def fused_greek_stream_fn(k, fits, start, count):
+                k = shard_mix(k)
+                tab = pathgen_pallas.boundary_rows(
+                    fits, r, strike, maturity, dt, n_steps, is_call)
+                rows = pathgen_pallas.log_boundary_rows(tab)
+                ex0, p0 = pathgen_pallas.time0_value(fits, s0, strike,
+                                                     is_call)
+
+                def body(i, carry):
+                    tot, sq = carry
+                    c = greeks_chunk(k.at[1].add(start + i), rows)
+                    return tot + c, sq + c * c
+
+                init = jnp.zeros((6,), jnp.float32)
+                if ax is not None:
+                    init = _pvary(init, ax)
+                tot, sq = jax.lax.fori_loop(0, count, body, (init, init))
+                # Time-0 exercise: V = p0 deterministically — only delta
+                # survives (p0 has no xi/r/eta/h dependence; d ls/d s0 at
+                # t = 0 gives payoff' = +-1).
+                c0 = jnp.asarray(
+                    [p0, 1.0 if is_call else -1.0, 0.0, 0.0, 0.0, 0.0],
+                    jnp.float32)
+                n_f = (count * config.chunk_paths).astype(jnp.float32)
+                per_chunk = c0 * jnp.float32(config.chunk_paths)
+                tot = jnp.where(ex0, c0 * n_f, tot)
+                sq = jnp.where(ex0,
+                               count.astype(jnp.float32)
+                               * per_chunk * per_chunk, sq)
+                return tot, sq
+
+            fused_greek_fns = (fused_greek_fit_fn, fused_greek_stream_fn)
+
         # --- streaming duality bounds: LSM lower + dual upper ------------
         # Same chunks price both sides: the fitted-policy value (lower
         # bound) and the beta-martingale dual (upper bound,
@@ -1269,6 +1354,7 @@ class StreamingPricer:
             return jax.lax.fori_loop(0, count, body,
                                      (zero, zero, zero, zero))
 
+        self._fused_greek_fit = self._fused_greek_stream = None
         if mesh is None:
             self._fit = jax.jit(fit_fn)
             self._stream = jax.jit(stream_fn)
@@ -1276,6 +1362,9 @@ class StreamingPricer:
             self._greek_stream = jax.jit(greek_stream_fn)
             self._bounds_fit = jax.jit(bounds_fit_fn)
             self._bounds_stream = jax.jit(bounds_stream_fn)
+            if fused_greek_fns is not None:
+                self._fused_greek_fit = jax.jit(fused_greek_fns[0])
+                self._fused_greek_stream = jax.jit(fused_greek_fns[1])
         else:
             replicated_out, summed_out = _shard_map_wrappers(mesh, axis_name)
             self._fit = replicated_out(fit_fn, 1)
@@ -1284,6 +1373,9 @@ class StreamingPricer:
             self._greek_stream = summed_out(greek_stream_fn, 5)
             self._bounds_fit = replicated_out(bounds_fit_fn, 1)
             self._bounds_stream = summed_out(bounds_stream_fn, 4)
+            if fused_greek_fns is not None:
+                self._fused_greek_fit = replicated_out(fused_greek_fns[0], 1)
+                self._fused_greek_stream = summed_out(fused_greek_fns[1], 4)
 
     def _keys(self, key):
         return _pilot_stream_keys(key, self._pathgen_impl,
@@ -1410,10 +1502,15 @@ class StreamingPricer:
         eta-linearity of the fGN; vega_h (roughness sensitivity,
         completing the Greek set) rides the traced-H in-graph spectral
         build (make_chunk_pathgen traced_h) — only the
-        distribution-irrelevant rho has no derivative.  Uses the XLA
-        generator (threefry keys) regardless of ``pathgen_impl``; with a
-        mesh, chunks shard across devices (the jvp composes with
-        shard_map; partial sums stack and reduce on the host).
+        distribution-irrelevant rho has no derivative.  On the fused
+        chol + log-boundary single-tile configuration the whole
+        computation runs as hand-rolled in-kernel tangents instead
+        (pathgen_pallas._greeks_body, ~5x the jvp stream; vega_h rides
+        a host f64 dLt/dH matrix); every other configuration uses
+        forward-mode jvp through the XLA generator (threefry keys)
+        regardless of ``pathgen_impl``.  With a mesh, chunks shard
+        across devices (both paths compose with shard_map; partial sums
+        stack and reduce on the host).
         ``with_stderr=True`` returns (greeks_tuple, stderr_tuple): each
         output's standard error from its iid per-chunk totals
         (_chunk_stderr caveats apply) — the same per-chunk jvp exposes
@@ -1427,17 +1524,27 @@ class StreamingPricer:
             raise ValueError(
                 f"n_paths={n_paths} not divisible by chunk_paths * devices="
                 f"{config.chunk_paths * self.n_dev}")
-        k_pilot, k_stream = jax.random.split(key)
-        fits = self._greek_fit(k_pilot)
-        market = tuple(jnp.float32(v) for v in self._market)
+        if self._fused_greek_stream is not None:
+            # Fused-kernel fast path (chol + log-boundary single-tile
+            # configs): pallas carriers, in-kernel tangents.
+            _check_pallas_chunk_range("pallas", n_chunks, self.n_dev)
+            k_pilot, k_stream = self._keys(key)
+            fits = self._fused_greek_fit(k_pilot)
+            step = lambda done, count: self._fused_greek_stream(
+                k_stream, fits, done, count)
+        else:
+            k_pilot, k_stream = jax.random.split(key)
+            fits = self._greek_fit(k_pilot)
+            market = tuple(jnp.float32(v) for v in self._market)
+            step = lambda done, count: self._greek_stream(
+                k_stream, fits, done, count, market)
 
         totals = np.zeros(6, np.float64)
         sumsq = np.zeros(6, np.float64)
         done = 0
         while done < n_chunks:
             count = min(config.chunks_per_call, n_chunks - done)
-            t, q = jax.device_get(
-                self._greek_stream(k_stream, fits, done, count, market))
+            t, q = jax.device_get(step(done, count))
             totals += np.asarray(t, np.float64)
             sumsq += np.asarray(q, np.float64)
             done += count

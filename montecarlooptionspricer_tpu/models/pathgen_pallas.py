@@ -502,6 +502,188 @@ def _priced_kernel_noise_in(noise_ref, *refs, block_paths: int,
                  cv_disc=cv_disc, policy_form=policy_form, **kw)
 
 
+def _greeks_body(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, pol_ref,
+                 out_ref, *, n_steps: int, s_pad: int, s0: float, xi: float,
+                 eta: float, r: float, dt: float, log_s0: float,
+                 is_call: bool, strike: float):
+    """Fused pathwise Greeks: price + (delta, vega_xi, vega_eta, rho_rate,
+    vega_h) partial sums per block — hand-rolled forward-mode tangents of
+    the log-boundary policy value, entirely in VMEM.
+
+    With the exercise policy fixed (the envelope convention of the XLA
+    streaming Greeks, engine.price_and_greeks), the per-path value is
+    V = d(r, t*) * payoff(S*) at the stop step, so every tangent needs
+    only d ln S* /d theta.  All market parameters except s0/r enter
+    ls only through ln sv = x' + hvd (half-scaled constants), whose
+    increment tangent is (d ln sv/d theta) * B with the SHARED bracket
+    B = sv*w*sqrt(dt) - v*dt:
+
+      xi:  d ln sv/d xi  = 1/(2 xi)                 (scalar => cumsum(B))
+      eta: d ln sv/d eta = x'/eta + de_row          (fGN linear in eta)
+      h:   d ln sv/d h   = n @ dLt' + dh_row        (host f64 dLt/dh)
+      r:   d ls/d r = t (affine), plus dd/dr = -t d
+      s0:  d ls/d s0 = 1/s0
+
+    Cost over the priced kernel: 4 extra MXU matmuls (n@dLt', three
+    tangent cumsums) + O(1) VPU planes — measured ~2x the price-only
+    kernel, ~5x the XLA jvp stream (VERIFY_r03 §13).  ``aux_ref`` rows:
+    0 = discount times (c+1)*dt (matching _table_prep's disc), 1 =
+    de_row, 2 = dh_row (drift times c*dt, matching _half_var_drift)."""
+    n, w = noise
+    block = n.shape[0]
+    x = jnp.dot(n.astype(lt_ref.dtype), lt_ref[:],
+                preferred_element_type=jnp.float32)
+    sv = jnp.exp(x + vd_ref[:])
+    v = sv * sv
+    svw = sv * (w * math.sqrt(dt))
+    col = jax.lax.broadcasted_iota(jnp.int32, (block, s_pad), 1)
+    live = col < n_steps
+    inc = jnp.where(live, (r - 0.5 * v) * dt + svw, 0.0)
+    b = jnp.where(live, svw - v * dt, 0.0)
+
+    ls = log_s0 + jnp.dot(inc, tri_ref[:],
+                          preferred_element_type=jnp.float32)
+    cumb = jnp.dot(b, tri_ref[:], preferred_element_type=jnp.float32)
+    earg = x * (1.0 / eta) + aux_ref[1, :]
+    cume = jnp.dot(earg * b, tri_ref[:],
+                   preferred_element_type=jnp.float32)
+    harg = jnp.dot(n.astype(dlt_ref.dtype), dlt_ref[:],
+                   preferred_element_type=jnp.float32) + aux_ref[2, :]
+    cumh = jnp.dot(harg * b, tri_ref[:],
+                   preferred_element_type=jnp.float32)
+
+    llo, lhi, disc = pol_ref[0, :], pol_ref[1, :], pol_ref[2, :]
+    exf = (ls >= llo) & (ls <= lhi)
+    big = jnp.int32(1 << 30)
+    idx = jnp.min(jnp.where(exf, col, big), axis=1, keepdims=True)
+    first = col == idx
+    red = lambda a: jnp.sum(jnp.where(first, a, 0.0), axis=1,
+                            keepdims=True)
+    ls_s, d_s, t_s = red(ls), red(disc), red(aux_ref[0, :])
+    cb_s, ce_s, ch_s = red(cumb), red(cume), red(cumh)
+
+    s_stop = jnp.exp(ls_s)
+    sgn = 1.0 if is_call else -1.0
+    p = sgn * (s_stop - strike)
+    act = (d_s > 0.0) & (p > 0.0)
+    pv = jnp.where(act, d_s * p, 0.0)            # discounted payoff
+    base = jnp.where(act, d_s * sgn * s_stop, 0.0)   # d * p'(S) * S
+    vals = [
+        jnp.sum(pv),                                     # price
+        jnp.sum(base) * (1.0 / s0),                      # delta
+        jnp.sum(base * cb_s) * (1.0 / (2.0 * xi)),       # vega_xi
+        jnp.sum(base * ce_s),                            # vega_eta
+        jnp.sum(t_s * (base - pv)),                      # rho_rate
+        jnp.sum(base * ch_s),                            # vega_h
+    ]
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i, val in enumerate(vals):
+        acc = acc + jnp.where(lane == i, val, 0.0)
+    out_ref[...] = acc
+
+
+def _greeks_kernel(seed_ref, *refs, block_paths: int, **kw):
+    pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
+    n, w = _normals((block_paths, kw["s_pad"]))
+    _greeks_body((n, w), *refs, **kw)
+
+
+def _greeks_kernel_noise_in(noise_ref, *refs, block_paths: int, **kw):
+    del block_paths
+    _greeks_body((noise_ref[0], noise_ref[1]), *refs, **kw)
+
+
+def make_pallas_greeks_chunk(s0, xi, h, eta, rho, r, strike, maturity,
+                             dt: float, n_steps: int, chunk_paths: int,
+                             block_paths: int = 256, is_call: bool = False,
+                             interpret: bool = False,
+                             noise_input: bool = False,
+                             fgn_dtype=jnp.float32):
+    """Fused streaming Greeks unit: (seed, log-boundary policy table) ->
+    [6] chunk partial sums (price, delta, vega_xi, vega_eta, rho_rate,
+    vega_h) under the fitted exercise policy — see _greeks_body.
+    Chol fGN form and log-boundary policy only (the measured-fastest
+    configuration; the XLA jvp stream remains the general fallback)."""
+    if chunk_paths % block_paths:
+        raise ValueError("chunk_paths must divide by block_paths")
+    if not noise_input and block_paths % 16:
+        raise ValueError("block_paths must divide by 16 for in-kernel RNG")
+    # Two [s_pad, s_pad] matrices resident (Lt' + dLt') — the spectral
+    # budget is the right byte model.
+    if not supports(n_steps, "spectral"):
+        raise ValueError("n_steps too large for the fused Greeks kernel")
+    _check_block_budget(n_steps, block_paths, "spectral")
+    s_pad = _round_up(n_steps, LANE)
+
+    from .engine import _chol_dh_matrix_host, _chol_matrix_host
+
+    lt = _chol_matrix_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
+    dlt = _chol_dh_matrix_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
+    pad_mat = lambda m: (jnp.zeros((s_pad, s_pad), fgn_dtype)
+                         .at[:n_steps, :n_steps].set(0.5 * m))
+    lt_p, dlt_p = pad_mat(lt), pad_mat(dlt)
+    vd_p = _half_var_drift(n_steps, s_pad, xi, h, eta, dt)
+    tri = np.triu(np.ones((s_pad, s_pad), np.float32))
+    tri[n_steps:, :] = 0.0
+    tri_p = jnp.asarray(tri)
+    # Host tangent rows (see _greeks_body): discount times, de, dh.
+    td = np.arange(n_steps, dtype=np.float64) * dt        # drift times
+    t2h = td ** (2.0 * h)
+    lnt = np.where(td > 0, np.log(np.maximum(td, 1e-300)), 0.0)
+    aux = np.zeros((8, s_pad), np.float32)
+    aux[0, :n_steps] = np.arange(1, n_steps + 1, dtype=np.float64) * dt
+    aux[1, :n_steps] = -0.5 * eta * t2h
+    aux[2, :n_steps] = -0.5 * (eta * eta) * t2h * lnt
+    aux_p = jnp.asarray(aux)
+
+    kw = dict(n_steps=n_steps, s_pad=s_pad, s0=float(s0), xi=float(xi),
+              eta=float(eta), r=float(r), dt=float(dt),
+              log_s0=float(math.log(s0)), is_call=bool(is_call),
+              strike=float(strike), block_paths=block_paths)
+    body = _greeks_kernel_noise_in if noise_input else _greeks_kernel
+    kernel = functools.partial(body, **kw)
+    grid_n = chunk_paths // block_paths
+    first_spec = (
+        pl.BlockSpec((2, block_paths, s_pad), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM) if noise_input
+        else pl.BlockSpec(memory_space=pltpu.SMEM))
+    mat_spec = pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(grid_n,),
+        in_specs=[
+            first_spec,                                     # seed or noise
+            mat_spec,                                       # Lt' (chol)
+            mat_spec,                                       # dLt'/dh
+            pl.BlockSpec((1, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # half var drift
+            mat_spec,                                       # cumsum tri
+            pl.BlockSpec((8, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # tangent rows
+            pl.BlockSpec((8, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # policy rows
+        ],
+        out_specs=pl.BlockSpec((8, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+
+    def chunk_sums(seed_or_noise, rows) -> jax.Array:
+        """[6] partial sums for the chunk; ``rows`` = log_boundary_rows(
+        boundary_rows(...))."""
+        if noise_input:
+            first = seed_or_noise.astype(jnp.float32)
+        else:
+            first = _as_seed_words(seed_or_noise)
+        out = call(first, lt_p, dlt_p, vd_p, tri_p, aux_p, rows)
+        return jnp.sum(out[::8, :6], axis=0)
+
+    return chunk_sums, s_pad
+
+
 MAX_KERNEL_STEPS = 512        # spectral: hardware-measured cap (VERIFY_r02)
 MAX_KERNEL_STEPS_CHOL = 1024  # chol: hardware-measured cap (VERIFY_r03 §11)
 

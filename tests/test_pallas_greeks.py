@@ -1,0 +1,150 @@
+"""Fused in-kernel pathwise Greeks (pathgen_pallas.make_pallas_greeks_chunk).
+
+The kernel computes hand-rolled forward tangents of the log-boundary
+policy value.  The CPU test validates ALL six outputs against an
+INDEPENDENT oracle: a float64 NumPy reimplementation of the noise ->
+value map (chol paths + S-space boundary-interval policy with the table
+held fixed — the envelope convention), differentiated by central finite
+differences.  Agreement is to f32 kernel noise; any sign/formula error
+in a tangent would be orders of magnitude larger.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from montecarlooptionspricer_tpu.models import engine, pathgen_pallas
+from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+
+MKT = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04)
+N_STEPS, CHUNK, DT = 48, 256, 1 / 252.0
+STRIKE, MATURITY, IS_CALL = 97.0, 48 / 252.0, False
+
+
+def _oracle_value(noise, lo, hi, s0, xi, r, eta, h):
+    """f64 sum of discounted payoffs under the FIXED S-space interval
+    table (envelope: the table does not move with the parameters)."""
+    n = noise[0, :, :N_STEPS].astype(np.float64)
+    w = noise[1, :, :N_STEPS].astype(np.float64)
+    lt = engine._chol_np(N_STEPS, h, eta, DT).T      # upper, f64
+    x = n @ lt
+    td = np.arange(N_STEPS) * DT
+    v = xi * np.exp(x - 0.5 * eta * eta * td ** (2.0 * h))
+    inc = (r - 0.5 * v) * DT + np.sqrt(v) * w * np.sqrt(DT)
+    ls = np.log(s0) + np.cumsum(inc, axis=1)
+    s = np.exp(ls)
+    exf = (s >= lo[:N_STEPS]) & (s <= hi[:N_STEPS])
+    any_ex = exf.any(axis=1)
+    stop = np.where(any_ex, exf.argmax(axis=1), 0)
+    t_stop = (stop + 1) * DT
+    s_stop = s[np.arange(s.shape[0]), stop]
+    p = np.maximum(s_stop - STRIKE, 0.0) if IS_CALL else np.maximum(
+        STRIKE - s_stop, 0.0)
+    return float(np.sum(np.where(any_ex, np.exp(-r * t_stop) * p, 0.0)))
+
+
+def test_fused_greeks_match_f64_fd_oracle(rng):
+    pilot = engine.make_chunk_pathgen(**MKT, n_steps=N_STEPS, dt=DT,
+                                      chunk_paths=1 << 11)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, MKT["r"], STRIKE, MATURITY, DT, IS_CALL, 2)
+    tab = pathgen_pallas.boundary_rows(fits, MKT["r"], STRIKE, MATURITY,
+                                       DT, N_STEPS, IS_CALL)
+    lo = np.asarray(tab[0], np.float64)
+    hi = np.asarray(tab[1], np.float64)
+
+    greeks, s_pad = pathgen_pallas.make_pallas_greeks_chunk(
+        **MKT, strike=STRIKE, maturity=MATURITY, dt=DT, n_steps=N_STEPS,
+        chunk_paths=CHUNK, block_paths=64, is_call=IS_CALL,
+        interpret=True, noise_input=True)
+    noise = np.zeros((2, CHUNK, s_pad), np.float32)
+    noise[:, :, :N_STEPS] = rng.standard_normal((2, CHUNK, N_STEPS))
+    got = np.asarray(greeks(jnp.asarray(noise),
+                            pathgen_pallas.log_boundary_rows(tab)))
+
+    base = dict(s0=MKT["s0"], xi=MKT["xi"], r=MKT["r"], eta=MKT["eta"],
+                h=MKT["h"])
+    val = _oracle_value(noise, lo, hi, **base)
+    eps = dict(s0=1e-3, xi=1e-6, r=1e-5, eta=1e-5, h=1e-5)
+
+    def fd(name):
+        up = dict(base); up[name] += eps[name]
+        dn = dict(base); dn[name] -= eps[name]
+        return (_oracle_value(noise, lo, hi, **up)
+                - _oracle_value(noise, lo, hi, **dn)) / (2 * eps[name])
+
+    want = np.array([val, fd("s0"), fd("xi"), fd("eta"), fd("r"),
+                     fd("h")])
+    # f32 kernel vs f64 oracle: path-level f32 noise accumulates through
+    # the tangent cumsums; 0.5% relative (on the largest output scale)
+    # still catches any sign/term error by 2+ orders of magnitude.
+    scale = np.maximum(np.abs(want), 1e-3 * np.max(np.abs(want)))
+    rel = np.abs(got - want) / scale
+    assert np.all(rel < 5e-3), (got, want, rel)
+
+
+def test_fused_greeks_engine_path_selected():
+    """StreamingPricer exposes the fused Greeks machinery exactly on the
+    eligible configuration, and falls back to the jvp stream elsewhere."""
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    base = dict(n_paths=1 << 12, n_steps=32, chunk_paths=1 << 10,
+                pilot_paths=1 << 10)
+    p = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base,
+                                             pathgen_impl="pallas"))
+    assert p._fused_greek_stream is not None
+    for bad in (dict(pathgen_impl="xla"),
+                dict(pathgen_impl="pallas", policy_form="quadratic"),
+                dict(pathgen_impl="pallas", fgn_form="spectral"),
+                dict(pathgen_impl="pallas", qmc=True)):
+        p = engine.StreamingPricer(
+            **kwargs, config=engine.StreamConfig(**base, **bad))
+        assert p._fused_greek_stream is None, bad
+
+
+def test_fused_greeks_match_jvp_stream_on_chip():
+    """The fused in-kernel Greeks agree with the XLA jvp stream within
+    combined MC error on every output, evaluated under the SAME fitted
+    policy (real TPU only).  Sharing the fits matters: price is
+    envelope-protected against pilot-policy noise but its DERIVATIVES
+    are not (a shifted exercise boundary moves t* by O(1) on an O(eps)
+    band — first-order in the fit noise), so two pricers with
+    independent pilots measurably disagree on rho while both are
+    correct for their own policy (the CPU f64 FD oracle above pins the
+    kernel's estimand exactly)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("requires a real TPU for in-kernel PRNG")
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=48 / 252.0, is_call=False)
+    n_paths, chunk = 1 << 16, 1 << 14
+    base = dict(n_paths=n_paths, n_steps=48, chunk_paths=chunk,
+                pilot_paths=1 << 13)
+    n_chunks = n_paths // chunk
+    fused = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base,
+                                             pathgen_impl="pallas"))
+    assert fused._fused_greek_stream is not None
+    xla = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base))
+    assert xla._fused_greek_stream is None
+
+    k_pilot, k_stream = fused._keys(jax.random.key(3))
+    fits = fused._fused_greek_fit(k_pilot)
+    tf, qf = jax.device_get(
+        fused._fused_greek_stream(k_stream, fits, 0, n_chunks))
+    market = tuple(jnp.float32(v) for v in xla._market)
+    kx = jax.random.split(jax.random.key(3))[1]
+    tx, qx = jax.device_get(
+        xla._greek_stream(kx, fits, 0, n_chunks, market))
+
+    gf, gx = np.asarray(tf) / n_paths, np.asarray(tx) / n_paths
+    sf = engine._chunk_stderr(np.asarray(tf, np.float64),
+                              np.asarray(qf, np.float64), n_chunks, chunk)
+    sx = engine._chunk_stderr(np.asarray(tx, np.float64),
+                              np.asarray(qx, np.float64), n_chunks, chunk)
+    names = ("price", "delta", "vega_xi", "vega_eta", "rho_rate",
+             "vega_h")
+    for name, a, b, ea, eb in zip(names, gf, gx, sf, sx):
+        tol = 4.0 * float(np.hypot(ea, eb)) + 2e-3 * max(abs(a), abs(b))
+        assert abs(a - b) < tol, (name, a, b, ea, eb)
