@@ -135,7 +135,12 @@ def main() -> None:
     # paths/s at 1e7x365); past the single-tile limit the step-tiled kernel
     # is MXU-bound on the [s_pad, s_pad] fGN matmul and bf16 slabs win.
     from montecarlooptionspricer_tpu.models import pathgen_pallas
-    long_horizon = not pathgen_pallas.supports(N_STEPS)
+    # Form-aware: the engine resolves fgn_form auto -> chol, whose
+    # single-tile cap is 1024 padded steps — 513-1024-step runs are
+    # single-tile (VPU-bound, f32), not long-horizon.
+    bench_form = os.environ.get("BENCH_FGN_FORM", "auto")
+    resolved_form = "chol" if bench_form in ("auto", "chol") else bench_form
+    long_horizon = not pathgen_pallas.supports(N_STEPS, resolved_form)
     default_fgn = ("bfloat16" if (pathgen != "pallas" or long_horizon)
                    else "float32")
     cfg = engine.StreamConfig(n_paths=n_paths, n_steps=N_STEPS,

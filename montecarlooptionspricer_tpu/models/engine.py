@@ -550,12 +550,22 @@ def _fused_block(config: "StreamConfig", n_steps: int) -> int:
     engages where the configured block cannot compile at all (e.g. chol
     past 768 padded steps admits 128, not the default 256 —
     pathgen_pallas.max_block_paths); the block is a scheduling knob, so
-    clamping changes PRNG block-stream assignment but never the law."""
+    clamping changes PRNG block-stream assignment but never the law.
+    The clamp is LOGGED so a benchmark labeled with the requested block
+    never silently measures a different grid (parity scripts print the
+    effective block from this warning)."""
+    import logging
+
     from . import pathgen_pallas
 
-    return min(config.pallas_block_paths,
-               pathgen_pallas.max_block_paths(n_steps,
-                                              _resolve_fgn_form(config)))
+    cap = pathgen_pallas.max_block_paths(n_steps,
+                                         _resolve_fgn_form(config))
+    if config.pallas_block_paths > cap:
+        logging.getLogger(__name__).warning(
+            "pallas_block_paths=%d exceeds the fused kernel's VMEM budget "
+            "at n_steps=%d; running block %d",
+            config.pallas_block_paths, n_steps, cap)
+    return min(config.pallas_block_paths, cap)
 
 
 def lsm_policy_value(paths, fits: PolyFit, r, strike, maturity, dt,
@@ -1285,11 +1295,15 @@ class StreamingPricer:
                                   config.poly_order, axis_name=ax)
                 return fits
 
+            # Same table pipeline as the price stream (policy_form ==
+            # "boundary" by eligibility), so a table-construction change
+            # can never diverge the Greeks' policy from the price path's.
+            make_greek_rows = _fused_rows_builder(
+                config, None, r, strike, maturity, dt, n_steps, is_call)
+
             def fused_greek_stream_fn(k, fits, start, count):
                 k = shard_mix(k)
-                tab = pathgen_pallas.boundary_rows(
-                    fits, r, strike, maturity, dt, n_steps, is_call)
-                rows = pathgen_pallas.log_boundary_rows(tab)
+                rows = make_greek_rows(fits)
                 ex0, p0 = pathgen_pallas.time0_value(fits, s0, strike,
                                                      is_call)
 

@@ -1,17 +1,18 @@
-"""Probe: can the single-tile fused kernel's step cap rise for chol?
+"""Probe: single-tile fused chol kernel vs the step-tiled slab, 513+ steps.
 
-pathgen_pallas.MAX_KERNEL_STEPS = 512 is the hardware-MEASURED spectral
-VMEM limit (Cr + Ci + tri resident).  The chol form keeps ONE [s_pad,
-s_pad] matrix resident instead of two, so padded horizons up to ~1024
-might fit — which would give 513-1024-step horizons single-tile fused
-speed instead of the step-tiled slab's.  This probe patches the cap,
-builds the fused chol pricer at a mid-range horizon, and times it
-against the slab form at the same shapes (real TPU).
+The probe's original question — can the chol form's single-resident-
+matrix footprint raise the fused kernel's step cap past the spectral
+512? — was answered YES and ADOPTED (VERIFY_r03 §11):
+pathgen_pallas.supports is now form-aware with MAX_KERNEL_STEPS_CHOL =
+1024, and the engine auto-clamps the path block to
+pathgen_pallas.max_block_paths (a logged warning names the effective
+block, so the fused leg's timing below may run a SMALLER block than
+requested past 768 pad — read the warning when comparing ratios).
 
-Outcome feeds supports()'s deliberately form-independent bound (see
-pathgen_pallas.supports): if the probe runs and wins, the bound can
-differentiate by form; if Mosaic rejects the VMEM footprint, the current
-cap stays documented as correct for both forms.
+The probe remains useful as the A/B harness for re-measuring the two
+forms on new hardware: it forces the slab leg (the adopted cap would
+route 513-1024-step chol to the fused kernel in both legs) and patches
+both caps for horizons past 1024.
 
 Usage:  python parity/single_tile_cap.py [--steps 730] [--paths 2097152]
         [--block 256]
