@@ -114,8 +114,8 @@ def main(argv=None) -> int:
     if args.paths < 1:
         print("error: --paths must be >= 1", file=sys.stderr)
         return 2
-    if args.strikes and (args.greeks or args.control_variate or args.bounds):
-        print("error: --greeks/--control-variate/--bounds apply to "
+    if args.strikes and (args.control_variate or args.bounds):
+        print("error: --control-variate/--bounds apply to "
               "single-strike pricing, not --strikes chains",
               file=sys.stderr)
         return 2
@@ -150,20 +150,34 @@ def main(argv=None) -> int:
         chain = engine.StreamingChainPricer(
             **market, strikes=strikes, maturity=args.maturity,
             is_call=args.is_call, config=cfg)
-        prices, stderrs = chain.price(key, with_stderr=True)
+        if args.greeks:
+            # Whole-smile risk from one shared path stream: per-strike
+            # price + full Greek set ([K] arrays per output).
+            g, se = chain.price_and_greeks(key, with_stderr=True)
+            names = ("prices", "delta", "vega_xi", "vega_eta",
+                     "rho_rate", "vega_h")
+            out = {"strikes": strikes}
+            out.update({n: [_j(v) for v in row]
+                        for n, row in zip(names, g)})
+            out["stderrs"] = {n: [_j(v) for v in row]
+                              for n, row in zip(names, se)}
+            prices = g[0]
+        else:
+            prices, stderrs = chain.price(key, with_stderr=True)
+            out = {
+                "strikes": strikes,
+                # _j throughout: EVERY numeric output field serializes
+                # non-finite values as null, never the invalid bare-NaN
+                # JSON token (a bad market, e.g. --hurst -1, must not
+                # break `| jq` consumers).
+                "prices": [_j(v) for v in prices],
+                "stderrs": [_j(v) for v in stderrs],
+            }
         ivs = [implied_vol(v, args.s0, k, args.r, args.maturity,
                            args.is_call) for v, k in zip(prices, strikes)]
-        # _j throughout: EVERY numeric output field serializes non-finite
-        # values as null, never the invalid bare-NaN JSON token (a bad
-        # market, e.g. --hurst -1, must not break `| jq` consumers).
-        out = {
-            "strikes": strikes,
-            "prices": [_j(v) for v in prices],
-            "stderrs": [_j(v) for v in stderrs],
-            # null outside the European no-arbitrage bracket too,
-            # e.g. deep-ITM American puts.
-            "implied_vols": [_j(v) for v in ivs],
-        }
+        # null outside the European no-arbitrage bracket too,
+        # e.g. deep-ITM American puts.
+        out["implied_vols"] = [_j(v) for v in ivs]
     else:
         pricer = engine.StreamingPricer(
             **market, strike=args.strike, maturity=args.maturity,

@@ -1835,15 +1835,138 @@ class StreamingChainPricer:
                     init = _pvary(init, ax)
                 return jax.lax.fori_loop(0, count, acc, (init, init))
 
+        # --- per-strike streaming Greeks (whole-smile risk) ---------------
+        # Forward-mode jvp over the five market tangents of the chunk's
+        # [K] policy-value vector — the per-strike analogue of
+        # StreamingPricer.price_and_greeks, on the SAME shared path
+        # stream (so per-strike Greeks are positively correlated across
+        # the smile, like the prices).  Dedicated traced-H generators:
+        # Hurst joins the AD surface.  Not built for bucketed/serving
+        # pricers (their market is already traced; see price_and_greeks).
+        self._greek_fit = self._greek_stream = None
+        if not bucketed:
+            xg_gen = make_chunk_pathgen(
+                s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+                fgn_impl="matmul", traced_h=True)
+            xg_pilot = make_chunk_pathgen(
+                s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+                fgn_impl="matmul", traced_h=True)
+            self._market = (float(s0), float(xi), float(r), float(eta),
+                            float(h))
+            if mesh is None:
+                xg_mix = lambda c: c
+            else:
+                xg_mix = lambda c: jax.random.fold_in(
+                    c, jax.lax.axis_index(axis_name))
+
+            def greek_fit_fn(k, strikes_):
+                pilot = xg_pilot(xg_mix(k))
+
+                def one(strike):
+                    _, fits = lsm_fit(pilot, r, strike, maturity, dt,
+                                      is_call, config.poly_order,
+                                      axis_name=ax)
+                    return fits
+
+                return jax.vmap(one)(strikes_)
+
+            def greek_stream_fn(k, fits, strikes_, start, count, market):
+                k = xg_mix(k)
+                eye = jnp.eye(5, dtype=jnp.float32)
+                tangents = tuple(eye[:, j] for j in range(5))
+
+                def chunk_val(params, i):
+                    s0_, xi_, r_, eta_, h_ = params
+                    paths = xg_gen.with_params(
+                        jax.random.fold_in(k, start + i), s0_, xi_, r_,
+                        eta_, h_=h_)
+
+                    def one(strike, fit):
+                        s, _ = lsm_policy_value(paths, fit, r_, strike,
+                                                maturity, dt, is_call)
+                        return s.astype(jnp.float32)
+
+                    return jax.vmap(one)(strikes_, fits)       # [K]
+
+                def body(i, carry):
+                    tot, sq = carry
+                    vals, grads = jax.vmap(
+                        lambda t: jax.jvp(lambda pr: chunk_val(pr, i),
+                                          (market,), (t,)))(tangents)
+                    # params (s0, xi, r, eta, h) -> report order
+                    # (price, delta, vega_xi, vega_eta, rho_rate, vega_h).
+                    c = jnp.stack([vals[0], grads[0], grads[1], grads[3],
+                                   grads[2], grads[4]])        # [6, K]
+                    return tot + c, sq + c * c
+
+                init = jnp.zeros((6, n_k), jnp.float32)
+                if ax is not None:
+                    init = _pvary(init, ax)
+                return jax.lax.fori_loop(0, count, body, (init, init))
+
         if mesh is None:
             self._fit = jax.jit(fit_fn)
             self._stream = jax.jit(stream_fn)
+            if not bucketed:
+                self._greek_fit = jax.jit(greek_fit_fn)
+                self._greek_stream = jax.jit(greek_stream_fn)
         else:
             replicated_out, summed_out = _shard_map_wrappers(mesh, axis_name)
             n_fit_in = 5 if traced_market else (4 if bucketed else 2)
             n_stream_in = 8 if traced_market else (7 if bucketed else 5)
             self._fit = replicated_out(fit_fn, n_fit_in)
             self._stream = summed_out(stream_fn, n_stream_in)
+            if not bucketed:
+                self._greek_fit = replicated_out(greek_fit_fn, 2)
+                self._greek_stream = summed_out(greek_stream_fn, 6)
+
+    def price_and_greeks(self, key, n_paths: Optional[int] = None,
+                         with_stderr: bool = False):
+        """Per-strike (price, delta, vega_xi, vega_eta, rho_rate, vega_h)
+        arrays [K] at streaming scale — the whole smile's risk from ONE
+        shared path stream (estimates positively correlated across
+        strikes, exactly what a smooth risk surface wants).  Forward-mode
+        jvp with the per-strike exercise policies fixed from the pilot
+        fit; see StreamingPricer.price_and_greeks for the estimator's
+        conventions and stderr semantics.  Not available on bucketed /
+        serving pricers.  No reference equivalent."""
+        if self._greek_stream is None:
+            raise ValueError(
+                "price_and_greeks is not available on bucketed/serving "
+                "chain pricers; build a non-bucketed StreamingChainPricer "
+                "for smile Greeks")
+        config = self.config
+        if n_paths is None:
+            n_paths = config.n_paths
+        n_chunks, rem = divmod(n_paths, config.chunk_paths * self.n_dev)
+        if rem:
+            raise ValueError(
+                f"n_paths={n_paths} not divisible by chunk_paths * devices="
+                f"{config.chunk_paths * self.n_dev}")
+        k_pilot, k_stream = jax.random.split(key)
+        strikes = self.strikes
+        fits = self._greek_fit(k_pilot, strikes)
+        market = tuple(jnp.float32(v) for v in self._market)
+
+        n_k = strikes.shape[0]
+        totals = np.zeros((6, n_k), np.float64)
+        sumsq = np.zeros((6, n_k), np.float64)
+        done = 0
+        while done < n_chunks:
+            count = min(config.chunks_per_call, n_chunks - done)
+            t, q = jax.device_get(self._greek_stream(
+                k_stream, fits, strikes, done, count, market))
+            totals += np.asarray(t, np.float64)
+            sumsq += np.asarray(q, np.float64)
+            done += count
+        out = totals / n_paths
+        if not with_stderr:
+            return out
+        se = _chunk_stderr(totals, sumsq, n_chunks * self.n_dev,
+                           config.chunk_paths)
+        return out, se
 
     def price(self, key, progress=None, n_paths: Optional[int] = None,
               strikes=None, n_steps_live: Optional[int] = None,

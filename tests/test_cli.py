@@ -123,7 +123,9 @@ def test_price_cli_argument_validation(capsys):
     from montecarlooptionspricer_tpu.cli import price as price_cli
 
     assert price_cli.main(["--paths", "0"]) == 2
-    assert price_cli.main(["--strikes", "95,100", "--greeks"]) == 2
+    # --strikes + --greeks is now a supported combination (whole-smile
+    # risk, StreamingChainPricer.price_and_greeks); CV/bounds are not.
+    assert price_cli.main(["--strikes", "95,100", "--control-variate"]) == 2
     assert price_cli.main(["--strikes", "95,100", "--bounds"]) == 2
     assert price_cli.main(["--bounds", "--greeks"]) == 2
     capsys.readouterr()
@@ -352,3 +354,28 @@ def test_price_cli_serve_warm_buckets():
     assert len(lines) == 1          # the warm response stayed out of stdout
     assert lines[0]["id"] == 1
     assert not lines[0]["compiled"]  # class was pre-warmed
+
+
+def test_price_cli_chain_greeks(capsys):
+    """--strikes + --greeks: per-strike price + full Greek set arrays,
+    each with stderrs, plus implied vols from the greek prices."""
+    import json
+
+    from montecarlooptionspricer_tpu.cli import price as price_cli
+
+    rc = price_cli.main(["--strikes", "98,102", "--put",
+                         "--maturity", "0.05", "--steps", "8",
+                         "--paths", "2048", "--chunk-paths", "1024"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert "delta" not in out      # plain chain: prices/stderrs/ivs only
+    rc = price_cli.main(["--strikes", "98,102", "--put", "--greeks",
+                         "--maturity", "0.05", "--steps", "8",
+                         "--paths", "2048", "--chunk-paths", "1024"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    for name in ("prices", "delta", "vega_xi", "vega_eta", "rho_rate",
+                 "vega_h", "implied_vols"):
+        assert len(out[name]) == 2, name
+    assert all(len(v) == 2 for v in out["stderrs"].values())
+    assert out["delta"][0] > out["delta"][1]    # put delta falls in strike

@@ -148,3 +148,41 @@ def test_fused_greeks_match_jvp_stream_on_chip():
     for name, a, b, ea, eb in zip(names, gf, gx, sf, sx):
         tol = 4.0 * float(np.hypot(ea, eb)) + 2e-3 * max(abs(a), abs(b))
         assert abs(a - b) < tol, (name, a, b, ea, eb)
+
+
+def test_chain_greeks_match_per_strike_stream():
+    """StreamingChainPricer.price_and_greeks == per-strike
+    StreamingPricer.price_and_greeks on the XLA path: with the same key,
+    both fit from the SAME pilot paths and stream the SAME chunks (the
+    traced-H generator and fold_in key schedule are shared), so every
+    per-strike column must agree to vmap-vs-scalar numerics — policy,
+    paths, and estimator all identical."""
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  maturity=32 / 252.0, is_call=False)
+    cfg = engine.StreamConfig(n_paths=1 << 13, n_steps=32,
+                              chunk_paths=1 << 11, pilot_paths=1 << 10)
+    strikes = [95.0, 100.0, 105.0]
+    chain = engine.StreamingChainPricer(**kwargs, strikes=strikes,
+                                        config=cfg)
+    g, se = chain.price_and_greeks(jax.random.key(9), with_stderr=True)
+    assert g.shape == (6, 3) and se.shape == (6, 3)
+    assert np.all(np.isfinite(g))
+    for j, k in enumerate(strikes):
+        single = engine.StreamingPricer(**kwargs, strike=k, config=cfg)
+        gs = single.price_and_greeks(jax.random.key(9))
+        np.testing.assert_allclose(g[:, j], np.asarray(gs), rtol=2e-4,
+                                   atol=1e-5)
+    # Monotone smile sanity: put prices and |delta| increase in strike.
+    assert g[0, 0] < g[0, 1] < g[0, 2]
+    assert g[1, 0] > g[1, 1] > g[1, 2]        # delta more negative
+
+
+def test_chain_greeks_bucketed_rejected():
+    cfg = engine.StreamConfig(n_paths=1 << 12, n_steps=32,
+                              chunk_paths=1 << 10, pilot_paths=1 << 9)
+    chain = engine.StreamingChainPricer(
+        s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+        strikes=[100.0], maturity=32 / 252.0, is_call=False, config=cfg,
+        bucketed=True)
+    with pytest.raises(ValueError, match="bucketed"):
+        chain.price_and_greeks(jax.random.key(0))
