@@ -210,9 +210,13 @@ def serve(args, mkt) -> int:
     Request (one JSON object per line):
       {"id": any, "strikes": [..] | "strike": x, "put": bool | "call": bool,
        "maturity": yrs, "steps"?: int, "paths"?: n, "seed"?: int,
+       "greeks"?: bool,
        "s0"/"xi"/"hurst"/"eta"/"rho"/"r"?: market overrides}
     Response: {"id", "strikes", "prices", "implied_vols", "elapsed_s",
-               "compiled"} — or {"id", "error"} (the server keeps running).
+               "compiled"} — with "greeks": true, also per-strike "delta"/
+      "vega_xi"/"vega_eta"/"rho_rate"/"vega_h" arrays (stderrs per
+      output; one extra compile per shape class on the first greeks
+      quote) — or {"id", "error"} (the server keeps running).
 
     Compiled pricers are cached (bounded LRU, 16 entries) keyed by pure
     SHAPE class: (STEP BUCKET, STRIP-LENGTH BUCKET, call/put, chunk).
@@ -414,21 +418,42 @@ def serve(args, mkt) -> int:
                 made += 1
                 if len(pricers) > max_pricers:
                     pricers.popitem(last=False)   # evict LRU
-            prices, stderrs = pricer.price(
-                jax.random.key(seed), strikes=padded, n_paths=n_paths,
-                n_steps_live=n_steps, maturity=maturity, with_stderr=True,
-                hurst=hurst, market=dict(s0=s0, xi=xi, r=r, eta=eta))
-            prices, stderrs = prices[:n_k], stderrs[:n_k]
+            per_call = dict(strikes=padded, n_paths=n_paths,
+                            n_steps_live=n_steps, maturity=maturity,
+                            hurst=hurst,
+                            market=dict(s0=s0, xi=xi, r=r, eta=eta))
+            if req.get("greeks"):
+                # Per-quote smile risk: jvp over the pricer's already-
+                # traced market — ONE extra compiled program per shape
+                # class, lazily on the first greeks quote (reported
+                # honestly in `compiled`).
+                compiled = compiled or not getattr(pricer, "_greeks_warm",
+                                                   False)
+                g, se = pricer.price_and_greeks(
+                    jax.random.key(seed), with_stderr=True, **per_call)
+                pricer._greeks_warm = True
+                names = ("prices", "delta", "vega_xi", "vega_eta",
+                         "rho_rate", "vega_h")
+                extra = {n: [_j(v) for v in row[:n_k]]
+                         for n, row in zip(names, g)}
+                extra["stderrs"] = {n: [_j(v) for v in row[:n_k]]
+                                    for n, row in zip(names, se)}
+                prices = g[0][:n_k]
+            else:
+                prices, stderrs = pricer.price(
+                    jax.random.key(seed), with_stderr=True, **per_call)
+                prices, stderrs = prices[:n_k], stderrs[:n_k]
+                # _j throughout: a NaN must become null, never the
+                # invalid bare-NaN JSON token that breaks strict
+                # JSON-lines clients mid-stream.
+                extra = {"prices": [_j(v) for v in prices],
+                         "stderrs": [_j(v) for v in stderrs]}
             ivs = [implied_vol(float(v), s0, k, r, maturity, is_call)
                    for v, k in zip(prices, strikes)]
             respond({
                 "id": rid,
                 "strikes": strikes,
-                # _j throughout: a NaN must become null, never the
-                # invalid bare-NaN JSON token that breaks strict
-                # JSON-lines clients mid-stream.
-                "prices": [_j(v) for v in prices],
-                "stderrs": [_j(v) for v in stderrs],
+                **extra,
                 "implied_vols": [None if math.isnan(v) else round(v, 6)
                                  for v in ivs],
                 "n_paths": n_paths, "n_steps": n_steps, "is_call": is_call,

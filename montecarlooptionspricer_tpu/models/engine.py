@@ -1840,11 +1840,55 @@ class StreamingChainPricer:
         # [K] policy-value vector — the per-strike analogue of
         # StreamingPricer.price_and_greeks, on the SAME shared path
         # stream (so per-strike Greeks are positively correlated across
-        # the smile, like the prices).  Dedicated traced-H generators:
-        # Hurst joins the AD surface.  Not built for bucketed/serving
-        # pricers (their market is already traced; see price_and_greeks).
+        # the smile, like the prices).  Two variants: non-bucketed builds
+        # dedicated traced-H generators (Hurst joins the AD surface);
+        # traced-market/serving pricers jvp directly over their
+        # ALREADY-traced market inputs (the chunk generator is traced_h
+        # by construction), so a serving process compiles ONE extra
+        # program per shape class, lazily on the first greeks quote.
+        # Plain-bucketed (baked market) pricers have no greeks surface.
         self._greek_fit = self._greek_stream = None
-        if not bucketed:
+        if traced_market:
+            def greek_stream_fn(k, fits, strikes_, start, count, n_live,
+                                mat, mkt):
+                k = shard_mix(k)
+                eye = jnp.eye(5, dtype=jnp.float32)
+                tangents = tuple(eye[:, j] for j in range(5))
+
+                def chunk_val(m5, i):
+                    s0_, xi_, r_, eta_, h_ = m5
+                    paths = chunk_gen.with_params(
+                        jax.random.fold_in(k, start + i), s0_, xi_, r_,
+                        eta_, n_live, h_=h_)
+
+                    def one(strike, fit):
+                        s, _ = lsm_policy_value(paths, fit, r_, strike,
+                                                mat, dt, is_call,
+                                                n_steps_live=n_live)
+                        return s.astype(jnp.float32)
+
+                    return jax.vmap(one)(strikes_, fits)       # [K]
+
+                def body(i, carry):
+                    tot, sq = carry
+                    vals, grads = jax.vmap(
+                        lambda t: jax.jvp(lambda m5: chunk_val(m5, i),
+                                          (mkt,), (t,)))(tangents)
+                    c = jnp.stack([vals[0], grads[0], grads[1], grads[3],
+                                   grads[2], grads[4]])        # [6, K]
+                    return tot + c, sq + c * c
+
+                init = jnp.zeros((6, n_k), jnp.float32)
+                if ax is not None:
+                    init = _pvary(init, ax)
+                return jax.lax.fori_loop(0, count, body, (init, init))
+
+            if mesh is None:
+                self._greek_stream = jax.jit(greek_stream_fn)
+            else:
+                _, summed_out = _shard_map_wrappers(mesh, axis_name)
+                self._greek_stream = summed_out(greek_stream_fn, 8)
+        elif not bucketed:
             xg_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
                 dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
@@ -1923,21 +1967,41 @@ class StreamingChainPricer:
                 self._greek_stream = summed_out(greek_stream_fn, 6)
 
     def price_and_greeks(self, key, n_paths: Optional[int] = None,
-                         with_stderr: bool = False):
+                         with_stderr: bool = False, strikes=None,
+                         n_steps_live: Optional[int] = None,
+                         maturity: Optional[float] = None,
+                         hurst: Optional[float] = None, market=None):
         """Per-strike (price, delta, vega_xi, vega_eta, rho_rate, vega_h)
         arrays [K] at streaming scale — the whole smile's risk from ONE
         shared path stream (estimates positively correlated across
         strikes, exactly what a smooth risk surface wants).  Forward-mode
         jvp with the per-strike exercise policies fixed from the pilot
         fit; see StreamingPricer.price_and_greeks for the estimator's
-        conventions and stderr semantics.  Not available on bucketed /
-        serving pricers.  No reference equivalent."""
+        conventions and stderr semantics.
+
+        On a traced-market (serving) pricer the jvp runs over the
+        already-traced market inputs, so the per-call arguments of
+        :meth:`price` (fresh strikes / n_steps_live / maturity / market /
+        hurst) all apply and every quote shape reuses ONE extra compiled
+        program per shape class — a quote with `greeks` costs ~the five
+        tangents, nothing more.  Plain-bucketed pricers (market baked at
+        compile time) have no greeks surface.  No reference
+        equivalent."""
         if self._greek_stream is None:
             raise ValueError(
-                "price_and_greeks is not available on bucketed/serving "
-                "chain pricers; build a non-bucketed StreamingChainPricer "
-                "for smile Greeks")
+                "price_and_greeks is not available on a plain-bucketed "
+                "chain pricer (its market is baked at compile time); use "
+                "a non-bucketed StreamingChainPricer, or bucketed=True "
+                "with traced_market=True (the serving configuration)")
         config = self.config
+        if strikes is None:
+            strikes = self.strikes
+        else:
+            strikes = jnp.asarray(strikes, jnp.dtype(config.dtype))
+            if strikes.shape != self.strikes.shape:
+                raise ValueError(
+                    f"strike strip length {strikes.shape} != compiled "
+                    f"length {self.strikes.shape}; build a new pricer")
         if n_paths is None:
             n_paths = config.n_paths
         n_chunks, rem = divmod(n_paths, config.chunk_paths * self.n_dev)
@@ -1945,10 +2009,42 @@ class StreamingChainPricer:
             raise ValueError(
                 f"n_paths={n_paths} not divisible by chunk_paths * devices="
                 f"{config.chunk_paths * self.n_dev}")
-        k_pilot, k_stream = jax.random.split(key)
-        strikes = self.strikes
-        fits = self._greek_fit(k_pilot, strikes)
-        market = tuple(jnp.float32(v) for v in self._market)
+
+        if self._traced_market:
+            if n_steps_live is None:
+                raise ValueError("bucketed pricer needs n_steps_live")
+            if not 1 <= n_steps_live <= config.n_steps:
+                raise ValueError(
+                    f"n_steps_live={n_steps_live} outside [1, "
+                    f"{config.n_steps}] bucket")
+            if market is not None:
+                bad = set(market) - {"s0", "xi", "r", "eta"}
+                if bad:
+                    raise ValueError(f"unknown market override keys: {bad} "
+                                     "(use s0/xi/r/eta; hurst= for H)")
+            m = dict(self._market_defaults)
+            if market:
+                m.update(market)
+            if hurst is not None:
+                m["hurst"] = hurst
+            mkt = tuple(jnp.float32(m[k])
+                        for k in ("s0", "xi", "r", "eta", "hurst"))
+            nl = jnp.int32(n_steps_live)
+            mat = jnp.float32(self._maturity if maturity is None
+                              else maturity)
+            k_pilot, k_stream = _pilot_stream_keys(key, self._pathgen_impl,
+                                                   config.rng_impl)
+            fits = self._fit(k_pilot, strikes, nl, mat, mkt)
+            stream_args = (nl, mat, mkt)
+        else:
+            if (n_steps_live is not None or maturity is not None
+                    or hurst is not None or market is not None):
+                raise ValueError(
+                    "n_steps_live/maturity/market/hurst are per-call "
+                    "inputs only for a traced-market pricer")
+            k_pilot, k_stream = jax.random.split(key)
+            fits = self._greek_fit(k_pilot, strikes)
+            stream_args = (tuple(jnp.float32(v) for v in self._market),)
 
         n_k = strikes.shape[0]
         totals = np.zeros((6, n_k), np.float64)
@@ -1957,7 +2053,7 @@ class StreamingChainPricer:
         while done < n_chunks:
             count = min(config.chunks_per_call, n_chunks - done)
             t, q = jax.device_get(self._greek_stream(
-                k_stream, fits, strikes, done, count, market))
+                k_stream, fits, strikes, done, count, *stream_args))
             totals += np.asarray(t, np.float64)
             sumsq += np.asarray(q, np.float64)
             done += count

@@ -157,6 +157,12 @@ def test_price_cli_serve_mode():
         json.dumps({"id": 4, "strikes": [100.0, 103.0, 106.0], "put": True,
                     "maturity": 0.1, "steps": 8, "paths": 1024,
                     "xi": 0.09}),
+        json.dumps({"id": 5, "strikes": [95.0, 100.0, 105.0], "put": True,
+                    "maturity": 0.1, "steps": 8, "paths": 1024,
+                    "greeks": True}),
+        json.dumps({"id": 6, "strikes": [96.0, 101.0, 104.0], "put": True,
+                    "maturity": 0.1, "steps": 8, "paths": 1024,
+                    "greeks": True}),
     ]) + "\n"
     # jax.config, not the env var: the ambient axon plugin ignores
     # JAX_PLATFORMS, so a bare subprocess would price through the TPU
@@ -171,8 +177,8 @@ def test_price_cli_serve_mode():
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
-    assert [r["id"] for r in lines] == [1, 2, 3, 4]
-    r1, r2, r3, r4 = lines
+    assert [r["id"] for r in lines] == [1, 2, 3, 4, 5, 6]
+    r1, r2, r3, r4, r5, r6 = lines
     assert r1["compiled"] and len(r1["prices"]) == 3
     assert r1["prices"][0] < r1["prices"][1] < r1["prices"][2]
     assert not r2["compiled"]            # fresh strikes, same programs
@@ -183,6 +189,12 @@ def test_price_cli_serve_mode():
     assert not r4["compiled"]
     # tripled forward variance makes every put in the strip worth more
     assert r4["prices"][1] > r2["prices"][1]
+    # per-quote smile risk: first greeks quote compiles the extra
+    # program (honestly reported), the second rides it
+    assert r5["compiled"] and len(r5["delta"]) == 3
+    assert r5["delta"][0] > r5["delta"][2]       # put delta falls in K
+    assert all(np.isfinite(v) for v in r5["vega_h"])
+    assert not r6["compiled"] and len(r6["vega_xi"]) == 3
 
 
 @pytest.mark.slow

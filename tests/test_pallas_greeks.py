@@ -186,3 +186,40 @@ def test_chain_greeks_bucketed_rejected():
         bucketed=True)
     with pytest.raises(ValueError, match="bucketed"):
         chain.price_and_greeks(jax.random.key(0))
+
+
+def test_serving_chain_greeks_match_non_bucketed():
+    """A traced-market (serving) pricer's price_and_greeks — jvp over its
+    already-traced market inputs — agrees with the non-bucketed chain
+    greeks on the same contract at an exact-shape bucket (same threefry
+    key schedule, same traced-H generator family, same per-strike fit
+    convention)."""
+    cfg = engine.StreamConfig(n_paths=1 << 13, n_steps=32,
+                              chunk_paths=1 << 11, pilot_paths=1 << 10)
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  maturity=32 / 252.0, is_call=False)
+    strikes = [97.0, 103.0]
+    plain = engine.StreamingChainPricer(**kwargs, strikes=strikes,
+                                        config=cfg)
+    g_plain = plain.price_and_greeks(jax.random.key(11))
+
+    serving = engine.StreamingChainPricer(**kwargs, strikes=strikes,
+                                          config=cfg, bucketed=True,
+                                          traced_market=True)
+    g_serve, se = serving.price_and_greeks(
+        jax.random.key(11), with_stderr=True, n_steps_live=32,
+        maturity=kwargs["maturity"],
+        market=dict(s0=100.0, xi=0.04, r=0.04, eta=1.0), hurst=0.2)
+    assert g_serve.shape == (6, 2) and np.all(np.isfinite(g_serve))
+    # Same estimator family, same keys; small numeric drift from the
+    # bucketed program's padded-column plumbing is allowed.
+    scale = np.maximum(np.abs(g_plain), 1e-2 * np.max(np.abs(g_plain)))
+    assert np.all(np.abs(g_serve - g_plain) / scale < 2e-2), (
+        g_serve, g_plain)
+
+    # A changed market reprices through the SAME compiled programs and
+    # moves the greeks the right way (higher xi -> higher put vega value).
+    g2 = serving.price_and_greeks(
+        jax.random.key(11), n_steps_live=32, maturity=kwargs["maturity"],
+        market=dict(s0=100.0, xi=0.09, r=0.04, eta=1.0), hurst=0.2)
+    assert g2[0, 0] > g_serve[0, 0]          # more vol, dearer put
