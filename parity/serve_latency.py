@@ -39,6 +39,10 @@ def build_requests(n: int):
             "xi": 0.04 + 0.002 * (i % 5),
             "r": 0.04 + 0.001 * (i % 3),
             "seed": i,
+            # Every 4th quote asks for the full per-strike risk block
+            # (the jvp program per shape class compiles on its first
+            # greeks quote and is reported as cold).
+            "greeks": i % 4 == 3,
         })
     return reqs
 
@@ -68,22 +72,19 @@ def main() -> int:
     assert not errors, errors[:3]
 
     compiled = [r for r in rows if r["compiled"]]
-    warm = [r for r in rows if not r["compiled"]]
-    lat = sorted(r["elapsed_s"] for r in warm)
-
-    def pct(p):
-        return lat[min(len(lat) - 1, int(p * len(lat)))]
-
     print(f"| requests | {len(rows)} |")
     print(f"| compiles (cold quotes) | {len(compiled)} |")
-    if lat:
-        print(f"| warm p50 | {pct(0.50) * 1e3:.1f} ms |")
-        print(f"| warm p95 | {pct(0.95) * 1e3:.1f} ms |")
-        print(f"| warm max | {lat[-1] * 1e3:.1f} ms |")
-    else:
-        # Every request hit a distinct shape class (tiny --requests);
-        # there are no warm quotes to rank.
-        print("| warm quotes | 0 (all cold) |")
+    for label, cls in (("price", [r for r in rows if "delta" not in r]),
+                       ("greeks", [r for r in rows if "delta" in r])):
+        lat = sorted(r["elapsed_s"] for r in cls if not r["compiled"])
+        if lat:
+            def pct(p, lat=lat):
+                return lat[min(len(lat) - 1, int(p * len(lat)))]
+            print(f"| {label} warm p50 | {pct(0.50) * 1e3:.1f} ms |")
+            print(f"| {label} warm p95 | {pct(0.95) * 1e3:.1f} ms |")
+            print(f"| {label} warm max | {lat[-1] * 1e3:.1f} ms |")
+        else:
+            print(f"| {label} warm quotes | 0 (all cold) |")
     print(f"| total wall (incl. compiles) | {wall:.1f} s |")
     return 0
 
