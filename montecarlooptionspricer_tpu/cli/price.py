@@ -154,8 +154,7 @@ def main(argv=None) -> int:
             # Whole-smile risk from one shared path stream: per-strike
             # price + full Greek set ([K] arrays per output).
             g, se = chain.price_and_greeks(key, with_stderr=True)
-            names = ("prices", "delta", "vega_xi", "vega_eta",
-                     "rho_rate", "vega_h")
+            names = ("prices",) + engine.GREEK_ORDER[1:]
             out = {"strikes": strikes}
             out.update({n: [_j(v) for v in row]
                         for n, row in zip(names, g)})
@@ -184,8 +183,7 @@ def main(argv=None) -> int:
             is_call=args.is_call, config=cfg)
         if args.greeks:
             g, se = pricer.price_and_greeks(key, with_stderr=True)
-            names = ("price", "delta", "vega_xi", "vega_eta", "rho_rate",
-                     "vega_h")
+            names = engine.GREEK_ORDER
             out = {n: _j(v) for n, v in zip(names, g)}
             out["stderrs"] = {n: _j(s) for n, s in zip(names, se)}
         elif args.bounds:
@@ -400,10 +398,15 @@ def serve(args, mkt) -> int:
             # (engine.make_chunk_pathgen).
             cache_key = (bucket, k_bucket, is_call,
                          chunk, pathgen, args.qmc)
-            pricer = pricers.get(cache_key)
-            compiled = pricer is None
+            # Cache entries are [pricer, greeks_warm]: the serve layer
+            # owns the lifecycle state (LRU eviction drops the warm flag
+            # with the pricer) instead of poking attributes onto the
+            # engine object.
+            entry = pricers.get(cache_key)
+            compiled = entry is None
             if not compiled:
                 pricers.move_to_end(cache_key)
+                pricer = entry[0]
             else:
                 cfg = engine.StreamConfig(
                     n_paths=chunk, n_steps=bucket, chunk_paths=chunk,
@@ -414,7 +417,7 @@ def serve(args, mkt) -> int:
                     s0, xi, hurst, eta, rho, r, strikes=padded,
                     maturity=bucket / mkt.trading_days, is_call=is_call,
                     config=cfg, bucketed=True, traced_market=True)
-                pricers[cache_key] = pricer
+                entry = pricers[cache_key] = [pricer, False]
                 made += 1
                 if len(pricers) > max_pricers:
                     pricers.popitem(last=False)   # evict LRU
@@ -427,13 +430,11 @@ def serve(args, mkt) -> int:
                 # traced market — ONE extra compiled program per shape
                 # class, lazily on the first greeks quote (reported
                 # honestly in `compiled`).
-                compiled = compiled or not getattr(pricer, "_greeks_warm",
-                                                   False)
+                compiled = compiled or not entry[1]
                 g, se = pricer.price_and_greeks(
                     jax.random.key(seed), with_stderr=True, **per_call)
-                pricer._greeks_warm = True
-                names = ("prices", "delta", "vega_xi", "vega_eta",
-                         "rho_rate", "vega_h")
+                entry[1] = True
+                names = ("prices",) + engine.GREEK_ORDER[1:]
                 extra = {n: [_j(v) for v in row[:n_k]]
                          for n, row in zip(names, g)}
                 extra["stderrs"] = {n: [_j(v) for v in row[:n_k]]

@@ -804,6 +804,40 @@ def _pvary(x, axis_name):
     return jax.lax.pvary(x, axis_name)  # pragma: no cover - jax < 0.8
 
 
+# Report order of every Greeks surface (price_and_greeks tuples/rows and
+# the CLI JSON keys derive from this): the jvp primal tuple is
+# (s0, xi, r, eta, h), permuted so the vega family groups together.
+GREEK_ORDER = ("price", "delta", "vega_xi", "vega_eta", "rho_rate",
+               "vega_h")
+
+
+def _greek_jvp_loop(chunk_val, market, count, out_tail, ax):
+    """Shared jvp scaffolding of every streaming-Greeks surface: one
+    vmapped jax.jvp over the five market basis tangents per chunk (the
+    primal is tangent-independent, so vmap computes it once), stacked
+    into GREEK_ORDER rows, accumulated with per-chunk second moments
+    over a fori_loop.  ``chunk_val(params, i)`` returns the chunk's
+    policy-value total(s) with trailing shape ``out_tail`` for market
+    params (s0, xi, r, eta, h)."""
+    eye = jnp.eye(5, dtype=jnp.float32)
+    tangents = tuple(eye[:, j] for j in range(5))
+
+    def body(i, carry):
+        tot, sq = carry
+        vals, grads = jax.vmap(
+            lambda t: jax.jvp(lambda pr: chunk_val(pr, i),
+                              (market,), (t,)))(tangents)
+        # params (s0, xi, r, eta, h) -> GREEK_ORDER.
+        c = jnp.stack([vals[0], grads[0], grads[1], grads[3],
+                       grads[2], grads[4]])
+        return tot + c, sq + c * c
+
+    init = jnp.zeros((6, *out_tail), jnp.float32)
+    if ax is not None:
+        init = _pvary(init, ax)
+    return jax.lax.fori_loop(0, count, body, (init, init))
+
+
 def _pilot_stream_keys(key, pathgen_impl: str, rng_impl: str):
     """(pilot, stream) RNG carriers for a fit-then-stream run.
 
@@ -1222,19 +1256,18 @@ class StreamingPricer:
 
         def greek_stream_fn(k, fits, start, count, market):
             k = xla_shard_mix(k)
-            # One vmapped jvp over the five basis tangents PER CHUNK: the
-            # primal computation is tangent-independent, so vmap leaves it
-            # unbatched (computed once) and only the tangent path runs x5
-            # — ~primal + 5 tangents instead of 5 x (primal + tangent).
-            # (jax.linearize would share the primal too, but it has to
-            # store per-iteration residuals of the chunk fori_loop — the
-            # O(n_chunks * chunk) memory this streaming design exists to
-            # avoid.)  Running the jvp inside the chunk loop (rather than
-            # around it) exposes the iid per-chunk totals of every output,
-            # whose second moments give the Greeks their own standard
-            # errors — same estimator, same FLOPs, richer carry.
-            eye = jnp.eye(5, dtype=jnp.float32)
-            tangents = tuple(eye[:, j] for j in range(5))
+            # One vmapped jvp over the five basis tangents PER CHUNK
+            # (_greek_jvp_loop): the primal computation is tangent-
+            # independent, so vmap leaves it unbatched (computed once)
+            # and only the tangent path runs x5 — ~primal + 5 tangents
+            # instead of 5 x (primal + tangent).  (jax.linearize would
+            # share the primal too, but it has to store per-iteration
+            # residuals of the chunk fori_loop — the O(n_chunks * chunk)
+            # memory this streaming design exists to avoid.)  Running the
+            # jvp inside the chunk loop (rather than around it) exposes
+            # the iid per-chunk totals of every output, whose second
+            # moments give the Greeks their own standard errors — same
+            # estimator, same FLOPs, richer carry.
 
             def chunk_val(params, i):
                 s0_, xi_, r_, eta_, h_ = params
@@ -1245,21 +1278,7 @@ class StreamingPricer:
                                         maturity, dt, is_call)
                 return s.astype(jnp.float32)
 
-            def body(i, carry):
-                tot, sq = carry
-                vals, grads = jax.vmap(
-                    lambda t: jax.jvp(lambda pr: chunk_val(pr, i),
-                                      (market,), (t,)))(tangents)
-                # params order is (s0, xi, r, eta, h); report order is
-                # (price, delta, vega_xi, vega_eta, rho_rate, vega_h).
-                c = jnp.stack([vals[0], grads[0], grads[1], grads[3],
-                               grads[2], grads[4]])
-                return tot + c, sq + c * c
-
-            init = jnp.zeros((6,), jnp.float32)
-            if ax is not None:
-                init = _pvary(init, ax)
-            return jax.lax.fori_loop(0, count, body, (init, init))
+            return _greek_jvp_loop(chunk_val, market, count, (), ax)
 
         # --- fused-kernel Greeks fast path --------------------------------
         # The chol + log-boundary fused kernel computes all six outputs
@@ -1852,8 +1871,6 @@ class StreamingChainPricer:
             def greek_stream_fn(k, fits, strikes_, start, count, n_live,
                                 mat, mkt):
                 k = shard_mix(k)
-                eye = jnp.eye(5, dtype=jnp.float32)
-                tangents = tuple(eye[:, j] for j in range(5))
 
                 def chunk_val(m5, i):
                     s0_, xi_, r_, eta_, h_ = m5
@@ -1869,25 +1886,7 @@ class StreamingChainPricer:
 
                     return jax.vmap(one)(strikes_, fits)       # [K]
 
-                def body(i, carry):
-                    tot, sq = carry
-                    vals, grads = jax.vmap(
-                        lambda t: jax.jvp(lambda m5: chunk_val(m5, i),
-                                          (mkt,), (t,)))(tangents)
-                    c = jnp.stack([vals[0], grads[0], grads[1], grads[3],
-                                   grads[2], grads[4]])        # [6, K]
-                    return tot + c, sq + c * c
-
-                init = jnp.zeros((6, n_k), jnp.float32)
-                if ax is not None:
-                    init = _pvary(init, ax)
-                return jax.lax.fori_loop(0, count, body, (init, init))
-
-            if mesh is None:
-                self._greek_stream = jax.jit(greek_stream_fn)
-            else:
-                _, summed_out = _shard_map_wrappers(mesh, axis_name)
-                self._greek_stream = summed_out(greek_stream_fn, 8)
+                return _greek_jvp_loop(chunk_val, mkt, count, (n_k,), ax)
         elif not bucketed:
             xg_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
@@ -1918,8 +1917,6 @@ class StreamingChainPricer:
 
             def greek_stream_fn(k, fits, strikes_, start, count, market):
                 k = xg_mix(k)
-                eye = jnp.eye(5, dtype=jnp.float32)
-                tangents = tuple(eye[:, j] for j in range(5))
 
                 def chunk_val(params, i):
                     s0_, xi_, r_, eta_, h_ = params
@@ -1934,26 +1931,15 @@ class StreamingChainPricer:
 
                     return jax.vmap(one)(strikes_, fits)       # [K]
 
-                def body(i, carry):
-                    tot, sq = carry
-                    vals, grads = jax.vmap(
-                        lambda t: jax.jvp(lambda pr: chunk_val(pr, i),
-                                          (market,), (t,)))(tangents)
-                    # params (s0, xi, r, eta, h) -> report order
-                    # (price, delta, vega_xi, vega_eta, rho_rate, vega_h).
-                    c = jnp.stack([vals[0], grads[0], grads[1], grads[3],
-                                   grads[2], grads[4]])        # [6, K]
-                    return tot + c, sq + c * c
-
-                init = jnp.zeros((6, n_k), jnp.float32)
-                if ax is not None:
-                    init = _pvary(init, ax)
-                return jax.lax.fori_loop(0, count, body, (init, init))
+                return _greek_jvp_loop(chunk_val, market, count, (n_k,),
+                                       ax)
 
         if mesh is None:
             self._fit = jax.jit(fit_fn)
             self._stream = jax.jit(stream_fn)
-            if not bucketed:
+            if traced_market:
+                self._greek_stream = jax.jit(greek_stream_fn)
+            elif not bucketed:
                 self._greek_fit = jax.jit(greek_fit_fn)
                 self._greek_stream = jax.jit(greek_stream_fn)
         else:
@@ -1962,7 +1948,9 @@ class StreamingChainPricer:
             n_stream_in = 8 if traced_market else (7 if bucketed else 5)
             self._fit = replicated_out(fit_fn, n_fit_in)
             self._stream = summed_out(stream_fn, n_stream_in)
-            if not bucketed:
+            if traced_market:
+                self._greek_stream = summed_out(greek_stream_fn, 8)
+            elif not bucketed:
                 self._greek_fit = replicated_out(greek_fit_fn, 2)
                 self._greek_stream = summed_out(greek_stream_fn, 6)
 
