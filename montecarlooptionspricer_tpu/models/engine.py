@@ -1934,6 +1934,67 @@ class StreamingChainPricer:
                 return _greek_jvp_loop(chunk_val, market, count, (n_k,),
                                        ax)
 
+        # --- fused-kernel chain Greeks fast path --------------------------
+        # The chol + log-boundary chain Greeks kernel sweeps every
+        # strike's policy over ONE set of in-VMEM tangent planes per path
+        # block (pathgen_pallas._chain_greeks_body) — whole-smile risk at
+        # fused-kernel speed, the Greeks analogue of the fused chain
+        # price path.  Eligible exactly where the fused chain price
+        # kernel runs with the boundary policy in the chol form
+        # (pathgen_impl == "pallas" already folds in fuse_policy /
+        # poly_order 2 / not qmc / not bucketed); everywhere else
+        # price_and_greeks keeps the jvp stream.
+        fused_greek_stream_fn = None
+        if (pathgen_impl == "pallas" and not bucketed
+                and config.chain_policy_form == "boundary"
+                and _resolve_fgn_form(config) == "chol"
+                and pathgen_pallas.supports(n_steps, "spectral")):
+            chain_greeks_chunk, _ = pathgen_pallas.make_pallas_chain_greeks_chunk(
+                s0, xi, h, eta, rho, r, n_k, maturity, dt, n_steps,
+                config.chunk_paths,
+                block_paths=_fused_block(config, n_steps),
+                is_call=is_call, fgn_dtype=fgn_dtype)
+
+            def fused_greek_stream_fn(k, fits, strikes_, start, count):
+                k = shard_mix(k)
+                # Same table pipeline as the chain price stream, so the
+                # Greeks' per-strike policies can never diverge from the
+                # price path's.
+                tables = jax.vmap(
+                    lambda fit, strike: pathgen_pallas.log_boundary_rows(
+                        pathgen_pallas.boundary_rows(
+                            fit, r, strike, maturity, dt, n_steps,
+                            is_call)))(fits, strikes_)
+
+                def body(i, carry):
+                    tot, sq = carry
+                    c = chain_greeks_chunk(k.at[1].add(start + i), tables)
+                    return tot + c, sq + c * c
+
+                init = jnp.zeros((6, n_k), jnp.float32)
+                if ax is not None:
+                    init = _pvary(init, ax)
+                tot, sq = jax.lax.fori_loop(0, count, body, (init, init))
+                # Per-strike time-0 exercise: V = p0 deterministically —
+                # only delta survives (cf. the single-strike fused path).
+                p0 = jnp.maximum(
+                    jnp.where(is_call, s0 - strikes_, strikes_ - s0), 0.0)
+                z0 = (s0 - fits.mu[:, 0]) / fits.sd[:, 0]
+                cont0 = ((fits.coeffs[:, 0, 2] * z0 + fits.coeffs[:, 0, 1])
+                         * z0 + fits.coeffs[:, 0, 0])
+                ex0 = (p0 > ITM_EPS) & (p0 >= cont0)
+                sgn = 1.0 if is_call else -1.0
+                c0 = jnp.stack([p0, jnp.full_like(p0, sgn)]
+                               + [jnp.zeros_like(p0)] * 4)       # [6, K]
+                n_f = (count * config.chunk_paths).astype(jnp.float32)
+                per_chunk = c0 * jnp.float32(config.chunk_paths)
+                tot = jnp.where(ex0[None, :], c0 * n_f, tot)
+                sq = jnp.where(ex0[None, :],
+                               count.astype(jnp.float32)
+                               * per_chunk * per_chunk, sq)
+                return tot, sq
+
+        self._fused_greek_stream = None
         if mesh is None:
             self._fit = jax.jit(fit_fn)
             self._stream = jax.jit(stream_fn)
@@ -1942,6 +2003,8 @@ class StreamingChainPricer:
             elif not bucketed:
                 self._greek_fit = jax.jit(greek_fit_fn)
                 self._greek_stream = jax.jit(greek_stream_fn)
+            if fused_greek_stream_fn is not None:
+                self._fused_greek_stream = jax.jit(fused_greek_stream_fn)
         else:
             replicated_out, summed_out = _shard_map_wrappers(mesh, axis_name)
             n_fit_in = 5 if traced_market else (4 if bucketed else 2)
@@ -1953,6 +2016,9 @@ class StreamingChainPricer:
             elif not bucketed:
                 self._greek_fit = replicated_out(greek_fit_fn, 2)
                 self._greek_stream = summed_out(greek_stream_fn, 6)
+            if fused_greek_stream_fn is not None:
+                self._fused_greek_stream = summed_out(
+                    fused_greek_stream_fn, 5)
 
     def price_and_greeks(self, key, n_paths: Optional[int] = None,
                          with_stderr: bool = False, strikes=None,
@@ -1967,6 +2033,16 @@ class StreamingChainPricer:
         fit; see StreamingPricer.price_and_greeks for the estimator's
         conventions and stderr semantics.
 
+        On the fused chol + log-boundary chain configuration the whole
+        computation runs as hand-rolled in-kernel tangents swept across
+        the strip (pathgen_pallas._chain_greeks_body): the tangent
+        planes are computed once per path block and every strike's
+        policy reduces against them, so K strikes of full risk cost
+        ~ceil(K/10) single-strike fused Greeks passes.  The fits come
+        from the SAME pilot as :meth:`price` (policy-identical by
+        construction); every other configuration uses the forward-mode
+        jvp through the XLA generator.
+
         On a traced-market (serving) pricer the jvp runs over the
         already-traced market inputs, so the per-call arguments of
         :meth:`price` (fresh strikes / n_steps_live / maturity / market /
@@ -1975,7 +2051,7 @@ class StreamingChainPricer:
         tangents, nothing more.  Plain-bucketed pricers (market baked at
         compile time) have no greeks surface.  No reference
         equivalent."""
-        if self._greek_stream is None:
+        if self._greek_stream is None and self._fused_greek_stream is None:
             raise ValueError(
                 "price_and_greeks is not available on a plain-bucketed "
                 "chain pricer (its market is baked at compile time); use "
@@ -2023,6 +2099,7 @@ class StreamingChainPricer:
             k_pilot, k_stream = _pilot_stream_keys(key, self._pathgen_impl,
                                                    config.rng_impl)
             fits = self._fit(k_pilot, strikes, nl, mat, mkt)
+            stream = self._greek_stream
             stream_args = (nl, mat, mkt)
         else:
             if (n_steps_live is not None or maturity is not None
@@ -2030,9 +2107,21 @@ class StreamingChainPricer:
                 raise ValueError(
                     "n_steps_live/maturity/market/hurst are per-call "
                     "inputs only for a traced-market pricer")
-            k_pilot, k_stream = jax.random.split(key)
-            fits = self._greek_fit(k_pilot, strikes)
-            stream_args = (tuple(jnp.float32(v) for v in self._market),)
+            if self._fused_greek_stream is not None:
+                # Fused-kernel fast path: pallas carriers, the SAME
+                # pilot/fits as price() (policy-identical by
+                # construction), in-kernel tangents.
+                _check_pallas_chunk_range("pallas", n_chunks, self.n_dev)
+                k_pilot, k_stream = _pilot_stream_keys(
+                    key, "pallas", config.rng_impl)
+                fits = self._fit(k_pilot, strikes)
+                stream = self._fused_greek_stream
+            else:
+                k_pilot, k_stream = jax.random.split(key)
+                fits = self._greek_fit(k_pilot, strikes)
+                stream = self._greek_stream
+            stream_args = () if self._fused_greek_stream is not None \
+                else (tuple(jnp.float32(v) for v in self._market),)
 
         n_k = strikes.shape[0]
         totals = np.zeros((6, n_k), np.float64)
@@ -2040,7 +2129,7 @@ class StreamingChainPricer:
         done = 0
         while done < n_chunks:
             count = min(config.chunks_per_call, n_chunks - done)
-            t, q = jax.device_get(self._greek_stream(
+            t, q = jax.device_get(stream(
                 k_stream, fits, strikes, done, count, *stream_args))
             totals += np.asarray(t, np.float64)
             sumsq += np.asarray(q, np.float64)

@@ -320,18 +320,21 @@ def _policy_value_log_boundary(ls, pol_ref, *, is_call: bool,
 def log_boundary_rows(table) -> jax.Array:
     """boundary_rows -> the log-space [8, s_pad] table consumed by
     _policy_value_log_boundary: row 0 = log lo, row 1 = log hi, row 2 =
-    the discount.  Built in-graph per fit (cheap [s_pad] ops).  The
-    +-1e30 sentinels survive: lo <= 0 means every S > 0 passes the lower
-    test (log -> -1e30); an empty set's lo = +1e30 / hi = -1e30 keep
-    their signs, and log(1e30) ~= 69 still exceeds any real log price by
-    orders of magnitude — but the sentinel is kept exact anyway."""
+    the discount, row 3 = the strike (boundary_rows' constant row 4;
+    the priced kernels read rows 0-2 only, the chain Greeks kernel
+    reads row 3 so the strike stays a traced table input).  Built
+    in-graph per fit (cheap [s_pad] ops).  The +-1e30 sentinels survive:
+    lo <= 0 means every S > 0 passes the lower test (log -> -1e30); an
+    empty set's lo = +1e30 / hi = -1e30 keep their signs, and
+    log(1e30) ~= 69 still exceeds any real log price by orders of
+    magnitude — but the sentinel is kept exact anyway."""
     big = jnp.float32(1e30)
-    lo, hi, disc = table[0], table[1], table[3]
+    lo, hi, disc, strike = table[0], table[1], table[3], table[4]
     safe_log = lambda v: jnp.log(jnp.maximum(v, 1e-38))
     llo = jnp.where(lo <= 0.0, -big, jnp.where(lo >= big, big, safe_log(lo)))
     lhi = jnp.where(hi <= 0.0, -big, jnp.where(hi >= big, big, safe_log(hi)))
     zeros = jnp.zeros_like(disc)
-    return jnp.stack([llo, lhi, disc, zeros, zeros, zeros, zeros, zeros])
+    return jnp.stack([llo, lhi, disc, strike, zeros, zeros, zeros, zeros])
 
 
 # Strikes per grid step of the chain policy kernel.  The policy sweep is
@@ -508,7 +511,27 @@ def _greeks_body(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, pol_ref,
                  is_call: bool, strike: float):
     """Fused pathwise Greeks: price + (delta, vega_xi, vega_eta, rho_rate,
     vega_h) partial sums per block — hand-rolled forward-mode tangents of
-    the log-boundary policy value, entirely in VMEM.
+    the log-boundary policy value, entirely in VMEM (_tangent_planes +
+    _greek_stop_vals).  Cost over the priced kernel: 4 extra MXU matmuls
+    (n@dLt', three tangent cumsums) + O(1) VPU planes — measured ~2x the
+    price-only kernel, ~5x the XLA jvp stream (VERIFY_r03 §13)."""
+    planes = _tangent_planes(noise, lt_ref, dlt_ref, vd_ref, tri_ref,
+                             aux_ref, n_steps=n_steps, s_pad=s_pad,
+                             eta=eta, r=r, dt=dt, log_s0=log_s0)
+    vals = _greek_stop_vals(planes, pol_ref, is_call=is_call, s0=s0,
+                            xi=xi, r=r, dt=dt, strike=strike)
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i, val in enumerate(vals):
+        acc = acc + jnp.where(lane == i, val, 0.0)
+    out_ref[...] = acc
+
+
+def _tangent_planes(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, *,
+                    n_steps: int, s_pad: int, eta: float, r: float,
+                    dt: float, log_s0: float):
+    """Strike-independent forward-tangent planes of the fused Greeks
+    kernels: (ls, cumb, cume, cumh, col) for one path block.
 
     With the exercise policy fixed (the envelope convention of the XLA
     streaming Greeks, engine.price_and_greeks), the per-path value is
@@ -524,11 +547,9 @@ def _greeks_body(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, pol_ref,
       r:   d ls/d r = t (affine), plus dd/dr = -t d
       s0:  d ls/d s0 = 1/s0
 
-    Cost over the priced kernel: 4 extra MXU matmuls (n@dLt', three
-    tangent cumsums) + O(1) VPU planes — measured ~2x the price-only
-    kernel, ~5x the XLA jvp stream (VERIFY_r03 §13).  ``aux_ref`` rows:
-    0 = discount times (c+1)*dt (matching _table_prep's disc), 1 =
-    de_row, 2 = dh_row (drift times c*dt, matching _half_var_drift)."""
+    ``aux_ref`` rows: 1 = de_row, 2 = dh_row (drift times c*dt,
+    matching _half_var_drift); the stop step's time and discount are
+    recomputed from idx in _greek_stop_vals instead of a row 0."""
     n, w = noise
     block = n.shape[0]
     x = jnp.dot(n.astype(lt_ref.dtype), lt_ref[:],
@@ -551,24 +572,49 @@ def _greeks_body(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, pol_ref,
                    preferred_element_type=jnp.float32) + aux_ref[2, :]
     cumh = jnp.dot(harg * b, tri_ref[:],
                    preferred_element_type=jnp.float32)
+    return ls, cumb, cume, cumh, col
 
-    llo, lhi, disc = pol_ref[0, :], pol_ref[1, :], pol_ref[2, :]
+
+def _greek_stop_vals(planes, pol, *, is_call: bool, s0: float,
+                     xi: float, r: float, dt: float, strike=None):
+    """One policy's six Greek partial sums (GREEK_ORDER) from the shared
+    tangent planes: interval test on the log plane, one-hot stop-step
+    reductions of the four per-path planes, epilogue per
+    _tangent_planes' tangent algebra.
+
+    The stop step's TIME and DISCOUNT come from ``idx`` directly —
+    t* = (idx+1)*dt and d* = exp(-r t*), the same f32 product and exp
+    _table_prep bakes into the disc row — instead of one-hot table-row
+    reductions: two fewer [block, s_pad] passes per policy, which is the
+    chain kernel's per-strike marginal cost.  ``strike=None`` (the chain
+    kernels) reads the strike from the table's constant row 3 (a [s_pad]
+    max, not a plane pass), keeping it a traced table input; the
+    single-strike kernel passes its compile-time strike."""
+    ls, cumb, cume, cumh, col = planes
+    llo, lhi = pol[0, :], pol[1, :]
     exf = (ls >= llo) & (ls <= lhi)
     big = jnp.int32(1 << 30)
     idx = jnp.min(jnp.where(exf, col, big), axis=1, keepdims=True)
     first = col == idx
     red = lambda a: jnp.sum(jnp.where(first, a, 0.0), axis=1,
                             keepdims=True)
-    ls_s, d_s, t_s = red(ls), red(disc), red(aux_ref[0, :])
-    cb_s, ce_s, ch_s = red(cumb), red(cume), red(cumh)
+    ls_s, cb_s, ce_s, ch_s = red(ls), red(cumb), red(cume), red(cumh)
+
+    # ex gates everything: with no exercise idx stays at big, and the
+    # huge t* must not leak (r = 0 would give d* = 1, r < 0 an inf).
+    ex = idx < big
+    t_raw = (idx.astype(jnp.float32) + 1.0) * dt
+    d_s = jnp.where(ex, jnp.exp(-r * t_raw), 0.0)
+    t_s = jnp.where(ex, t_raw, 0.0)
+    k = jnp.max(pol[3, :]) if strike is None else strike
 
     s_stop = jnp.exp(ls_s)
     sgn = 1.0 if is_call else -1.0
-    p = sgn * (s_stop - strike)
+    p = sgn * (s_stop - k)
     act = (d_s > 0.0) & (p > 0.0)
-    pv = jnp.where(act, d_s * p, 0.0)            # discounted payoff
+    pv = jnp.where(act, d_s * p, 0.0)                # discounted payoff
     base = jnp.where(act, d_s * sgn * s_stop, 0.0)   # d * p'(S) * S
-    vals = [
+    return [
         jnp.sum(pv),                                     # price
         jnp.sum(base) * (1.0 / s0),                      # delta
         jnp.sum(base * cb_s) * (1.0 / (2.0 * xi)),       # vega_xi
@@ -576,11 +622,42 @@ def _greeks_body(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, pol_ref,
         jnp.sum(t_s * (base - pv)),                      # rho_rate
         jnp.sum(base * ch_s),                            # vega_h
     ]
+
+
+def _chain_greeks_body(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref,
+                       pol_ref, out_ref, *, n_steps: int, s_pad: int,
+                       s0: float, xi: float, eta: float, r: float,
+                       dt: float, log_s0: float, is_call: bool,
+                       group: int):
+    """Fused whole-smile Greeks: the strike-independent tangent planes
+    (6 MXU matmuls — the block's dominant cost) are computed ONCE per
+    path block and swept by the group's policies, the Greeks analogue of
+    _chain_kernel's generation amortization.  Lane g*8 + i of the output
+    stripe holds strike g's i-th GREEK_ORDER partial sum (group <=
+    CHAIN_GROUP = 10 -> at most 80 of the 128 lanes)."""
+    planes = _tangent_planes(noise, lt_ref, dlt_ref, vd_ref, tri_ref,
+                             aux_ref, n_steps=n_steps, s_pad=s_pad,
+                             eta=eta, r=r, dt=dt, log_s0=log_s0)
     lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for i, val in enumerate(vals):
-        acc = acc + jnp.where(lane == i, val, 0.0)
+    for g in range(group):
+        vals = _greek_stop_vals(planes, pol_ref[g], is_call=is_call,
+                                s0=s0, xi=xi, r=r, dt=dt)
+        for i, val in enumerate(vals):
+            acc = acc + jnp.where(lane == g * 8 + i, val, 0.0)
     out_ref[...] = acc
+
+
+def _chain_greeks_kernel(seed_ref, *refs, block_paths: int, **kw):
+    pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
+    n, w = _normals((block_paths, kw["s_pad"]))
+    _chain_greeks_body((n, w), *refs, **kw)
+
+
+def _chain_greeks_kernel_noise_in(noise_ref, *refs, block_paths: int,
+                                  **kw):
+    del block_paths
+    _chain_greeks_body((noise_ref[0], noise_ref[1]), *refs, **kw)
 
 
 def _greeks_kernel(seed_ref, *refs, block_paths: int, **kw):
@@ -592,6 +669,31 @@ def _greeks_kernel(seed_ref, *refs, block_paths: int, **kw):
 def _greeks_kernel_noise_in(noise_ref, *refs, block_paths: int, **kw):
     del block_paths
     _greeks_body((noise_ref[0], noise_ref[1]), *refs, **kw)
+
+
+def _greeks_consts(n_steps: int, s_pad: int, xi, h, eta, dt, fgn_dtype):
+    """Host-side VMEM constants shared by the fused Greeks kernels:
+    (lt', dlt', vd, tri, aux) — the half-scaled Cholesky factor, its host
+    f64 dLt/dH, the half var-drift row, the cumsum triangle, and the
+    tangent rows (see _tangent_planes), each padded to [*, s_pad]."""
+    from .engine import _chol_dh_matrix_host, _chol_matrix_host
+
+    lt = _chol_matrix_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
+    dlt = _chol_dh_matrix_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
+    pad_mat = lambda m: (jnp.zeros((s_pad, s_pad), fgn_dtype)
+                         .at[:n_steps, :n_steps].set(0.5 * m))
+    vd_p = _half_var_drift(n_steps, s_pad, xi, h, eta, dt)
+    tri = np.triu(np.ones((s_pad, s_pad), np.float32))
+    tri[n_steps:, :] = 0.0
+    # Host tangent rows (see _tangent_planes): de, dh.
+    td = np.arange(n_steps, dtype=np.float64) * dt        # drift times
+    t2h = td ** (2.0 * h)
+    lnt = np.where(td > 0, np.log(np.maximum(td, 1e-300)), 0.0)
+    aux = np.zeros((8, s_pad), np.float32)
+    aux[1, :n_steps] = -0.5 * eta * t2h
+    aux[2, :n_steps] = -0.5 * (eta * eta) * t2h * lnt
+    return pad_mat(lt), pad_mat(dlt), vd_p, jnp.asarray(tri), \
+        jnp.asarray(aux)
 
 
 def make_pallas_greeks_chunk(s0, xi, h, eta, rho, r, strike, maturity,
@@ -615,27 +717,8 @@ def make_pallas_greeks_chunk(s0, xi, h, eta, rho, r, strike, maturity,
         raise ValueError("n_steps too large for the fused Greeks kernel")
     _check_block_budget(n_steps, block_paths, "spectral")
     s_pad = _round_up(n_steps, LANE)
-
-    from .engine import _chol_dh_matrix_host, _chol_matrix_host
-
-    lt = _chol_matrix_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
-    dlt = _chol_dh_matrix_host(n_steps, h, eta, dt, jnp.dtype(fgn_dtype))
-    pad_mat = lambda m: (jnp.zeros((s_pad, s_pad), fgn_dtype)
-                         .at[:n_steps, :n_steps].set(0.5 * m))
-    lt_p, dlt_p = pad_mat(lt), pad_mat(dlt)
-    vd_p = _half_var_drift(n_steps, s_pad, xi, h, eta, dt)
-    tri = np.triu(np.ones((s_pad, s_pad), np.float32))
-    tri[n_steps:, :] = 0.0
-    tri_p = jnp.asarray(tri)
-    # Host tangent rows (see _greeks_body): discount times, de, dh.
-    td = np.arange(n_steps, dtype=np.float64) * dt        # drift times
-    t2h = td ** (2.0 * h)
-    lnt = np.where(td > 0, np.log(np.maximum(td, 1e-300)), 0.0)
-    aux = np.zeros((8, s_pad), np.float32)
-    aux[0, :n_steps] = np.arange(1, n_steps + 1, dtype=np.float64) * dt
-    aux[1, :n_steps] = -0.5 * eta * t2h
-    aux[2, :n_steps] = -0.5 * (eta * eta) * t2h * lnt
-    aux_p = jnp.asarray(aux)
+    lt_p, dlt_p, vd_p, tri_p, aux_p = _greeks_consts(
+        n_steps, s_pad, xi, h, eta, dt, fgn_dtype)
 
     kw = dict(n_steps=n_steps, s_pad=s_pad, s0=float(s0), xi=float(xi),
               eta=float(eta), r=float(r), dt=float(dt),
@@ -680,6 +763,105 @@ def make_pallas_greeks_chunk(s0, xi, h, eta, rho, r, strike, maturity,
             first = _as_seed_words(seed_or_noise)
         out = call(first, lt_p, dlt_p, vd_p, tri_p, aux_p, rows)
         return jnp.sum(out[::8, :6], axis=0)
+
+    return chunk_sums, s_pad
+
+
+def make_pallas_chain_greeks_chunk(s0, xi, h, eta, rho, r, strikes,
+                                   maturity, dt: float, n_steps: int,
+                                   chunk_paths: int,
+                                   block_paths: int = 256,
+                                   is_call: bool = False,
+                                   interpret: bool = False,
+                                   noise_input: bool = False,
+                                   fgn_dtype=jnp.float32):
+    """Fused whole-smile streaming Greeks unit: (seed, policy tables
+    [K, 8, s_pad]) -> [6, K] chunk partial sums in GREEK_ORDER, sharing
+    each in-VMEM path block AND its tangent planes (the 6 MXU matmuls of
+    _tangent_planes — the dominant per-block cost) across the strike
+    strip.  Tables are log_boundary_rows(boundary_rows(...)) per strike,
+    stacked on a leading axis; the strike rides each table's disc*strike
+    row, so fresh strips reuse the compiled kernel.
+
+    Grouping mirrors make_pallas_priced_chain: the strip is swept in
+    groups of CHAIN_GROUP strikes, one fused pass per group, REUSING the
+    seed so every group regenerates bitwise-identical paths and tangent
+    planes — K strikes cost ceil(K / CHAIN_GROUP) fused Greeks passes
+    with the per-strike marginal a pure VPU sweep (7 one-hot reductions
+    + the interval test).  Chol fGN form + log-boundary policy only,
+    like make_pallas_greeks_chunk; the XLA jvp stream remains the
+    general fallback."""
+    n_k = int(strikes) if isinstance(strikes, int) else len(strikes)
+    if chunk_paths % block_paths:
+        raise ValueError("chunk_paths must divide by block_paths")
+    if not noise_input and block_paths % 16:
+        raise ValueError("block_paths must divide by 16 for in-kernel RNG")
+    # Lt' + dLt' resident -> the spectral byte model, which also matches
+    # the chain kernel's conservative 512-step cap (VERIFY_r03 §11).
+    if not supports(n_steps, "spectral"):
+        raise ValueError(
+            "n_steps too large for the fused chain Greeks kernel")
+    _check_block_budget(n_steps, block_paths, "spectral")
+    s_pad = _round_up(n_steps, LANE)
+    group = min(n_k, CHAIN_GROUP)
+    n_g = -(-n_k // group)
+    k_tab = n_g * group
+    consts = _greeks_consts(n_steps, s_pad, xi, h, eta, dt, fgn_dtype)
+
+    kw = dict(n_steps=n_steps, s_pad=s_pad, s0=float(s0), xi=float(xi),
+              eta=float(eta), r=float(r), dt=float(dt),
+              log_s0=float(math.log(s0)), is_call=bool(is_call),
+              group=group, block_paths=block_paths)
+    body = (_chain_greeks_kernel_noise_in if noise_input
+            else _chain_greeks_kernel)
+    kernel = functools.partial(body, **kw)
+    grid_n = chunk_paths // block_paths
+    first_spec = (
+        pl.BlockSpec((2, block_paths, s_pad), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM) if noise_input
+        else pl.BlockSpec(memory_space=pltpu.SMEM))
+    mat_spec = pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(grid_n,),
+        in_specs=[
+            first_spec,                                     # seed or noise
+            mat_spec,                                       # Lt' (chol)
+            mat_spec,                                       # dLt'/dh
+            pl.BlockSpec((1, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # half var drift
+            mat_spec,                                       # cumsum tri
+            pl.BlockSpec((8, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # tangent rows
+            pl.BlockSpec((group, 8, s_pad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),          # group's tables
+        ],
+        out_specs=pl.BlockSpec((8, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+
+    def chunk_sums(seed_or_noise, tables) -> jax.Array:
+        """[6, K] partial sums for the chunk; ``tables`` is [K, 8, s_pad]
+        of log_boundary_rows(boundary_rows(...))."""
+        if noise_input:
+            first = seed_or_noise.astype(jnp.float32)
+        else:
+            first = _as_seed_words(seed_or_noise)
+        if k_tab > n_k:
+            pad = jnp.broadcast_to(tables[-1:],
+                                   (k_tab - n_k, *tables.shape[1:]))
+            tables = jnp.concatenate([tables, pad])
+        vals = []
+        for g in range(n_g):
+            out = call(first, *consts, tables[g * group:(g + 1) * group])
+            # Stripe rows collapse across grid blocks; lane g*8 + i is
+            # strike g's i-th output (see _chain_greeks_body).
+            sums = jnp.sum(out[::8], axis=0)
+            vals.append(sums.reshape(LANE // 8, 8)[:group, :6])
+        return jnp.concatenate(vals)[:n_k].T
 
     return chunk_sums, s_pad
 
@@ -946,7 +1128,9 @@ def boundary_rows(fits, r, strike, maturity, dt, n_steps: int,
       2: disc * strike (the exercise value is row2 - disc*S for puts)
       3: discount exp(-r t) (shared across strikes — the kernel hoists
          the disc*S plane once per strike strip)
-      4-7: zero (layout padding to the [8, s_pad] table shape)
+      4: the strike, replicated across all columns (read by the chain
+         Greeks kernel via log_boundary_rows, as a row max)
+      5-7: zero (layout padding to the [8, s_pad] table shape)
 
     Exactness vs the quadratic form: decisions agree except (a) within
     f32 rounding of the roots (the quadratic's own f32 evaluation
@@ -1047,8 +1231,9 @@ def boundary_rows(fits, r, strike, maturity, dt, n_steps: int,
         hi_row = jnp.minimum(set_hi, cap)
 
     zeros = jnp.zeros((s_pad,), dtf)
+    strike_row = jnp.broadcast_to(strike, (s_pad,))
     return jnp.stack([lo_row, hi_row, disc * strike, disc,
-                      zeros, zeros, zeros, zeros])
+                      strike_row, zeros, zeros, zeros])
 
 
 def boundary_policy_value(paths, table, n_steps: int, is_call: bool):

@@ -150,6 +150,116 @@ def test_fused_greeks_match_jvp_stream_on_chip():
         assert abs(a - b) < tol, (name, a, b, ea, eb)
 
 
+def _chain_fits_and_tables(key, strikes):
+    """Shared pilot -> per-strike (fits, log-boundary tables), the chain
+    pricer's exact table pipeline."""
+    pilot = engine.make_chunk_pathgen(**MKT, n_steps=N_STEPS, dt=DT,
+                                      chunk_paths=1 << 11)(key)
+
+    def one(strike):
+        _, fits = lsm_fit(pilot, MKT["r"], strike, MATURITY, DT, IS_CALL, 2)
+        return fits
+
+    fits = jax.vmap(one)(jnp.asarray(strikes))
+    tables = jax.vmap(
+        lambda fit, strike: pathgen_pallas.log_boundary_rows(
+            pathgen_pallas.boundary_rows(fit, MKT["r"], strike, MATURITY,
+                                         DT, N_STEPS, IS_CALL)))(
+        fits, jnp.asarray(strikes, jnp.float32))
+    return fits, tables
+
+
+@pytest.mark.parametrize("strikes", [[94.0, 99.0, 104.0],
+                                     list(np.linspace(88.0, 112.0, 13))])
+def test_fused_chain_greeks_match_single_strike_kernel(rng, strikes):
+    """The chain Greeks kernel's per-strike columns equal the
+    single-strike fused Greeks kernel on the SAME injected noise: the
+    tangent planes are shared by construction, and the epilogues differ
+    only in f32 rounding (the chain recovers d*payoff from the table's
+    disc*strike row; the single-strike kernel bakes the strike).  The
+    13-strike case exercises grouping (two kernel passes over regenerated
+    planes) and the partial-group table padding."""
+    chunk = 128
+    chain, s_pad = pathgen_pallas.make_pallas_chain_greeks_chunk(
+        **MKT, strikes=len(strikes), maturity=MATURITY, dt=DT,
+        n_steps=N_STEPS, chunk_paths=chunk, block_paths=64,
+        is_call=IS_CALL, interpret=True, noise_input=True)
+    noise = np.zeros((2, chunk, s_pad), np.float32)
+    noise[:, :, :N_STEPS] = rng.standard_normal((2, chunk, N_STEPS))
+    noise = jnp.asarray(noise)
+    _, tables = _chain_fits_and_tables(jax.random.key(1), strikes)
+    got = np.asarray(chain(noise, tables))
+    assert got.shape == (6, len(strikes))
+
+    for j, k in enumerate(strikes):
+        single, _ = pathgen_pallas.make_pallas_greeks_chunk(
+            **MKT, strike=k, maturity=MATURITY, dt=DT, n_steps=N_STEPS,
+            chunk_paths=chunk, block_paths=64, is_call=IS_CALL,
+            interpret=True, noise_input=True)
+        want = np.asarray(single(noise, tables[j]))
+        scale = np.maximum(np.abs(want), 1e-3 * np.max(np.abs(want)))
+        assert np.all(np.abs(got[:, j] - want) / scale < 1e-4), (
+            k, got[:, j], want)
+
+
+def test_fused_chain_greeks_engine_path_selected():
+    """StreamingChainPricer exposes the fused chain Greeks machinery
+    exactly on the eligible configuration (the fused chain price
+    configuration with the boundary policy in the chol form)."""
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strikes=[98.0, 102.0], maturity=32 / 252.0,
+                  is_call=False)
+    base = dict(n_paths=1 << 12, n_steps=32, chunk_paths=1 << 10,
+                pilot_paths=1 << 10)
+    p = engine.StreamingChainPricer(
+        **kwargs, config=engine.StreamConfig(**base,
+                                             pathgen_impl="pallas"))
+    assert p._fused_greek_stream is not None
+    for bad in (dict(pathgen_impl="xla"),
+                dict(pathgen_impl="pallas", chain_policy_form="quadratic"),
+                dict(pathgen_impl="pallas", fgn_form="spectral"),
+                dict(pathgen_impl="pallas", qmc=True)):
+        p = engine.StreamingChainPricer(
+            **kwargs, config=engine.StreamConfig(**base, **bad))
+        assert p._fused_greek_stream is None, bad
+    bucketed = engine.StreamingChainPricer(
+        **kwargs, config=engine.StreamConfig(**base,
+                                             pathgen_impl="pallas"),
+        bucketed=True)
+    assert bucketed._fused_greek_stream is None
+
+
+def test_fused_chain_greeks_match_single_strike_on_chip():
+    """Engine-level agreement on the real TPU: the fused chain
+    price_and_greeks equals per-strike fused StreamingPricer
+    price_and_greeks with the same key — identical pilot (the chain fit
+    vmaps the same lsm_fit over the same pilot paths), identical
+    in-kernel noise (same (seed, block) PRNG keying, same block size),
+    so every column agrees to the epilogues' f32 rounding."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("requires a real TPU for in-kernel PRNG")
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  maturity=48 / 252.0, is_call=False)
+    cfg = engine.StreamConfig(n_paths=1 << 15, n_steps=48,
+                              chunk_paths=1 << 13, pilot_paths=1 << 12,
+                              pathgen_impl="pallas")
+    strikes = [96.0, 100.0, 104.0]
+    chain = engine.StreamingChainPricer(**kwargs, strikes=strikes,
+                                        config=cfg)
+    assert chain._fused_greek_stream is not None
+    g, se = chain.price_and_greeks(jax.random.key(5), with_stderr=True)
+    assert np.all(np.isfinite(g)) and np.all(np.isfinite(se))
+    for j, k in enumerate(strikes):
+        single = engine.StreamingPricer(**kwargs, strike=k, config=cfg)
+        assert single._fused_greek_stream is not None
+        gs = np.asarray(single.price_and_greeks(jax.random.key(5)))
+        scale = np.maximum(np.abs(gs), 1e-3 * np.max(np.abs(gs)))
+        assert np.all(np.abs(g[:, j] - gs) / scale < 1e-3), (
+            k, g[:, j], gs)
+    # Monotone put smile sanity on the fused path.
+    assert g[0, 0] < g[0, 1] < g[0, 2]
+
+
 def test_chain_greeks_match_per_strike_stream():
     """StreamingChainPricer.price_and_greeks == per-strike
     StreamingPricer.price_and_greeks on the XLA path: with the same key,
