@@ -158,6 +158,11 @@ def main() -> None:
                                   "BENCH_FGN_FORM", "auto"),
                               policy_form=os.environ.get(
                                   "BENCH_POLICY", "boundary"),
+                              # A/B only: pairing changes the sample's
+                              # joint law (see StreamConfig.antithetic),
+                              # so the headline stays plain MC.
+                              antithetic=os.environ.get(
+                                  "BENCH_ANTITHETIC") == "1",
                               fgn_matmul_dtype=os.environ.get(
                                   "BENCH_FGN_DTYPE", default_fgn))
     pricer = engine.StreamingPricer(S0, XI, H, ETA, RHO, R, STRIKE,

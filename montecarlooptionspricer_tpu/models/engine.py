@@ -141,6 +141,21 @@ class StreamConfig:
     # semantics, the r02 form).  Decision differences are the same
     # one-ulp root-band class as chain_policy_form's.
     policy_form: str = "boundary"
+    # Antithetic pairing inside the fused single-tile priced kernel:
+    # each chunk prices chunk_paths/2 pairs (N, W) / (-N, -W) — every
+    # path's marginal law is exactly the standard one (standard normals
+    # are symmetric), from HALF the Box-Muller draws (the kernel's
+    # measured VPU transcendental bound), with pair members negatively
+    # correlated (the classic variance reduction for monotone payoffs).
+    # Chunk totals stay iid, so the streamed stderr remains exact and
+    # automatically reflects the reduction.  Requires the fused
+    # single-tile boundary configuration (pathgen_impl="pallas",
+    # fuse_policy, poly_order 2, policy_form="boundary", no QMC);
+    # anything else rejects loudly at construction.  OFF by default:
+    # the plain-MC estimator is the reference-parity default, and
+    # pairing changes the sample's joint law (dependence within pairs)
+    # even though each path's law and the estimator's mean do not move.
+    antithetic: bool = False
     # Chunks per device program: the chunk loop runs as an on-device
     # fori_loop, so host<->device round-trips happen once per
     # `chunks_per_call` chunks, not per chunk (the axon-tunnel dispatch
@@ -1073,6 +1088,18 @@ class StreamingPricer:
 
         self._cv = bool(config.control_variate)
         self._s0 = float(s0)
+        if config.antithetic and not (
+                pathgen_impl == "pallas" and tiled is None
+                and config.fuse_policy and config.poly_order == 2
+                and config.policy_form == "boundary"):
+            # Loud rejection: the pairing only exists inside the fused
+            # single-tile log-boundary body; silently streaming plain MC
+            # under an antithetic config would misreport the estimator.
+            raise ValueError(
+                "antithetic=True requires the fused single-tile boundary "
+                "configuration (pathgen_impl='pallas', fuse_policy, "
+                "poly_order=2, policy_form='boundary', n_steps within "
+                "the single-tile VMEM cap, no QMC)")
         if self._cv:
             from ..ops.reductions import global_mean, psum_if
 
@@ -1135,7 +1162,8 @@ class StreamingPricer:
                     block_paths=_fused_block(config, n_steps),
                     is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True,
                     fgn_form=_resolve_fgn_form(config),
-                    policy_form=config.policy_form)
+                    policy_form=config.policy_form,
+                    antithetic=config.antithetic)
             make_rows_cv = _fused_rows_builder(config, tiled, r, strike,
                                                maturity, dt, n_steps,
                                                is_call)
@@ -1190,7 +1218,8 @@ class StreamingPricer:
                     block_paths=_fused_block(config, n_steps),
                     is_call=is_call, fgn_dtype=fgn_dtype,
                     fgn_form=_resolve_fgn_form(config),
-                    policy_form=config.policy_form)
+                    policy_form=config.policy_form,
+                    antithetic=config.antithetic)
             make_rows = _fused_rows_builder(config, tiled, r, strike,
                                             maturity, dt, n_steps, is_call)
 
@@ -1494,6 +1523,11 @@ class StreamingPricer:
         (_chunk_stderr caveats apply), so the MC noise on each end of the
         bracket is distinguishable from the duality gap itself."""
         config = self.config
+        if config.antithetic:
+            raise ValueError(
+                "price_with_bounds streams through the generic path "
+                "stream (the dual side needs whole paths), which has no "
+                "antithetic pairing; use antithetic=False for bounds")
         if n_paths is None:
             n_paths = config.n_paths
         per_step = config.chunk_paths * self.n_dev
@@ -1550,6 +1584,11 @@ class StreamingPricer:
         them at one FMA per output per chunk.  No reference
         equivalent."""
         config = self.config
+        if config.antithetic:
+            raise ValueError(
+                "price_and_greeks has no antithetic pairing (neither the "
+                "fused tangents nor the jvp stream implement it); use "
+                "antithetic=False for Greeks")
         if n_paths is None:
             n_paths = config.n_paths
         n_chunks, rem = divmod(n_paths, config.chunk_paths * self.n_dev)
@@ -1675,6 +1714,11 @@ class StreamingChainPricer:
                 "(no control sums), and silently returning plain-MC stderrs "
                 "would misattribute the missing variance reduction.  Use "
                 "StreamingPricer per strike for CV estimates.")
+        if config.antithetic:
+            raise ValueError(
+                "antithetic is not supported by the chain pricer (the "
+                "K-strike kernels draw full blocks); use StreamingPricer "
+                "per strike for antithetic estimates")
         if config.qmc or bucketed:
             pathgen_impl = "xla"  # see StreamingPricer: QMC is XLA-only
         if pathgen_impl == "pallas":

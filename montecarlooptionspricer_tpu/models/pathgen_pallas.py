@@ -441,24 +441,30 @@ def _store_priced(out_ref, s, val, cv_disc, n_steps: int):
                     + jnp.where(lane == 1, cv, 0.0))
 
 
-def _store_priced_log(out_ref, ls, val, cv_disc, n_steps: int):
-    """_store_priced on the LOG price plane: the martingale-control sum
-    extracts the terminal log price per path (one-hot masked row
-    reduction) and pays exp once per path instead of once per cell."""
-    if cv_disc is None:
-        out_ref[...] = jnp.full(out_ref.shape, val, jnp.float32)
-        return
+def _cv_log_sum(ls, cv_disc, n_steps: int):
+    """Martingale-control partial sum from the LOG price plane: the
+    terminal log price per path comes from a one-hot masked row
+    reduction, so exp runs once per path instead of once per cell."""
     scol = jax.lax.broadcasted_iota(jnp.int32, ls.shape, 1)
     ls_t = jnp.sum(jnp.where(scol == n_steps - 1, ls, 0.0), axis=1,
                    keepdims=True)
-    cv = cv_disc * jnp.sum(jnp.exp(ls_t))
+    return cv_disc * jnp.sum(jnp.exp(ls_t))
+
+
+def _store_priced_log(out_ref, val, cv):
+    """_store_priced's lane layout for the log-plane body: lane 0 = the
+    policy payoff sum, lane 1 = the control sum (when ``cv`` is not
+    None, see _cv_log_sum)."""
+    if cv is None:
+        out_ref[...] = jnp.full(out_ref.shape, val, jnp.float32)
+        return
     lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
     out_ref[...] = (jnp.where(lane == 0, val, 0.0)
                     + jnp.where(lane == 1, cv, 0.0))
 
 
 def _priced_body(noise, *refs, is_call: bool, strike: float, cv_disc,
-                 policy_form: str, **kw):
+                 policy_form: str, antithetic: bool = False, **kw):
     """Shared body of the fused priced kernels: paths + policy + store.
 
     policy_form="log_boundary" (the engine's default via StreamConfig.
@@ -466,14 +472,34 @@ def _priced_body(noise, *refs, is_call: bool, strike: float, cv_disc,
     no per-cell exp, no strict-upper matmul (the first-exercise step
     comes from a min-index reduction); "quadratic" is the cell-level
     quadratic on the S plane (the r02 form, kept for A/B and direct
-    callers)."""
+    callers).
+
+    ``antithetic=True`` (log_boundary only): ``noise`` carries HALF the
+    block's rows and the body prices both (N, W) and (-N, -W) — each
+    member's path law is exactly the standard one (standard normals are
+    symmetric), so the block's payoff sum covers block_paths paths from
+    half the Box-Muller draws (the kernel's measured VPU bound), with
+    pair members negatively correlated (the classic variance
+    reduction)."""
     if policy_form == "log_boundary":
         *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
-        ls = _logpaths_from_noise(*noise, *_mats2(mats), vd_ref, tri_ref,
-                                  **kw)
-        val = _policy_value_log_boundary(ls, pol_ref, is_call=is_call,
-                                         strike=strike)
-        _store_priced_log(out_ref, ls, val, cv_disc, kw["n_steps"])
+
+        def eval_plane(nz):
+            ls = _logpaths_from_noise(*nz, *_mats2(mats), vd_ref,
+                                      tri_ref, **kw)
+            val = _policy_value_log_boundary(ls, pol_ref, is_call=is_call,
+                                             strike=strike)
+            cv = (None if cv_disc is None
+                  else _cv_log_sum(ls, cv_disc, kw["n_steps"]))
+            return val, cv
+
+        val, cv = eval_plane(noise)
+        if antithetic:
+            zr, zi, w = noise
+            v2, c2 = eval_plane((-zr, None if zi is None else -zi, -w))
+            val = val + v2
+            cv = None if cv is None else cv + c2
+        _store_priced_log(out_ref, val, cv)
     else:
         *mats, vd_ref, tri_ref, su_ref, pol_ref, out_ref = refs
         s = _paths_from_noise(*noise, *_mats2(mats), vd_ref, tri_ref, **kw)
@@ -484,25 +510,32 @@ def _priced_body(noise, *refs, is_call: bool, strike: float, cv_disc,
 
 def _priced_kernel(seed_ref, *refs, block_paths: int, is_call: bool,
                    strike: float, cv_disc=None, fgn_form: str = "spectral",
-                   policy_form: str = "quadratic", **kw):
+                   policy_form: str = "quadratic",
+                   antithetic: bool = False, **kw):
     """Fully fused kernel: RNG + paths + LSM policy value, emitting ONE
     partial sum per grid block — path data never leaves VMEM.  With
     cv_disc, also emits the martingale-control partial sum so the control
-    variate rides the fused kernel instead of the generic path stream."""
+    variate rides the fused kernel instead of the generic path stream.
+    With antithetic, half the rows are drawn and the pair (noise, -noise)
+    prices the full block (see _priced_body)."""
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
-    noise = _draw_planes(block_paths, kw["s_pad"], fgn_form)
+    rows = block_paths // 2 if antithetic else block_paths
+    noise = _draw_planes(rows, kw["s_pad"], fgn_form)
     _priced_body(noise, *refs, is_call=is_call, strike=strike,
-                 cv_disc=cv_disc, policy_form=policy_form, **kw)
+                 cv_disc=cv_disc, policy_form=policy_form,
+                 antithetic=antithetic, **kw)
 
 
 def _priced_kernel_noise_in(noise_ref, *refs, block_paths: int,
                             is_call: bool, strike: float, cv_disc=None,
                             fgn_form: str = "spectral",
-                            policy_form: str = "quadratic", **kw):
+                            policy_form: str = "quadratic",
+                            antithetic: bool = False, **kw):
     """Test variant of the fused kernel with injected noise planes."""
     noise = _noise_planes(noise_ref, fgn_form)
     _priced_body(noise, *refs, is_call=is_call, strike=strike,
-                 cv_disc=cv_disc, policy_form=policy_form, **kw)
+                 cv_disc=cv_disc, policy_form=policy_form,
+                 antithetic=antithetic, **kw)
 
 
 def _greeks_body(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, pol_ref,
@@ -1277,7 +1310,8 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                              fgn_dtype=jnp.float32,
                              with_cv: bool = False,
                              fgn_form: str = "spectral",
-                             policy_form: str = "quadratic"):
+                             policy_form: str = "quadratic",
+                             antithetic: bool = False):
     """Fully fused streaming unit: (seed, policy table) -> chunk payoff
     sum under the fitted exercise policy.  Paths live and die in VMEM;
     HBM traffic is one float per grid block.
@@ -1291,9 +1325,22 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
     with_cv=True additionally returns the martingale-control partial sum
     sum(e^{-r T} S_T) per chunk (engine.martingale_control semantics), so
     StreamConfig(control_variate=True) keeps the fused kernel instead of
-    falling back to the ~2x slower generic path stream."""
+    falling back to the ~2x slower generic path stream.
+
+    antithetic=True prices each chunk as chunk_paths/2 antithetic pairs
+    — every path's marginal law is unchanged, half the Box-Muller draws
+    (the kernel's measured VPU transcendental bound), pairwise-negative
+    payoff correlation (see _priced_body).  Boundary policy form only;
+    injected noise then carries chunk_paths/2 rows per plane."""
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
+    if antithetic and policy_form != "boundary":
+        raise ValueError("antithetic requires policy_form='boundary' "
+                         "(the log-plane fused body)")
+    if antithetic and block_paths % 32:
+        raise ValueError("antithetic needs block_paths % 32 == 0 (half "
+                         "the rows are drawn, and the Box-Muller row "
+                         "slices must stay sublane-aligned)")
     if not noise_input and block_paths % 16:
         raise ValueError("block_paths must divide by 16 for in-kernel RNG")
     if not supports(n_steps, fgn_form):
@@ -1334,14 +1381,16 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
               dt=float(dt), log_s0=float(math.log(s0)),
               block_paths=block_paths, is_call=bool(is_call),
               strike=float(strike), fgn_form=fgn_form,
-              policy_form="log_boundary" if log_boundary else "quadratic")
+              policy_form="log_boundary" if log_boundary else "quadratic",
+              antithetic=bool(antithetic))
     if with_cv:
         kw["cv_disc"] = float(math.exp(-r * n_steps * dt))
     body = _priced_kernel_noise_in if noise_input else _priced_kernel
     kernel = functools.partial(body, **kw)
     grid_n = chunk_paths // block_paths
+    noise_rows = block_paths // 2 if antithetic else block_paths
     first_spec = (
-        pl.BlockSpec((n_planes(fgn_form), block_paths, s_pad),
+        pl.BlockSpec((n_planes(fgn_form), noise_rows, s_pad),
                      lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
