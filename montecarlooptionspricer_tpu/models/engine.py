@@ -148,9 +148,12 @@ class StreamConfig:
     # measured VPU transcendental bound), with pair members negatively
     # correlated (the classic variance reduction for monotone payoffs).
     # Chunk totals stay iid, so the streamed stderr remains exact and
-    # automatically reflects the reduction.  Requires the fused
-    # single-tile boundary configuration (pathgen_impl="pallas",
-    # fuse_policy, poly_order 2, policy_form="boundary", no QMC);
+    # automatically reflects the reduction.  The fGN map is linear in the
+    # noise, so the pair also shares ONE fGN matmul (the partner's plane
+    # is its negation) — at long horizons (the slab kernel) that halves
+    # the O(s_pad^2)-per-path MXU bound too.  Requires a fused boundary
+    # configuration (pathgen_impl="pallas", fuse_policy, poly_order 2,
+    # policy_form="boundary", no QMC) on the single-tile or slab kernel;
     # anything else rejects loudly at construction.  OFF by default:
     # the plain-MC estimator is the reference-parity default, and
     # pairing changes the sample's joint law (dependence within pairs)
@@ -518,6 +521,12 @@ def _tiled_maker_kwargs(tiled, config: "StreamConfig",
     kw = {"policy_form": config.policy_form} if priced else {}
     if tiled is pathgen_pallas_tiled:
         kw["fgn_form"] = _resolve_fgn_form(config)
+        if priced:
+            # The slab kernel implements antithetic pairing (the factored
+            # DFT does not — eligibility is enforced at StreamingPricer
+            # construction, so a factored resolve never reaches here with
+            # antithetic set).
+            kw["antithetic"] = config.antithetic
     return kw
 
 
@@ -1088,18 +1097,23 @@ class StreamingPricer:
 
         self._cv = bool(config.control_variate)
         self._s0 = float(s0)
+        from . import pathgen_pallas_tiled as _slab_mod
+
         if config.antithetic and not (
-                pathgen_impl == "pallas" and tiled is None
+                pathgen_impl == "pallas"
+                and (tiled is None or tiled is _slab_mod)
                 and config.fuse_policy and config.poly_order == 2
                 and config.policy_form == "boundary"):
             # Loud rejection: the pairing only exists inside the fused
-            # single-tile log-boundary body; silently streaming plain MC
-            # under an antithetic config would misreport the estimator.
+            # log-boundary bodies (single-tile and slab); silently
+            # streaming plain MC under an antithetic config would
+            # misreport the estimator.
             raise ValueError(
-                "antithetic=True requires the fused single-tile boundary "
-                "configuration (pathgen_impl='pallas', fuse_policy, "
-                "poly_order=2, policy_form='boundary', n_steps within "
-                "the single-tile VMEM cap, no QMC)")
+                "antithetic=True requires a fused boundary configuration "
+                "(pathgen_impl='pallas', fuse_policy, poly_order=2, "
+                "policy_form='boundary', no QMC) on the single-tile or "
+                "slab kernel (the factored-DFT long-horizon kernel has "
+                "no pairing)")
         if self._cv:
             from ..ops.reductions import global_mean, psum_if
 

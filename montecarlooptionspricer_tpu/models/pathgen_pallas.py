@@ -134,22 +134,36 @@ def _logpaths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref, *,
     eliminating the sqrt(v) transcendental and the max(v, 0) clamp per
     cell (exp is positive by construction).  Multiplication by 0.5 is
     exact in binary floating point, so the computed map is identical."""
-    del xi  # folded into vd_ref as ln(xi)/2 (half-scaled constants)
-    block = zr.shape[0]
-    # fGN via MXU: X = Zr @ Cr - Zi @ Ci (padded cols of C are zero, so the
-    # padded tail of Z is annihilated in the products' valid columns).
-    # The spectral matrices' dtype drives the matmul precision: bf16 inputs
-    # with f32 accumulation run ~2x faster on the MXU, adding ~0.4% relative
-    # noise to X — far below MC noise at any realistic path count.
-    if zi is None:
-        x = jnp.dot(zr.astype(cr_ref.dtype), cr_ref[:],
-                    preferred_element_type=jnp.float32)
-    else:
-        x = (jnp.dot(zr.astype(cr_ref.dtype), cr_ref[:],
-                     preferred_element_type=jnp.float32)
-             - jnp.dot(zi.astype(ci_ref.dtype), ci_ref[:],
-                       preferred_element_type=jnp.float32))
+    return _logpaths_from_x(
+        _fgn_x(zr, zi, cr_ref, ci_ref), w, vd_ref, tri_ref,
+        n_steps=n_steps, s_pad=s_pad, xi=xi, r=r, dt=dt, log_s0=log_s0)
 
+
+def _fgn_x(zr, zi, cr_ref, ci_ref):
+    """The half-scaled fGN plane from the driver noise — the linear stage
+    of _logpaths_from_noise.  fGN via MXU: X = Zr @ Cr - Zi @ Ci (padded
+    cols of C are zero, so the padded tail of Z is annihilated in the
+    products' valid columns); X = N @ Lt for the chol form (zi None).
+    The matrices' dtype drives the matmul precision: bf16 inputs with f32
+    accumulation run ~2x faster on the MXU, adding ~0.4% relative noise
+    to X — far below MC noise at any realistic path count.  Linearity is
+    the antithetic kernels' lever: the partner's plane is -X, so the
+    matmul is computed once per pair."""
+    if zi is None:
+        return jnp.dot(zr.astype(cr_ref.dtype), cr_ref[:],
+                       preferred_element_type=jnp.float32)
+    return (jnp.dot(zr.astype(cr_ref.dtype), cr_ref[:],
+                    preferred_element_type=jnp.float32)
+            - jnp.dot(zi.astype(ci_ref.dtype), ci_ref[:],
+                      preferred_element_type=jnp.float32))
+
+
+def _logpaths_from_x(x, w, vd_ref, tri_ref, *, n_steps: int, s_pad: int,
+                     xi: float, r: float, dt: float, log_s0: float):
+    """The nonlinear stage of _logpaths_from_noise: variance curve + Euler
+    accumulation from an already-materialized fGN plane ``x``."""
+    del xi  # folded into vd_ref as ln(xi)/2 (half-scaled constants)
+    block = x.shape[0]
     sv = jnp.exp(x + vd_ref[:])            # sqrt of the forward variance
     v = sv * sv
     inc = (r - 0.5 * v) * dt + sv * (w * math.sqrt(dt))
@@ -479,26 +493,22 @@ def _priced_body(noise, *refs, is_call: bool, strike: float, cv_disc,
     member's path law is exactly the standard one (standard normals are
     symmetric), so the block's payoff sum covers block_paths paths from
     half the Box-Muller draws (the kernel's measured VPU bound), with
-    pair members negatively correlated (the classic variance
-    reduction)."""
+    pair members negatively correlated (the classic variance reduction).
+    The fGN map is LINEAR in the noise, so the partner's plane is -X:
+    the [rows, s_pad] fGN matmul runs once per pair (see _fgn_x), member
+    planes stacked as block halves through the shared nonlinear stage."""
     if policy_form == "log_boundary":
         *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
-
-        def eval_plane(nz):
-            ls = _logpaths_from_noise(*nz, *_mats2(mats), vd_ref,
-                                      tri_ref, **kw)
-            val = _policy_value_log_boundary(ls, pol_ref, is_call=is_call,
-                                             strike=strike)
-            cv = (None if cv_disc is None
-                  else _cv_log_sum(ls, cv_disc, kw["n_steps"]))
-            return val, cv
-
-        val, cv = eval_plane(noise)
+        zr, zi, w = noise
+        x = _fgn_x(zr, zi, *_mats2(mats))
         if antithetic:
-            zr, zi, w = noise
-            v2, c2 = eval_plane((-zr, None if zi is None else -zi, -w))
-            val = val + v2
-            cv = None if cv is None else cv + c2
+            x = jnp.concatenate([x, -x], axis=0)
+            w = jnp.concatenate([w, -w], axis=0)
+        ls = _logpaths_from_x(x, w, vd_ref, tri_ref, **kw)
+        val = _policy_value_log_boundary(ls, pol_ref, is_call=is_call,
+                                         strike=strike)
+        cv = (None if cv_disc is None
+              else _cv_log_sum(ls, cv_disc, kw["n_steps"]))
         _store_priced_log(out_ref, val, cv)
     else:
         *mats, vd_ref, tri_ref, su_ref, pol_ref, out_ref = refs

@@ -372,24 +372,40 @@ def _priced_refs_layout(refs, nm, policy_form: str):
     return plane_refs, [refs[-2], refs[-1], out_ref]
 
 
+def _pair_tiles(x, w, antithetic: bool):
+    """Antithetic stacking of a step tile: the fGN map is LINEAR in the
+    driver noise (pathgen_pallas._fgn_x), so the partner's tile is -x —
+    the [rows, s_pad] x [s_pad, TILE] matmul AND the driver Box-Muller
+    draws run once per pair; members ride the block halves through the
+    shared nonlinear stage (their carry/stop/lsst/dst state rows are
+    disjoint, so cross-tile semantics are untouched)."""
+    if not antithetic:
+        return x, w
+    return (jnp.concatenate([x, -x], axis=0),
+            jnp.concatenate([w, -w], axis=0))
+
+
 def _tiled_priced_kernel(seed_ref, *refs, block: int, n_tiles: int,
                          fgn_dtype, is_call: bool, strike: float,
                          cv_disc=None, fgn_form: str = "spectral",
-                         policy_form: str = "quadratic", **kw):
+                         policy_form: str = "quadratic",
+                         antithetic: bool = False, **kw):
     nm = 1 if fgn_form == "chol" else 2
     mats = refs[:nm]
     plane_refs, zero_refs = _priced_refs_layout(refs, nm, policy_form)
     i, j = pl.program_id(0), pl.program_id(1)
     _seed_tile(seed_ref, i, j, n_tiles)
+    rows = block // 2 if antithetic else block
 
     @pl.when(j == 0)
     def _():
-        _fill_driver_noise(plane_refs, block, n_tiles, fgn_dtype)
+        _fill_driver_noise(plane_refs, rows, n_tiles, fgn_dtype)
         for ref in zero_refs:
             ref[...] = jnp.zeros_like(ref)
 
     x = _fgn_tile([p[:] for p in plane_refs], mats)
-    w = _draw_w(block)
+    w = _draw_w(rows)
+    x, w = _pair_tiles(x, w, antithetic)
     _priced_tile_body(x, w, refs, nm, j, block=block, n_tiles=n_tiles,
                       is_call=is_call, strike=strike, cv_disc=cv_disc,
                       policy_form=policy_form, **kw)
@@ -399,7 +415,8 @@ def _tiled_priced_kernel_noise_in(noise_ref, *refs, block: int,
                                   n_tiles: int, fgn_dtype, is_call: bool,
                                   strike: float, cv_disc=None,
                                   fgn_form: str = "spectral",
-                                  policy_form: str = "quadratic", **kw):
+                                  policy_form: str = "quadratic",
+                                  antithetic: bool = False, **kw):
     nm = 1 if fgn_form == "chol" else 2
     mats = refs[:nm]
     plane_refs, zero_refs = _priced_refs_layout(refs, nm, policy_form)
@@ -414,6 +431,7 @@ def _tiled_priced_kernel_noise_in(noise_ref, *refs, block: int,
 
     x = _fgn_tile([p[:] for p in plane_refs], mats)
     w = noise_ref[nm, :, pl.ds(j * TILE, TILE)]
+    x, w = _pair_tiles(x, w, antithetic)
     _priced_tile_body(x, w, refs, nm, j, block=block, n_tiles=n_tiles,
                       is_call=is_call, strike=strike, cv_disc=cv_disc,
                       policy_form=policy_form, **kw)
@@ -501,18 +519,34 @@ def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                             fgn_dtype=jnp.float32,
                             with_cv: bool = False,
                             fgn_form: str = "spectral",
-                            policy_form: str = "quadratic"):
+                            policy_form: str = "quadratic",
+                            antithetic: bool = False):
     """Step-tiled fully fused streaming unit: (seed, policy table) ->
     chunk payoff sum under the fitted exercise policy, at ANY horizon the
     VMEM noise scratch allows (policy-table and policy_form semantics
     match pathgen_pallas.make_pallas_priced_chunk: "boundary" consumes
     log_boundary_rows tables and evaluates in LOG space — no per-cell
-    exp, no strict-upper matrix; "quadratic" consumes policy_rows)."""
+    exp, no strict-upper matrix; "quadratic" consumes policy_rows).
+
+    antithetic=True (boundary form only) prices each block as
+    block_paths/2 pairs (N, W) / (-N, -W): at long horizons this halves
+    BOTH measured bounds at once — the driver Box-Muller draws (the VPU
+    transcendental bound) and the O(s_pad^2)-per-path fGN matmul (the
+    MXU bound), since the partner's fGN tile is just -x (_pair_tiles).
+    Injected noise then carries block_paths/2 rows per plane."""
     if policy_form not in ("quadratic", "boundary"):
         raise ValueError(f"unknown policy_form {policy_form!r}")
     log_boundary = policy_form == "boundary"
+    if antithetic and not log_boundary:
+        raise ValueError("antithetic requires policy_form='boundary' "
+                         "(the log-plane tiled body)")
+    if antithetic and block_paths % 32:
+        raise ValueError("antithetic needs block_paths % 32 == 0 (half "
+                         "the rows are drawn, and the Box-Muller row "
+                         "slices must stay sublane-aligned)")
     _validate(chunk_paths, block_paths, n_steps, noise_input, fgn_dtype,
               fgn_form)
+    noise_rows = block_paths // 2 if antithetic else block_paths
     s_pad, (mats, vd_p, tri, su), kw = _consts(
         s0, xi, h, eta, rho, r, n_steps, dt, fgn_dtype, fgn_form)
     n_tiles = s_pad // TILE
@@ -527,9 +561,9 @@ def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
         fgn_dtype=jnp.dtype(fgn_dtype),
         is_call=bool(is_call), strike=float(strike), fgn_form=fgn_form,
         policy_form="log_boundary" if log_boundary else "quadratic",
-        **extra, **kw)
+        antithetic=bool(antithetic), **extra, **kw)
     first_spec = (
-        pl.BlockSpec((planes, block_paths, s_pad), lambda i, j: (0, i, 0),
+        pl.BlockSpec((planes, noise_rows, s_pad), lambda i, j: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
     mat_specs = [pl.BlockSpec((s_pad, TILE), lambda i, j: (0, j),
@@ -562,8 +596,9 @@ def make_tiled_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
         scratch_shapes=[
-            *([pltpu.VMEM((block_paths, s_pad), jnp.dtype(fgn_dtype))]
-              * (planes - 1)),                              # driver noise
+            *([pltpu.VMEM((noise_rows, s_pad), jnp.dtype(fgn_dtype))]
+              * (planes - 1)),                 # driver noise (rows/pair
+            #                                    halved under antithetic)
             pltpu.VMEM((block_paths, LANE), jnp.float32),            # carry
             pltpu.VMEM((block_paths, LANE), jnp.float32),            # stop
             *([pltpu.VMEM((block_paths, LANE), jnp.float32)]

@@ -295,9 +295,9 @@ def test_fused_priced_antithetic_matches_pair(rng):
 
 
 def test_antithetic_config_rejections():
-    """antithetic only exists inside the fused single-tile boundary body;
-    every other configuration (and every surface without the pairing)
-    rejects loudly instead of silently streaming plain MC."""
+    """antithetic only exists inside the fused boundary bodies (single-
+    tile and slab); every other configuration (and every surface without
+    the pairing) rejects loudly instead of silently streaming plain MC."""
     base = dict(n_paths=1 << 12, n_steps=32, chunk_paths=1 << 10,
                 pilot_paths=1 << 9, antithetic=True)
     kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
@@ -308,6 +308,24 @@ def test_antithetic_config_rejections():
         with pytest.raises(ValueError, match="antithetic"):
             engine.StreamingPricer(
                 **kwargs, config=engine.StreamConfig(**base, **bad))
+    # The factored-DFT long-horizon kernel has no pairing: a spectral
+    # horizon past the single-tile cap resolves to it and must reject.
+    with pytest.raises(ValueError, match="antithetic"):
+        engine.StreamingPricer(
+            s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+            strike=102.0, maturity=600 / 252.0, is_call=False,
+            config=engine.StreamConfig(
+                n_paths=1 << 12, n_steps=600, chunk_paths=1 << 10,
+                pilot_paths=1 << 9, antithetic=True,
+                pathgen_impl="pallas", fgn_form="spectral"))
+    # The chol slab DOES pair: a horizon past the single-tile chol cap
+    # (1024 padded steps) constructs.
+    engine.StreamingPricer(
+        s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+        strike=102.0, maturity=1100 / 252.0, is_call=False,
+        config=engine.StreamConfig(
+            n_paths=1 << 12, n_steps=1100, chunk_paths=1 << 10,
+            pilot_paths=1 << 9, antithetic=True, pathgen_impl="pallas"))
     # Eligible config constructs; bounds and Greeks reject at call time.
     p = engine.StreamingPricer(
         **kwargs,

@@ -205,3 +205,44 @@ def test_tiled_priced_log_boundary_matches_comparator(rng):
     want_cv = float(np.exp(-r * n_steps * dt)
                     * np.sum(np.asarray(paths)[:, n_steps]))
     np.testing.assert_allclose(float(cv), want_cv, rtol=2e-4)
+
+
+def test_tiled_priced_antithetic_matches_pair(rng):
+    """Tiled antithetic=True on injected noise (chunk/2 rows per plane)
+    equals the plain tiled kernel run on +noise plus on -noise: the pair
+    shares one fGN matmul per tile (the partner's tile is -x, see
+    _pair_tiles) but each member's arithmetic — including the cross-tile
+    carry/stop/lsst/dst state in its block half — is the plain body's.
+    Multi-tile horizon, chol form, CV lane included."""
+    from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.2, 1.0, -0.4, 0.04
+    n_steps, chunk, dt = 200, 128, 1 / 252.0
+    strike, maturity, is_call = 97.0, 200 / 252.0, False
+    half = chunk // 2
+
+    pilot = engine.make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                      1 << 11)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call, 2)
+    rows = pathgen_pallas.log_boundary_rows(
+        pathgen_pallas.boundary_rows(fits, r, strike, maturity, dt,
+                                     n_steps, is_call))
+
+    kw = dict(is_call=is_call, interpret=True, noise_input=True,
+              policy_form="boundary", fgn_form="chol", with_cv=True)
+    anti, s_pad = pathgen_pallas_tiled.make_tiled_priced_chunk(
+        s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps, chunk,
+        block_paths=64, antithetic=True, **kw)
+    plain, _ = pathgen_pallas_tiled.make_tiled_priced_chunk(
+        s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps, half,
+        block_paths=32, **kw)
+
+    noise = jnp.asarray(1.5 * rng.standard_normal((2, half, s_pad)),
+                        jnp.float32)
+    got_v, got_c = anti(noise, rows)
+    vp, cp = plain(noise, rows)
+    vm, cm = plain(-noise, rows)
+    np.testing.assert_allclose(float(got_v), float(vp) + float(vm),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(got_c), float(cp) + float(cm),
+                               rtol=1e-5)
