@@ -1728,11 +1728,6 @@ class StreamingChainPricer:
                 "(no control sums), and silently returning plain-MC stderrs "
                 "would misattribute the missing variance reduction.  Use "
                 "StreamingPricer per strike for CV estimates.")
-        if config.antithetic:
-            raise ValueError(
-                "antithetic is not supported by the chain pricer (the "
-                "K-strike kernels draw full blocks); use StreamingPricer "
-                "per strike for antithetic estimates")
         if config.qmc or bucketed:
             pathgen_impl = "xla"  # see StreamingPricer: QMC is XLA-only
         if pathgen_impl == "pallas":
@@ -1741,6 +1736,18 @@ class StreamingChainPricer:
             if not (pathgen_pallas.supports(n_steps) and config.fuse_policy
                     and config.poly_order == 2):
                 pathgen_impl = "xla"
+        if config.antithetic and not (
+                pathgen_impl == "pallas"
+                and config.chain_policy_form == "boundary"):
+            # Same loud-rejection contract as StreamingPricer: pairing
+            # exists only inside the fused boundary chain kernel —
+            # silently streaming plain MC would misreport the estimator.
+            raise ValueError(
+                "antithetic=True on the chain pricer requires the fused "
+                "boundary chain kernel (pathgen_impl='pallas', "
+                "fuse_policy, poly_order=2, chain_policy_form='boundary', "
+                "n_steps within the chain kernel cap, no QMC, not "
+                "bucketed)")
         self._pathgen_impl = pathgen_impl
 
         ax = axis_name if mesh is not None else None
@@ -1764,7 +1771,8 @@ class StreamingChainPricer:
                 config.chunk_paths, block_paths=config.pallas_block_paths,
                 is_call=is_call, fgn_dtype=fgn_dtype,
                 fgn_form=_resolve_fgn_form(config),
-                policy_form=config.chain_policy_form)
+                policy_form=config.chain_policy_form,
+                antithetic=config.antithetic)
         else:
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
@@ -2115,6 +2123,11 @@ class StreamingChainPricer:
                 "chain pricer (its market is baked at compile time); use "
                 "a non-bucketed StreamingChainPricer, or bucketed=True "
                 "with traced_market=True (the serving configuration)")
+        if self.config.antithetic:
+            raise ValueError(
+                "price_and_greeks has no antithetic pairing (the chain "
+                "Greeks kernel draws full blocks); use antithetic=False "
+                "for Greeks")
         config = self.config
         if strikes is None:
             strikes = self.strikes

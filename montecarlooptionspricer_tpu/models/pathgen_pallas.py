@@ -385,16 +385,32 @@ def _sweep_values(s, pol_ref, out_shape, *, is_call: bool, group: int,
     return acc
 
 
+def _chain_paths(zr, zi, w, mats, vd_ref, tri_ref, antithetic: bool, **kw):
+    """Path plane for the chain kernels.  With ``antithetic``, the noise
+    carries HALF the block's rows and the pair (N, W) / (-N, -W) fills
+    the block halves — one fGN matmul per pair (the map is linear, see
+    _fgn_x), exactly the priced kernels' pairing.  Each group
+    regenerates from the same seed, so pairing is bitwise-consistent
+    across the strip's groups."""
+    x = _fgn_x(zr, zi, *_mats2(mats))
+    if antithetic:
+        x = jnp.concatenate([x, -x], axis=0)
+        w = jnp.concatenate([w, -w], axis=0)
+    return jnp.exp(_logpaths_from_x(x, w, vd_ref, tri_ref, **kw))
+
+
 def _chain_kernel(seed_ref, *refs, block_paths: int, is_call: bool,
                   group: int, policy_form: str,
-                  fgn_form: str = "spectral", **kw):
+                  fgn_form: str = "spectral", antithetic: bool = False,
+                  **kw):
     """Fused short-strip chain kernel (n_k <= CHAIN_GROUP): one path
     block, the whole strip's policies, [8, LANE] partial sums — path data
     never leaves VMEM and path generation is paid once for the strip."""
     *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
-    zr, zi, w = _draw_planes(block_paths, kw["s_pad"], fgn_form)
-    s = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref, tri_ref, **kw)
+    rows = block_paths // 2 if antithetic else block_paths
+    zr, zi, w = _draw_planes(rows, kw["s_pad"], fgn_form)
+    s = _chain_paths(zr, zi, w, mats, vd_ref, tri_ref, antithetic, **kw)
     out_ref[...] = _sweep_values(s, pol_ref, out_ref.shape,
                                  is_call=is_call, group=group,
                                  policy_form=policy_form)
@@ -402,11 +418,12 @@ def _chain_kernel(seed_ref, *refs, block_paths: int, is_call: bool,
 
 def _chain_kernel_noise_in(noise_ref, *refs, block_paths: int,
                            is_call: bool, group: int, policy_form: str,
-                           fgn_form: str = "spectral", **kw):
+                           fgn_form: str = "spectral",
+                           antithetic: bool = False, **kw):
     """Noise-injection variant of the fused chain kernel."""
     *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
     zr, zi, w = _noise_planes(noise_ref, fgn_form)
-    s = _paths_from_noise(zr, zi, w, *_mats2(mats), vd_ref, tri_ref, **kw)
+    s = _chain_paths(zr, zi, w, mats, vd_ref, tri_ref, antithetic, **kw)
     out_ref[...] = _sweep_values(s, pol_ref, out_ref.shape,
                                  is_call=is_call, group=group,
                                  policy_form=policy_form)
@@ -1443,7 +1460,8 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
                              noise_input: bool = False,
                              fgn_dtype=jnp.float32,
                              fgn_form: str = "spectral",
-                             policy_form: str = "boundary"):
+                             policy_form: str = "boundary",
+                             antithetic: bool = False):
     """Fused K-strike streaming unit: (seed, policy_tables [K, 8, s_pad])
     -> [K] chunk payoff sums, sharing ONE in-VMEM path block across the
     whole strike strip.  Policy tables are per-strike `boundary_rows`
@@ -1464,9 +1482,22 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
     (without the generator's matmuls in the same kernel body, Mosaic
     runs the identical sweep code ~5x slower per strike — the sweep's
     VPU work stops hiding under the MXU), so paying generation
-    ceil(K/10) times costs less than either."""
+    ceil(K/10) times costs less than either.
+
+    antithetic=True (boundary form only): each block prices
+    block_paths/2 pairs (N, W) / (-N, -W) sharing one fGN matmul (see
+    _chain_paths) — same estimator semantics as the single-strike
+    priced kernel's pairing; injected noise then carries block_paths/2
+    rows per plane."""
     if policy_form not in ("boundary", "quadratic"):
         raise ValueError(f"unknown policy_form {policy_form!r}")
+    if antithetic and policy_form != "boundary":
+        raise ValueError("antithetic requires policy_form='boundary' "
+                         "(the production chain form)")
+    if antithetic and block_paths % 32:
+        raise ValueError("antithetic needs block_paths % 32 == 0 (half "
+                         "the rows are drawn, and the Box-Muller row "
+                         "slices must stay sublane-aligned)")
     n_k = int(strikes) if isinstance(strikes, int) else len(strikes)
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
@@ -1493,13 +1524,15 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
 
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
               dt=float(dt), log_s0=float(math.log(s0)),
-              block_paths=block_paths, fgn_form=fgn_form)
+              block_paths=block_paths, fgn_form=fgn_form,
+              antithetic=bool(antithetic))
     pol_kw = dict(is_call=bool(is_call), group=group,
                   policy_form=policy_form)
     grid_n = chunk_paths // block_paths
     interp = pltpu.InterpretParams() if interpret else False
+    noise_rows = block_paths // 2 if antithetic else block_paths
     first_spec = (
-        pl.BlockSpec((n_planes(fgn_form), block_paths, s_pad),
+        pl.BlockSpec((n_planes(fgn_form), noise_rows, s_pad),
                      lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))

@@ -514,3 +514,42 @@ def test_traced_h_chain_reprices_fresh_hurst():
     # hurst on a non-traced pricer is an error
     with pytest.raises(ValueError):
         st.price(key, **call, hurst=0.3)
+
+
+def test_chain_antithetic_matches_pair(rng):
+    """Chain antithetic=True on injected noise (chunk/2 rows per plane)
+    equals the plain chain kernel run on +noise plus on -noise, per
+    strike: the pair shares one fGN matmul (_chain_paths) but each
+    member's path/policy arithmetic is the plain body's.  Chol form,
+    boundary policy — the production chain configuration."""
+    n_steps, chunk, dt = 48, 256, 1 / 252.0
+    strikes = [94.0, 100.0, 106.0]
+    maturity, is_call = 48 / 252.0, False
+    half = chunk // 2
+
+    pilot = engine.make_chunk_pathgen(**MKT, n_steps=n_steps, dt=dt,
+                                      chunk_paths=1 << 11)(jax.random.key(0))
+
+    def one_fit(strike):
+        _, fits = lsm_fit(pilot, MKT["r"], strike, maturity, dt, is_call, 2)
+        return fits
+
+    fits = jax.vmap(one_fit)(jnp.asarray(strikes))
+    tables = jax.vmap(
+        lambda fit, strike: pathgen_pallas.boundary_rows(
+            fit, MKT["r"], strike, maturity, dt, n_steps, is_call)
+    )(fits, jnp.asarray(strikes))
+
+    kw = dict(**MKT, strikes=strikes, maturity=maturity, dt=dt,
+              n_steps=n_steps, is_call=is_call, interpret=True,
+              noise_input=True, policy_form="boundary", fgn_form="chol")
+    anti, s_pad = pathgen_pallas.make_pallas_priced_chain(
+        chunk_paths=chunk, block_paths=64, antithetic=True, **kw)
+    plain, _ = pathgen_pallas.make_pallas_priced_chain(
+        chunk_paths=half, block_paths=32, **kw)
+
+    noise = jnp.asarray(rng.standard_normal((2, half, s_pad)), jnp.float32)
+    got = np.asarray(anti(noise, tables))
+    want = np.asarray(plain(noise, tables)) + np.asarray(
+        plain(-noise, tables))
+    np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -334,14 +334,26 @@ def test_antithetic_config_rejections():
         p.price_with_bounds(jax.random.key(0))
     with pytest.raises(ValueError, match="antithetic"):
         p.price_and_greeks(jax.random.key(0))
+    # Chain pricer: the fused boundary chain PAIRS (constructs); its
+    # Greeks surface and every non-fused chain configuration reject.
+    chain_kw = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                    strikes=[100.0], maturity=32 / 252.0, is_call=False)
+    chain_base = dict(n_paths=1 << 12, n_steps=32, chunk_paths=1 << 10,
+                      pilot_paths=1 << 9, pathgen_impl="pallas",
+                      antithetic=True)
+    pc = engine.StreamingChainPricer(
+        **chain_kw, config=engine.StreamConfig(**chain_base))
+    with pytest.raises(ValueError, match="antithetic"):
+        pc.price_and_greeks(jax.random.key(0))
+    for bad in (dict(chain_policy_form="quadratic"), dict(qmc=True)):
+        with pytest.raises(ValueError, match="antithetic"):
+            engine.StreamingChainPricer(
+                **chain_kw,
+                config=engine.StreamConfig(**chain_base, **bad))
     with pytest.raises(ValueError, match="antithetic"):
         engine.StreamingChainPricer(
-            s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
-            strikes=[100.0], maturity=32 / 252.0, is_call=False,
-            config=engine.StreamConfig(
-                n_paths=1 << 12, n_steps=32, chunk_paths=1 << 10,
-                pilot_paths=1 << 9, pathgen_impl="pallas",
-                antithetic=True))
+            **chain_kw, bucketed=True,
+            config=engine.StreamConfig(**chain_base))
 
 
 def test_antithetic_price_and_variance_on_chip():
