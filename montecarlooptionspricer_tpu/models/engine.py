@@ -907,7 +907,8 @@ def _check_pallas_chunk_range(pathgen_impl: str, n_chunks: int,
         raise ValueError("pallas seed scheme supports <= 256 shards")
 
 
-def _chunk_stderr(totals, sumsq, m: int, per_chunk: int):
+def _chunk_stderr(totals, sumsq, m: int, per_chunk: int,
+                  center: float = 0.0):
     """Stderr of a per-path streamed mean from its iid per-chunk totals.
 
     ``totals``/``sumsq`` are float64 scalars or arrays: the sum of the
@@ -916,13 +917,18 @@ def _chunk_stderr(totals, sumsq, m: int, per_chunk: int):
     streaming surface: with a single chunk there is no variance
     information (stderr = NaN, never a false 0.0), and the on-device f32
     accumulation of c^2 floors the detectable relative chunk spread at
-    ~3e-4 — below that (near-deterministic deep-ITM payoffs) the reported
-    stderr clips toward 0."""
+    ~3e-4 — below that the reported stderr clips toward 0.  For plain MC
+    that floor only bites near-deterministic deep-ITM payoffs, but a
+    control variate puts the TYPICAL spread under it: those surfaces
+    accumulate (c - center)^2 around a pilot-derived ``center`` instead
+    (the floor then applies to the spread RELATIVE TO the residual
+    |total - center|, restoring full resolution whenever the pilot lands
+    within ~1e4 chunk-sds of the truth — thousands of sds of slack)."""
     totals = np.asarray(totals, np.float64)
     sumsq = np.asarray(sumsq, np.float64)
     if m < 2:
         return np.full_like(totals, np.nan)
-    mean_c = totals / m
+    mean_c = totals / m - center
     var_c = np.maximum(sumsq / m - mean_c ** 2, 0.0) * (m / (m - 1.0))
     return np.sqrt(var_c / m) / per_chunk
 
@@ -1117,7 +1123,7 @@ class StreamingPricer:
         if self._cv:
             from ..ops.reductions import global_mean, psum_if
 
-            def fit_fn(k):  # noqa: F811 — CV variant returns (fits, beta)
+            def fit_fn(k):  # noqa: F811 — CV variant: (fits, beta, center)
                 pilot = pilot_gen(shard_mix(k))
                 _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call,
                                   config.poly_order, axis_name=ax)
@@ -1126,14 +1132,23 @@ class StreamingPricer:
                 cv = martingale_control(pilot, r, dt)
                 # Pooled beta: with a mesh, the centered moments psum across
                 # shards so every device fits the same (replicated) beta.
-                cvc = cv - global_mean(cv, ax)
-                avc = av - global_mean(av, ax)
+                av_m, cv_m = global_mean(av, ax), global_mean(cv, ax)
+                cvc = cv - cv_m
+                avc = av - av_m
                 beta = (psum_if(jnp.sum(cvc * avc), ax)
                         / jnp.maximum(psum_if(jnp.sum(cvc * cvc), ax), 1e-12))
-                return fits, beta
+                # Pilot estimate of E[corrected chunk total]: the variance
+                # accumulator centers on it, because the CV-corrected
+                # spread is ~1e-5 relative — far below the raw f32 c^2
+                # floor (see _chunk_stderr) — so the UNcentered sum of
+                # squares would cancel to a false stderr = 0.  Replicated
+                # (pooled means), so mesh shards center identically.
+                center = ((av_m - beta * cv_m)
+                          * jnp.float32(config.chunk_paths))
+                return fits, beta, center
 
             def stream_fn(k, fits_beta, start, count):  # noqa: F811
-                fits, beta = fits_beta
+                fits, beta, center = fits_beta
                 k = shard_mix(k)
 
                 def body(i, carry):
@@ -1145,8 +1160,11 @@ class StreamingPricer:
                     da = jnp.sum(vals).astype(jnp.float32)
                     dc = jnp.sum(cv).astype(jnp.float32)
                     # The CV-corrected chunk total a - beta*c is the iid
-                    # quantity whose spread sets the (reduced) stderr.
-                    t = da - beta.astype(jnp.float32) * dc
+                    # quantity whose spread sets the (reduced) stderr;
+                    # accumulated CENTERED on the pilot estimate (see
+                    # fit_fn) so f32 keeps the reduced spread's bits.
+                    t = (da - beta.astype(jnp.float32) * dc
+                         - center.astype(jnp.float32))
                     return a + da, c + dc, sq + t * t
 
                 zero = jnp.zeros((), jnp.float32)
@@ -1183,7 +1201,7 @@ class StreamingPricer:
                                                is_call)
 
             def stream_fn(k, fits_beta, start, count):  # noqa: F811
-                fits, beta = fits_beta
+                fits, beta, center = fits_beta
                 k = shard_mix(k)
                 rows = make_rows_cv(fits)
                 ex0, p0 = pathgen_pallas.time0_value(fits, s0, strike,
@@ -1192,7 +1210,11 @@ class StreamingPricer:
                 def body(i, carry):
                     a, c, sq = carry
                     da, dc = priced_chunk_cv(k.at[1].add(start + i), rows)
-                    t = da - beta.astype(jnp.float32) * dc
+                    # Corrected total centered on the pilot estimate —
+                    # the CV-reduced spread is below the raw f32 c^2
+                    # floor (see _chunk_stderr / the XLA CV stream).
+                    t = (da - beta.astype(jnp.float32) * dc
+                         - center.astype(jnp.float32))
                     return a + da, c + dc, sq + t * t
 
                 zero = jnp.zeros((), jnp.float32)
@@ -1203,14 +1225,16 @@ class StreamingPricer:
                 # Time-0 exercise: the run is the deterministic immediate
                 # payoff; returning cv == count*chunk*s0 makes the beta
                 # correction vanish exactly instead of adding noise (and
-                # every corrected chunk total is the same constant, so the
-                # variance estimate is exactly 0).
+                # every corrected chunk total is the same constant, so
+                # the centered variance estimate collapses to 0 on the
+                # host: sumsq/m == (totals/m - center)^2 exactly).
                 n_f = (count * config.chunk_paths).astype(jnp.float32)
                 a = jnp.where(ex0, jnp.float32(p0) * n_f, a)
                 c = jnp.where(ex0, jnp.float32(self._s0) * n_f, c)
                 t0 = ((jnp.float32(p0)
                        - beta.astype(jnp.float32) * jnp.float32(self._s0))
-                      * jnp.float32(config.chunk_paths))
+                      * jnp.float32(config.chunk_paths)
+                      - center.astype(jnp.float32))
                 sq = jnp.where(ex0, count.astype(jnp.float32) * t0 * t0, sq)
                 return a, c, sq
 
@@ -1503,7 +1527,12 @@ class StreamingPricer:
             value = amer / n_paths - beta * (cv / n_paths - self._s0)
             if not with_stderr:
                 return value
-            se = _chunk_stderr(amer - beta * cv, sq, m, config.chunk_paths)
+            # sq was accumulated centered on the pilot estimate fits[2]
+            # (see the CV fit_fn) — without the centering the CV-reduced
+            # chunk spread falls below _chunk_stderr's raw f32 floor and
+            # the bar collapses to a false 0.
+            se = _chunk_stderr(amer - beta * cv, sq, m, config.chunk_paths,
+                               center=float(fits[2]))
             return value, float(se)
 
         total = sq = 0.0

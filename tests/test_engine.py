@@ -768,3 +768,58 @@ def test_greeks_stderr_calibrated():
                      for i in range(8)])
     emp = reps.std(ddof=1)
     assert emp / 6 < se[0] < 3 * emp + 1e-4, (se[0], emp)
+
+
+def test_chunk_stderr_centered_beats_f32_floor():
+    """_chunk_stderr's ``center``: CV-corrected chunk totals have
+    relative spread ~1e-5 — below the raw f32 c^2 accumulation floor
+    (~3e-4), where the uncentered second moment cancels to a false 0.
+    Simulate both accumulations in f32 (exactly what the device loop
+    does) and check the centered one recovers the true stderr while the
+    raw one demonstrates the floor it was built to escape."""
+    rng = np.random.default_rng(7)
+    m, per_chunk = 76, 1 << 17
+    mean_t, sd_t = 8.65e5, 30.0          # relative spread ~3.5e-5
+    t = np.float32(mean_t + sd_t * rng.standard_normal(m))
+    center = np.float32(mean_t * (1 + 2e-4))  # pilot ~6 chunk-sds off
+
+    sq_raw = np.float32(0.0)
+    sq_cen = np.float32(0.0)
+    tot = np.float32(0.0)
+    for v in t:
+        tot = np.float32(tot + v)
+        sq_raw = np.float32(sq_raw + np.float32(v * v))
+        d = np.float32(v - center)
+        sq_cen = np.float32(sq_cen + np.float32(d * d))
+
+    want = t.astype(np.float64).std(ddof=1) / np.sqrt(m) / per_chunk
+    got = engine._chunk_stderr(float(tot), float(sq_cen), m, per_chunk,
+                               center=float(center))
+    np.testing.assert_allclose(float(got), want, rtol=0.05)
+    raw = engine._chunk_stderr(float(tot), float(sq_raw), m, per_chunk)
+    # The raw path cannot resolve this spread: off by >25% (typically a
+    # collapse toward 0 or noise-dominated), which is the failure mode
+    # the centered accumulation removes.
+    assert abs(float(raw) - want) > 0.25 * want
+
+
+def test_cv_stderr_positive_and_consistent():
+    """StreamConfig(control_variate=True).price(with_stderr=True) must
+    report a finite POSITIVE stderr that is consistent with the plain
+    estimator (the centered-accumulator fix; before it the CV bar
+    systematically collapsed to 0 on hardware-scale workloads)."""
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    base = dict(n_paths=1 << 14, n_steps=32, chunk_paths=1 << 10,
+                pilot_paths=1 << 11, chunks_per_call=16)
+    plain = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base))
+    cv = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base, control_variate=True))
+    pp, sp = plain.price(jax.random.key(3), with_stderr=True)
+    pc, sc = cv.price(jax.random.key(3), with_stderr=True)
+    assert np.isfinite(sc) and sc > 0.0, sc
+    assert abs(pc - pp) < 5.0 * float(np.hypot(sp, sc)), (pp, pc, sp, sc)
+    # The CV bar must reflect SOME variance reduction vs plain on the
+    # same key (loose: 2x slack covers the estimate's own noise).
+    assert sc < 2.0 * sp, (sc, sp)
