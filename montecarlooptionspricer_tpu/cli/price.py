@@ -60,11 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused TPU kernel or portable XLA generator")
     p.add_argument("--control-variate", action="store_true")
     p.add_argument("--antithetic", action="store_true",
-                   help="antithetic pairing inside the fused TPU kernel "
-                        "(half the draws, negatively correlated pair "
-                        "members; ~2-3x effective speedup at fixed "
-                        "stderr for near-the-money strips; price "
-                        "surfaces only, fused pallas path required)")
+                   help="antithetic pairing (half the draws, negatively "
+                        "correlated pair members; ~2-3x effective speedup "
+                        "at fixed stderr for near-the-money strips).  "
+                        "Fused TPU kernels pair price estimates; the XLA "
+                        "generator (--pathgen xla, serve mode) pairs "
+                        "every whole-path surface incl. --greeks and "
+                        "--bounds.  Incompatible with --qmc")
     p.add_argument("--qmc", action="store_true",
                    help="randomized quasi-Monte Carlo price Brownian "
                         "(scrambled Sobol + per-chunk digital shift; "
@@ -114,6 +116,10 @@ def main(argv=None) -> int:
     from ..models import engine, implied_vol
 
     mkt = MarketDefaults()
+    if args.antithetic and args.qmc:
+        print("error: --antithetic is incompatible with --qmc (the Sobol "
+              "set has its own stratification)", file=sys.stderr)
+        return 2
     if args.serve:
         return serve(args, mkt)
     n_steps = args.steps or max(1, int(args.maturity * mkt.trading_days))
@@ -129,13 +135,14 @@ def main(argv=None) -> int:
         print("error: --bounds cannot combine with --greeks/"
               "--control-variate", file=sys.stderr)
         return 2
-    if args.antithetic and (args.greeks or args.bounds or args.qmc
-                            or args.control_variate):
-        # The pairing exists only in the fused PRICE kernels (engine
-        # rejects too; this is the friendly front-door message).
-        print("error: --antithetic applies to price estimates only "
-              "(not --greeks/--bounds/--qmc/--control-variate)",
-              file=sys.stderr)
+    if args.antithetic and (args.greeks or args.bounds) \
+            and args.pathgen == "pallas":
+        # Greeks/bounds pair only through the XLA generator (the fused
+        # kernels' Greeks/bounds draw unpaired blocks) — engine rejects
+        # too; this is the friendly front-door message.
+        print("error: --antithetic with --greeks/--bounds needs "
+              "--pathgen xla (the fused kernels pair price estimates "
+              "only)", file=sys.stderr)
         return 2
     n_paths = int(args.paths)
     pathgen = args.pathgen
@@ -143,10 +150,6 @@ def main(argv=None) -> int:
         log.warning("no TPU available: using the portable XLA generator "
                     "(the fused kernel's in-kernel PRNG is TPU-only)")
         pathgen = "xla"
-    if args.antithetic and pathgen != "pallas":
-        print("error: --antithetic requires the fused TPU kernel "
-              "(--pathgen pallas on a TPU)", file=sys.stderr)
-        return 2
     # Chunk must divide the path count AND (for the Pallas kernels) the
     # grid block height; round both down, to at least one block.
     block = 256
@@ -444,7 +447,12 @@ def serve(args, mkt) -> int:
                     n_paths=chunk, n_steps=bucket, chunk_paths=chunk,
                     pilot_paths=min(1 << 16, chunk), chunks_per_call=64,
                     pathgen_impl=pathgen, cumsum_impl="matmul",
-                    qmc=args.qmc)
+                    qmc=args.qmc,
+                    # Server-level estimator choice (never per-request —
+                    # it would double the shape-class space): bucketed
+                    # pricers ride the XLA generator, which pairs every
+                    # surface incl. greeks quotes (noise-level pairing).
+                    antithetic=args.antithetic)
                 pricer = engine.StreamingChainPricer(
                     s0, xi, hurst, eta, rho, r, strikes=padded,
                     maturity=bucket / mkt.trading_days, is_call=is_call,

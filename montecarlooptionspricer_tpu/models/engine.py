@@ -284,10 +284,21 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                        chunk_paths: int, dtype=jnp.float32,
                        fgn_dtype=jnp.float32, cumsum_impl: str = "cumsum",
                        qmc: bool = False, fgn_impl: str = "matmul",
-                       traced_h: bool = False):
+                       traced_h: bool = False, antithetic: bool = False):
     """Build chunk_paths-sized rBergomi generator key -> [chunk, steps+1]
     using the MXU fGN matmul.  Statistically identical to
     rough_volatility.generate_paths (different RNG stream layout).
+
+    antithetic=True draws HALF the noise and fills the chunk with
+    (Z, W) / (-Z, -W) pairs (rows i and i + chunk/2 are partners): every
+    path's marginal law is exactly the standard one, the fGN matmul runs
+    once per pair (the spectral map is linear; the partner's plane is a
+    negation), and pair members are negatively correlated — any
+    downstream consumer of whole paths (LSM policy values, martingale
+    controls, duality bounds, pathwise jvp tangents) inherits the
+    variance reduction with iid chunk totals, so streamed stderrs stay
+    exact.  Incompatible with qmc (the Sobol set has its own pairing-free
+    stratification).
 
     cumsum_impl="matmul" computes the log-price accumulation as a product
     with an upper-triangular ones matrix — MXU work instead of the VPU
@@ -323,6 +334,12 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     #       horizons (1825 steps) the matmul form's quadratic FLOPs
     #       dominate the whole generator; the FFT form trades them for one
     #       batched complex64 FFT.
+    if antithetic:
+        if qmc:
+            raise ValueError("antithetic is incompatible with qmc")
+        if chunk_paths % 2:
+            raise ValueError("antithetic needs an even chunk_paths")
+    n_draw = chunk_paths // 2 if antithetic else chunk_paths
     if traced_h:
         # Hurst becomes a CALL-TIME (possibly traced) scalar: the spectral
         # matrices are built in-graph (ops/fgn, f32) instead of baked from
@@ -414,7 +431,7 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                 cr_t, ci_t = cr, ci
         kz, kw = jax.random.split(key)
         if fgn_impl == "fft":
-            zf = jax.random.normal(kz, (2, chunk_paths, n_steps),
+            zf = jax.random.normal(kz, (2, n_draw, n_steps),
                                    jnp.float32)
             phi_c = jax.lax.complex(phi_re, phi_im)[None, :]
             a = phi_c * jax.lax.complex(zf[0], zf[1])
@@ -428,14 +445,20 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
             dw = jnp.matmul(zq, pca_t, precision=jax.lax.Precision.HIGHEST)
             dw = dw.astype(dtype)
         else:
-            dw = jax.random.normal(kw, (chunk_paths, n_steps),
+            dw = jax.random.normal(kw, (n_draw, n_steps),
                                    dtype) * sqrt_dt
         if fgn_impl == "matmul":
-            z = jax.random.normal(kz, (2, chunk_paths, n_steps), fgn_dtype)
+            z = jax.random.normal(kz, (2, n_draw, n_steps), fgn_dtype)
             x_hat = (jnp.matmul(z[0], cr_t,
                                 preferred_element_type=jnp.float32)
                      - jnp.matmul(z[1], ci_t,
                                   preferred_element_type=jnp.float32))
+        if antithetic:
+            # Pair members via the fGN map's linearity (in both the fft
+            # and matmul syntheses): ONE synthesis per pair, the partner's
+            # plane is its negation.
+            x_hat = jnp.concatenate([x_hat, -x_hat], axis=0)
+            dw = jnp.concatenate([dw, -dw], axis=0)
         v = xi_ * jnp.exp(eta_ * x_hat - 0.5 * (eta_ * eta_) * t_pow_)
         inc = (r_ - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
         if n_live is not None:
@@ -1048,6 +1071,10 @@ class StreamingPricer:
             # index; the run word never changes within a run.
             next_carrier = lambda seed, i: seed.at[1].add(i)
         elif pathgen_impl == "xla":
+            # The PILOT stays plain under antithetic: the policy fit wants
+            # the most independent sample it can get, and pairing there
+            # would buy nothing (the envelope protects the price against
+            # pilot noise anyway).
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
                 dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
@@ -1055,7 +1082,8 @@ class StreamingPricer:
             chunk_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
                 dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
-                fgn_impl=_resolve_fgn_impl(config, n_steps))
+                fgn_impl=_resolve_fgn_impl(config, n_steps),
+                antithetic=config.antithetic)
             next_carrier = jax.random.fold_in
         else:
             raise ValueError(f"unknown pathgen_impl: {config.pathgen_impl!r}")
@@ -1105,21 +1133,26 @@ class StreamingPricer:
         self._s0 = float(s0)
         from . import pathgen_pallas_tiled as _slab_mod
 
-        if config.antithetic and not (
-                pathgen_impl == "pallas"
-                and (tiled is None or tiled is _slab_mod)
-                and config.fuse_policy and config.poly_order == 2
-                and config.policy_form == "boundary"):
-            # Loud rejection: the pairing only exists inside the fused
-            # log-boundary bodies (single-tile and slab); silently
-            # streaming plain MC under an antithetic config would
-            # misreport the estimator.
+        _anti_ok = (
+            # Fused log-boundary bodies (single-tile and slab) pair
+            # in-kernel ...
+            (pathgen_impl == "pallas"
+             and (tiled is None or tiled is _slab_mod)
+             and config.fuse_policy and config.poly_order == 2
+             and config.policy_form == "boundary")
+            # ... and the XLA generator pairs at the noise-plane level, so
+            # EVERY whole-path consumer (generic stream, CV, bounds)
+            # inherits it.  QMC has its own stratification (no pairing).
+            or (pathgen_impl == "xla" and not config.qmc))
+        if config.antithetic and not _anti_ok:
+            # Loud rejection: silently streaming plain MC under an
+            # antithetic config would misreport the estimator.
             raise ValueError(
-                "antithetic=True requires a fused boundary configuration "
-                "(pathgen_impl='pallas', fuse_policy, poly_order=2, "
-                "policy_form='boundary', no QMC) on the single-tile or "
-                "slab kernel (the factored-DFT long-horizon kernel has "
-                "no pairing)")
+                "antithetic=True requires either a fused boundary "
+                "configuration (pathgen_impl='pallas', fuse_policy, "
+                "poly_order=2, policy_form='boundary'; single-tile or "
+                "slab — the factored-DFT kernel has no pairing) or the "
+                "XLA generator without QMC")
         if self._cv:
             from ..ops.reductions import global_mean, psum_if
 
@@ -1298,7 +1331,14 @@ class StreamingPricer:
         xla_gen = make_chunk_pathgen(
             s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths, dtype,
             fgn_dtype, config.cumsum_impl, qmc=config.qmc,
-            fgn_impl="matmul", traced_h=True)
+            fgn_impl="matmul", traced_h=True,
+            # jvp tangents of paired paths are a valid paired estimator
+            # (the pairing lives in the noise; the tangents are w.r.t.
+            # market params) — XLA-config Greeks inherit antithetic.
+            # Pallas configs reject antithetic Greeks instead (their fast
+            # path is the unpaired fused kernel), so this gen never runs
+            # paired there.
+            antithetic=config.antithetic)
         xla_pilot = make_chunk_pathgen(
             s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths, dtype,
             fgn_dtype, config.cumsum_impl, qmc=config.qmc,
@@ -1566,11 +1606,15 @@ class StreamingPricer:
         (_chunk_stderr caveats apply), so the MC noise on each end of the
         bracket is distinguishable from the duality gap itself."""
         config = self.config
-        if config.antithetic:
+        if config.antithetic and self._pathgen_impl == "pallas":
+            # The XLA generator pairs at the noise level, so its whole
+            # paths (and both bound sides) inherit antithetic; the pallas
+            # pathgen used by this config's generic stream does not.
             raise ValueError(
-                "price_with_bounds streams through the generic path "
-                "stream (the dual side needs whole paths), which has no "
-                "antithetic pairing; use antithetic=False for bounds")
+                "price_with_bounds on a pallas configuration streams "
+                "whole paths through the unpaired pallas generator; use "
+                "antithetic=False, or pathgen_impl='xla' for paired "
+                "bounds")
         if n_paths is None:
             n_paths = config.n_paths
         per_step = config.chunk_paths * self.n_dev
@@ -1627,11 +1671,14 @@ class StreamingPricer:
         them at one FMA per output per chunk.  No reference
         equivalent."""
         config = self.config
-        if config.antithetic:
+        if config.antithetic and self._pathgen_impl == "pallas":
+            # The fused Greeks kernel draws full (unpaired) blocks; the
+            # XLA jvp stream pairs (its tangents ride the paired gen), so
+            # only pallas configs reject.
             raise ValueError(
-                "price_and_greeks has no antithetic pairing (neither the "
-                "fused tangents nor the jvp stream implement it); use "
-                "antithetic=False for Greeks")
+                "price_and_greeks on a pallas configuration uses the "
+                "unpaired fused Greeks kernel; use antithetic=False, or "
+                "pathgen_impl='xla' for paired jvp Greeks")
         if n_paths is None:
             n_paths = config.n_paths
         n_chunks, rem = divmod(n_paths, config.chunk_paths * self.n_dev)
@@ -1766,17 +1813,19 @@ class StreamingChainPricer:
                     and config.poly_order == 2):
                 pathgen_impl = "xla"
         if config.antithetic and not (
-                pathgen_impl == "pallas"
-                and config.chain_policy_form == "boundary"):
+                (pathgen_impl == "pallas"
+                 and config.chain_policy_form == "boundary")
+                or (pathgen_impl == "xla" and not config.qmc)):
             # Same loud-rejection contract as StreamingPricer: pairing
-            # exists only inside the fused boundary chain kernel —
-            # silently streaming plain MC would misreport the estimator.
+            # exists in the fused boundary chain kernel and the XLA
+            # generator — silently streaming plain MC would misreport
+            # the estimator.
             raise ValueError(
                 "antithetic=True on the chain pricer requires the fused "
                 "boundary chain kernel (pathgen_impl='pallas', "
                 "fuse_policy, poly_order=2, chain_policy_form='boundary', "
-                "n_steps within the chain kernel cap, no QMC, not "
-                "bucketed)")
+                "n_steps within the chain kernel cap) or the XLA "
+                "generator without QMC (incl. bucketed/serving chains)")
         self._pathgen_impl = pathgen_impl
 
         ax = axis_name if mesh is not None else None
@@ -1812,7 +1861,11 @@ class StreamingChainPricer:
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
                 dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
                 fgn_impl=_resolve_fgn_impl(config, n_steps),
-                traced_h=traced_market)
+                traced_h=traced_market,
+                # Noise-level pairing (pilot stays plain, cf.
+                # StreamingPricer): bucketed/serving chains and their
+                # traced-market jvp Greeks all inherit it.
+                antithetic=config.antithetic)
 
         if traced_market:
             def fit_fn(k, strikes_, n_live, mat, mkt):
@@ -1986,7 +2039,11 @@ class StreamingChainPricer:
             xg_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
                 dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
-                fgn_impl="matmul", traced_h=True)
+                fgn_impl="matmul", traced_h=True,
+                # Paired jvp Greeks for XLA chain configs (pilot plain);
+                # pallas chains reject antithetic Greeks, so this gen
+                # never runs paired there — cf. StreamingPricer.
+                antithetic=config.antithetic)
             xg_pilot = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
                 dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
@@ -2152,11 +2209,14 @@ class StreamingChainPricer:
                 "chain pricer (its market is baked at compile time); use "
                 "a non-bucketed StreamingChainPricer, or bucketed=True "
                 "with traced_market=True (the serving configuration)")
-        if self.config.antithetic:
+        if self.config.antithetic and self._pathgen_impl == "pallas":
+            # The fused chain Greeks kernel draws full (unpaired) blocks;
+            # the XLA jvp stream pairs through the paired generator.
             raise ValueError(
-                "price_and_greeks has no antithetic pairing (the chain "
-                "Greeks kernel draws full blocks); use antithetic=False "
-                "for Greeks")
+                "price_and_greeks on a pallas chain configuration uses "
+                "the unpaired fused chain Greeks kernel; use "
+                "antithetic=False, or an XLA/bucketed configuration for "
+                "paired jvp Greeks")
         config = self.config
         if strikes is None:
             strikes = self.strikes

@@ -823,3 +823,58 @@ def test_cv_stderr_positive_and_consistent():
     # The CV bar must reflect SOME variance reduction vs plain on the
     # same key (loose: 2x slack covers the estimate's own noise).
     assert sc < 2.0 * sp, (sc, sp)
+
+
+def test_xla_pathgen_antithetic_pairing():
+    """make_chunk_pathgen(antithetic=True): rows [:half] are EXACTLY the
+    plain half-size generator's paths on the same key (identical draw
+    calls, identical math), and rows [half:] are the negated-noise
+    partners — verified by replicating the generator's formula on the
+    same draws with (Z, W) -> (-Z, -W)."""
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.12, 1.3, -0.4, 0.04
+    n_steps, chunk, dt = 24, 64, 1 / 252.0
+    half = chunk // 2
+    mk = dict(cumsum_impl="matmul")
+
+    anti = engine.make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                     chunk, antithetic=True, **mk)
+    plain = engine.make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                      half, **mk)
+    key = jax.random.key(11)
+    got = np.asarray(anti(key))
+    np.testing.assert_allclose(got[:half], np.asarray(plain(key)),
+                               rtol=1e-6)
+
+    # Member 1: replicate the generator's own arithmetic on the same
+    # draws, negated (the spectral matrices come from the same host
+    # builder the generator bakes in).
+    kz, kw = jax.random.split(key)
+    z = -jax.random.normal(kz, (2, half, n_steps), jnp.float32)
+    dw = -jax.random.normal(kw, (half, n_steps), jnp.float32) * np.sqrt(dt)
+    cr, ci = engine._fgn_matrices_host(n_steps, h, 1.0, dt, jnp.float32)
+    x_hat = z[0] @ cr - z[1] @ ci
+    t = np.arange(n_steps + 1, dtype=np.float32) * dt
+    v = xi * jnp.exp(eta * x_hat - 0.5 * eta * eta * t[:n_steps] ** (2 * h))
+    inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
+    want = s0 * np.exp(np.cumsum(np.asarray(inc, np.float64), axis=1))
+    np.testing.assert_allclose(got[half:, 1:], want, rtol=2e-5)
+    np.testing.assert_allclose(got[half:, 0], s0)
+
+
+def test_xla_antithetic_price_agreement_and_reduction():
+    """XLA-generator antithetic: the price agrees with plain MC within
+    combined stderr and the measured stderr is materially smaller (the
+    put payoff is monotone in the terminal price).  64 iid chunks keep
+    the se-ratio assertion far from flaky at the expected ~0.5-0.7."""
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    base = dict(n_paths=1 << 16, n_steps=32, chunk_paths=1 << 10,
+                pilot_paths=1 << 12, chunks_per_call=64)
+    plain = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base))
+    anti = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base, antithetic=True))
+    pp, sp = plain.price(jax.random.key(9), with_stderr=True)
+    pa, sa = anti.price(jax.random.key(9), with_stderr=True)
+    assert abs(pa - pp) < 4.0 * float(np.hypot(sa, sp)), (pa, pp, sa, sp)
+    assert sa < 0.9 * sp, (sa, sp)

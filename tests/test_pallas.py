@@ -295,19 +295,29 @@ def test_fused_priced_antithetic_matches_pair(rng):
 
 
 def test_antithetic_config_rejections():
-    """antithetic only exists inside the fused boundary bodies (single-
-    tile and slab); every other configuration (and every surface without
-    the pairing) rejects loudly instead of silently streaming plain MC."""
+    """antithetic exists inside the fused boundary bodies (single-tile
+    and slab) and the XLA generator; every other configuration (and
+    every surface without the pairing) rejects loudly instead of
+    silently streaming plain MC."""
     base = dict(n_paths=1 << 12, n_steps=32, chunk_paths=1 << 10,
                 pilot_paths=1 << 9, antithetic=True)
     kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
                   strike=102.0, maturity=32 / 252.0, is_call=False)
-    for bad in (dict(),                                   # xla default
-                dict(pathgen_impl="pallas", policy_form="quadratic"),
-                dict(pathgen_impl="pallas", qmc=True)):
+    for bad in (dict(pathgen_impl="pallas", policy_form="quadratic"),
+                dict(qmc=True)):   # QMC forces XLA; no pairing either way
         with pytest.raises(ValueError, match="antithetic"):
             engine.StreamingPricer(
                 **kwargs, config=engine.StreamConfig(**base, **bad))
+    # The XLA generator pairs at the noise level: price, bounds, AND jvp
+    # Greeks all construct and run (tiny CPU shapes).
+    px = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(**base))
+    p, se = px.price(jax.random.key(0), with_stderr=True)
+    assert np.isfinite(p) and np.isfinite(se) and se > 0
+    lo, up = px.price_with_bounds(jax.random.key(1))
+    assert np.isfinite(lo) and np.isfinite(up) and lo <= up
+    g = px.price_and_greeks(jax.random.key(2))
+    assert all(np.isfinite(v) for v in g), g
     # The factored-DFT long-horizon kernel has no pairing: a spectral
     # horizon past the single-tile cap resolves to it and must reject.
     with pytest.raises(ValueError, match="antithetic"):
@@ -350,10 +360,14 @@ def test_antithetic_config_rejections():
             engine.StreamingChainPricer(
                 **chain_kw,
                 config=engine.StreamConfig(**chain_base, **bad))
-    with pytest.raises(ValueError, match="antithetic"):
-        engine.StreamingChainPricer(
-            **chain_kw, bucketed=True,
-            config=engine.StreamConfig(**chain_base))
+    # Bucketed chains force the XLA generator, which pairs: the serving
+    # configuration constructs and prices under antithetic.
+    bc = engine.StreamingChainPricer(
+        **chain_kw, bucketed=True,
+        config=engine.StreamConfig(**chain_base))
+    pb = bc.price(jax.random.key(1), n_steps_live=24,
+                  maturity=24 / 252.0)
+    assert np.all(np.isfinite(pb)), pb
 
 
 def test_antithetic_price_and_variance_on_chip():
