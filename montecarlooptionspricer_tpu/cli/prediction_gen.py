@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drive path generation with randomized quasi-Monte "
                         "Carlo (scrambled Sobol): several-fold lower price "
                         "RMSE at the 250-path default budget")
+    p.add_argument("--antithetic", action="store_true",
+                   help="antithetic path pairing per row: half the draws, "
+                        "negatively correlated pair members — lower row "
+                        "noise at the same path budget (incompatible with "
+                        "--qmc)")
     p.add_argument("--resume", action="store_true",
                    help="append to an existing output CSV, continuing from "
                         "the first unwritten row (the reference restarts "
@@ -58,12 +63,17 @@ def main(argv=None) -> int:
     config = PipelineConfig(option_csv=args.option_csv, spot_csv=args.spot_csv,
                             output_csv=args.output_csv,
                             error_log=args.error_log)
-    pricing = PricingConfig(num_paths=args.num_paths,
-                            num_branches=args.num_branches,
-                            poly_order=args.poly_order,
-                            max_iterations=args.max_iterations,
-                            rows_per_batch=args.rows_per_batch,
-                            seed=args.seed, qmc=args.qmc)
+    try:
+        pricing = PricingConfig(num_paths=args.num_paths,
+                                num_branches=args.num_branches,
+                                poly_order=args.poly_order,
+                                max_iterations=args.max_iterations,
+                                rows_per_batch=args.rows_per_batch,
+                                seed=args.seed, qmc=args.qmc,
+                                antithetic=args.antithetic)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     market = MarketDefaults(r=args.r, dividend=args.dividend)
 
     mesh = None

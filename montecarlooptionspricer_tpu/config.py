@@ -62,6 +62,19 @@ class PricingConfig:
     # lower price RMSE at the 250-path budget.  Off by default — the parity
     # configuration is plain pseudo-random MC like the reference.
     qmc: bool = False
+    # Antithetic pairing: half the draws per row, pairs (Z, W) / (-Z, -W)
+    # with one shared fGN transform (rough_volatility.
+    # generate_paths_bucketed) — the classic variance reduction at the
+    # 250-path row budget.  Off by default (parity estimator is plain
+    # MC); incompatible with qmc.
+    antithetic: bool = False
+
+    def __post_init__(self):
+        if self.qmc and self.antithetic:
+            raise ValueError("antithetic is incompatible with qmc (the "
+                             "Sobol set has its own stratification)")
+        if self.antithetic and self.num_paths % 2:
+            raise ValueError("antithetic needs an even num_paths")
 
 
 @dataclasses.dataclass(frozen=True)

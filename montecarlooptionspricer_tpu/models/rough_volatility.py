@@ -129,7 +129,8 @@ def generate_paths_qmc(key: jax.Array, s0, xi, h, eta, rho, r,
 def generate_paths_bucketed(key: jax.Array, s0, xi, h, eta, rho, r,
                             n_steps, n_pad: int, m1: int, n_paths: int,
                             dt: float = 1.0 / 252.0,
-                            dtype=jnp.float32) -> jax.Array:
+                            dtype=jnp.float32,
+                            antithetic: bool = False) -> jax.Array:
     """Padded-shape rBergomi generator with a *traced* per-row ``n_steps``:
     arrays are static [n_paths, n_pad + 1], but the model semantics follow
     the row's exact step count, so columns 0..n_steps are distributed
@@ -155,29 +156,44 @@ def generate_paths_bucketed(key: jax.Array, s0, xi, h, eta, rho, r,
         spectra; increment columns past n_steps are zeroed.
 
     ``rho`` is distributionally inert (see euler_log_paths).
+
+    ``antithetic=True`` draws HALF the noise and fills the block with
+    (Z, W) / (-Z, -W) pairs — rows i and i + n_paths/2 are partners with
+    exactly-standard marginal path law and ONE shared fGN transform per
+    pair (the spectral map is linear); the classic variance reduction
+    for the pipeline's 250-path row budget.  OFF by default (plain MC is
+    the reference-parity row estimator).
     """
     del rho
     if n_pad & (n_pad - 1):
         raise ValueError(f"n_pad={n_pad} must be a power of two (it is the "
                          "reference's circular-convolution length M2)")
+    if antithetic and n_paths % 2:
+        raise ValueError("antithetic needs an even n_paths")
     n_steps = jnp.asarray(n_steps, jnp.int32)
     k_var, k_euler = jax.random.split(key)
 
-    zc = rng_ops.complex_normal(k_var, (n_paths, n_pad), dtype)
-    w = rng_ops.normal(k_euler, (n_paths, n_pad), dtype)
+    n_draw = n_paths // 2 if antithetic else n_paths
+    zc = rng_ops.complex_normal(k_var, (n_draw, n_pad), dtype)
+    w = rng_ops.normal(k_euler, (n_draw, n_pad), dtype)
     sqrt_dt = jnp.sqrt(jnp.asarray(dt, dtype))
     return _bucketed_paths_from_noise(s0, xi, h, eta, r, n_steps, n_pad, m1,
-                                      zc, w * sqrt_dt, dt, dtype)
+                                      zc, w * sqrt_dt, dt, dtype,
+                                      antithetic=antithetic)
 
 
 def _bucketed_paths_from_noise(s0, xi, h, eta, r, n_steps, n_pad: int,
-                               m1: int, zc, dw, dt, dtype) -> jax.Array:
+                               m1: int, zc, dw, dt, dtype,
+                               antithetic: bool = False) -> jax.Array:
     """Shared masked-spectrum fGN + Euler-cumsum core of the two bucketed
     generators: ``zc`` is the complex fGN noise plane, ``dw`` the Brownian
     increments INCLUDING their sqrt(dt) scale (white noise * sqrt(dt) for
     the threefry variant, the PCA construction for QMC).  Factored so the
     masking / FFT contract — the subtlest code in this file, see
-    generate_paths_bucketed's docstring — has exactly one implementation."""
+    generate_paths_bucketed's docstring — has exactly one implementation.
+    With ``antithetic``, the noise planes carry HALF the rows and the
+    pair (noise, -noise) fills the block halves — the fGN transform runs
+    once per pair (it is linear in ``zc``)."""
     time_grid = jnp.arange(n_pad + 1, dtype=dtype) * dt
     lam = fgn_ops.rbergomi_lambda(time_grid, h)
     lam = jnp.where(jnp.arange(n_pad + 1) <= n_steps, lam, 0.0)
@@ -187,13 +203,16 @@ def _bucketed_paths_from_noise(s0, xi, h, eta, r, n_steps, n_pad: int,
     a = jnp.where(kmask[None, :], phi[:n_pad] * zc, 0.0)
     x = (jnp.sqrt(2.0 * h) * eta
          * jnp.real(jnp.fft.fft(a, n=n_pad, axis=-1)) / n_pad)
+    if antithetic:
+        x = jnp.concatenate([x, -x], axis=0)
+        dw = jnp.concatenate([dw, -dw], axis=0)
 
     v = fgn_ops.forward_variance(x, time_grid, xi, h, eta)
     inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
     inc = jnp.where(kmask[None, :], inc, 0.0)
     log_s = jnp.log(jnp.asarray(s0, dtype)) + jnp.cumsum(inc, axis=-1)
     s = jnp.exp(log_s)
-    s0_col = jnp.full((zc.shape[0], 1), 1.0, dtype) * s0
+    s0_col = jnp.full((x.shape[0], 1), 1.0, dtype) * s0
     return jnp.concatenate([s0_col, s], axis=-1)
 
 

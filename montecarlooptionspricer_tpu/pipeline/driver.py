@@ -219,7 +219,7 @@ class BatchedPricer:
             else:
                 paths = rough_volatility.generate_paths_bucketed(
                     kp, s0, xi, h, eta, rho, r, n_steps, n_pad, m1,
-                    p.num_paths, dt)
+                    p.num_paths, dt, antithetic=p.antithetic)
             spec = PricerSpec(r=r, strike=strike, maturity=maturity, dt=dt,
                               is_call=is_call, sigma=sigma, dividend=dividend,
                               num_branches=p.num_branches,

@@ -103,3 +103,33 @@ def test_generate_from_history_smoke(rng):
         jax.random.key(1), prices, forward_steps=30, path_num=16)
     assert paths.shape == (16, 31)
     np.testing.assert_allclose(np.asarray(paths[:, 0]), prices[-1], rtol=1e-5)
+
+
+def test_bucketed_pathgen_antithetic_pairing(rng):
+    """generate_paths_bucketed(antithetic=True): rows [:half] EQUAL the
+    plain half-size call on the same key (identical draw calls), and
+    rows [half:] equal the shared core run on the negated draws."""
+    import jax
+    import jax.numpy as jnp
+    from montecarlooptionspricer_tpu.models import rough_volatility as rv
+    from montecarlooptionspricer_tpu.ops import rng as rng_ops
+
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.12, 1.3, -0.4, 0.04
+    n_steps, n_pad, m1, n, dt = 24, 32, 32, 64, 1 / 252.0
+    half = n // 2
+    key = jax.random.key(13)
+
+    got = np.asarray(rv.generate_paths_bucketed(
+        key, s0, xi, h, eta, rho, r, n_steps, n_pad, m1, n, dt,
+        antithetic=True))
+    want0 = np.asarray(rv.generate_paths_bucketed(
+        key, s0, xi, h, eta, rho, r, n_steps, n_pad, m1, half, dt))
+    np.testing.assert_allclose(got[:half], want0, rtol=1e-6)
+
+    k_var, k_euler = jax.random.split(key)
+    zc = rng_ops.complex_normal(k_var, (half, n_pad), jnp.float32)
+    w = rng_ops.normal(k_euler, (half, n_pad), jnp.float32)
+    want1 = np.asarray(rv._bucketed_paths_from_noise(
+        s0, xi, h, eta, r, jnp.asarray(n_steps, jnp.int32), n_pad, m1,
+        -zc, -w * np.float32(np.sqrt(dt)), dt, jnp.float32))
+    np.testing.assert_allclose(got[half:], want1, rtol=1e-6)

@@ -279,3 +279,27 @@ def test_pipeline_device_failure_contained(workdir, monkeypatch):
         assert row[-6:] == ["0"] * 6
     log_text = open("error_log.txt").read()
     assert "Thread error: injected device failure" in log_text
+
+
+def test_pipeline_antithetic_rows(workdir):
+    """--antithetic pipeline: rows price finitely through the paired
+    bucketed generator, and qmc+antithetic rejects at config time."""
+    s = round(workdir["aapl"], 4)
+    make_option_csv("option_data.csv", [
+        opt_row(option_type=0, dte=30.0, s=s, sdp=-0.02),
+        opt_row(option_type=1, dte=45.0, s=s, sdp=0.02),
+    ])
+    rc = run_pipeline(PipelineConfig(),
+                      PricingConfig(rows_per_batch=4, antithetic=True),
+                      MarketDefaults())
+    assert rc == 0
+    _, rows = read_output()
+    assert len(rows) == 2
+    for row in rows:
+        vals = [float(v) for v in row[-6:]]
+        assert all(np.isfinite(vals))
+        assert any(abs(v) > 0 for v in vals[:4])
+    with pytest.raises(ValueError, match="antithetic"):
+        PricingConfig(qmc=True, antithetic=True)
+    with pytest.raises(ValueError, match="even"):
+        PricingConfig(num_paths=251, antithetic=True)
