@@ -61,12 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--control-variate", action="store_true")
     p.add_argument("--antithetic", action="store_true",
                    help="antithetic pairing (half the draws, negatively "
-                        "correlated pair members; ~2-3x effective speedup "
-                        "at fixed stderr for near-the-money strips).  "
-                        "Fused TPU kernels pair price estimates; the XLA "
+                        "correlated pair members; ~2-5x effective speedup "
+                        "at fixed stderr for near-the-money work).  Fused "
+                        "TPU kernels pair prices AND --greeks; the XLA "
                         "generator (--pathgen xla, serve mode) pairs "
-                        "every whole-path surface incl. --greeks and "
-                        "--bounds.  Incompatible with --qmc")
+                        "every whole-path surface incl. --bounds.  "
+                        "Incompatible with --qmc")
     p.add_argument("--qmc", action="store_true",
                    help="randomized quasi-Monte Carlo price Brownian "
                         "(scrambled Sobol + per-chunk digital shift; "
@@ -135,14 +135,14 @@ def main(argv=None) -> int:
         print("error: --bounds cannot combine with --greeks/"
               "--control-variate", file=sys.stderr)
         return 2
-    if args.antithetic and (args.greeks or args.bounds) \
-            and args.pathgen == "pallas":
-        # Greeks/bounds pair only through the XLA generator (the fused
-        # kernels' Greeks/bounds draw unpaired blocks) — engine rejects
-        # too; this is the friendly front-door message.
-        print("error: --antithetic with --greeks/--bounds needs "
-              "--pathgen xla (the fused kernels pair price estimates "
-              "only)", file=sys.stderr)
+    if args.antithetic and args.bounds and args.pathgen == "pallas":
+        # Bounds pair only through the XLA generator (the pallas
+        # configs' whole-path stream draws unpaired blocks) — engine
+        # rejects too; this is the friendly front-door message.
+        # --greeks needs no guard: the fused Greeks kernels pair.
+        print("error: --antithetic with --bounds needs --pathgen xla "
+              "(the pallas whole-path stream is unpaired)",
+              file=sys.stderr)
         return 2
     n_paths = int(args.paths)
     pathgen = args.pathgen

@@ -1413,7 +1413,8 @@ class StreamingPricer:
                 s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
                 config.chunk_paths,
                 block_paths=_fused_block(config, n_steps),
-                is_call=is_call, fgn_dtype=fgn_dtype)
+                is_call=is_call, fgn_dtype=fgn_dtype,
+                antithetic=config.antithetic)
 
             def fused_greek_fit_fn(k):
                 pilot = pilot_gen(shard_mix(k))
@@ -1671,14 +1672,10 @@ class StreamingPricer:
         them at one FMA per output per chunk.  No reference
         equivalent."""
         config = self.config
-        if config.antithetic and self._pathgen_impl == "pallas":
-            # The fused Greeks kernel draws full (unpaired) blocks; the
-            # XLA jvp stream pairs (its tangents ride the paired gen), so
-            # only pallas configs reject.
-            raise ValueError(
-                "price_and_greeks on a pallas configuration uses the "
-                "unpaired fused Greeks kernel; use antithetic=False, or "
-                "pathgen_impl='xla' for paired jvp Greeks")
+        # antithetic needs no special-casing here: the fused Greeks
+        # kernel pairs in-kernel (_tangent_planes) and the jvp stream's
+        # generator pairs at the noise level, so every selection path
+        # honors the config's estimator.
         if n_paths is None:
             n_paths = config.n_paths
         n_chunks, rem = divmod(n_paths, config.chunk_paths * self.n_dev)
@@ -2105,7 +2102,8 @@ class StreamingChainPricer:
                 s0, xi, h, eta, rho, r, n_k, maturity, dt, n_steps,
                 config.chunk_paths,
                 block_paths=_fused_block(config, n_steps),
-                is_call=is_call, fgn_dtype=fgn_dtype)
+                is_call=is_call, fgn_dtype=fgn_dtype,
+                antithetic=config.antithetic)
 
             def fused_greek_stream_fn(k, fits, strikes_, start, count):
                 k = shard_mix(k)
@@ -2209,14 +2207,9 @@ class StreamingChainPricer:
                 "chain pricer (its market is baked at compile time); use "
                 "a non-bucketed StreamingChainPricer, or bucketed=True "
                 "with traced_market=True (the serving configuration)")
-        if self.config.antithetic and self._pathgen_impl == "pallas":
-            # The fused chain Greeks kernel draws full (unpaired) blocks;
-            # the XLA jvp stream pairs through the paired generator.
-            raise ValueError(
-                "price_and_greeks on a pallas chain configuration uses "
-                "the unpaired fused chain Greeks kernel; use "
-                "antithetic=False, or an XLA/bucketed configuration for "
-                "paired jvp Greeks")
+        # antithetic needs no special-casing: the fused chain Greeks
+        # kernel pairs in-kernel and the jvp streams' generators pair at
+        # the noise level (cf. StreamingPricer.price_and_greeks).
         config = self.config
         if strikes is None:
             strikes = self.strikes

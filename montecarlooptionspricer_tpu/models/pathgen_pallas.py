@@ -568,16 +568,19 @@ def _priced_kernel_noise_in(noise_ref, *refs, block_paths: int,
 def _greeks_body(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, pol_ref,
                  out_ref, *, n_steps: int, s_pad: int, s0: float, xi: float,
                  eta: float, r: float, dt: float, log_s0: float,
-                 is_call: bool, strike: float):
+                 is_call: bool, strike: float, antithetic: bool = False):
     """Fused pathwise Greeks: price + (delta, vega_xi, vega_eta, rho_rate,
     vega_h) partial sums per block — hand-rolled forward-mode tangents of
     the log-boundary policy value, entirely in VMEM (_tangent_planes +
     _greek_stop_vals).  Cost over the priced kernel: 4 extra MXU matmuls
     (n@dLt', three tangent cumsums) + O(1) VPU planes — measured ~2x the
-    price-only kernel, ~5x the XLA jvp stream (VERIFY_r03 §13)."""
+    price-only kernel, ~5x the XLA jvp stream (VERIFY_r03 §13).
+    ``antithetic``: noise carries half the rows, pairs fill the block
+    halves (see _tangent_planes)."""
     planes = _tangent_planes(noise, lt_ref, dlt_ref, vd_ref, tri_ref,
                              aux_ref, n_steps=n_steps, s_pad=s_pad,
-                             eta=eta, r=r, dt=dt, log_s0=log_s0)
+                             eta=eta, r=r, dt=dt, log_s0=log_s0,
+                             antithetic=antithetic)
     vals = _greek_stop_vals(planes, pol_ref, is_call=is_call, s0=s0,
                             xi=xi, r=r, dt=dt, strike=strike)
     lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
@@ -589,7 +592,7 @@ def _greeks_body(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, pol_ref,
 
 def _tangent_planes(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, *,
                     n_steps: int, s_pad: int, eta: float, r: float,
-                    dt: float, log_s0: float):
+                    dt: float, log_s0: float, antithetic: bool = False):
     """Strike-independent forward-tangent planes of the fused Greeks
     kernels: (ls, cumb, cume, cumh, col) for one path block.
 
@@ -609,11 +612,22 @@ def _tangent_planes(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, *,
 
     ``aux_ref`` rows: 1 = de_row, 2 = dh_row (drift times c*dt,
     matching _half_var_drift); the stop step's time and discount are
-    recomputed from idx in _greek_stop_vals instead of a row 0."""
+    recomputed from idx in _greek_stop_vals instead of a row 0.
+
+    ``antithetic``: ``noise`` carries HALF the block's rows; both noise
+    matmuls (n @ Lt', n @ dLt' — linear maps) run once per pair and the
+    members fill the block halves with negated planes through the shared
+    nonlinear stage, exactly the priced kernels' pairing."""
     n, w = noise
-    block = n.shape[0]
     x = jnp.dot(n.astype(lt_ref.dtype), lt_ref[:],
                 preferred_element_type=jnp.float32)
+    hx = jnp.dot(n.astype(dlt_ref.dtype), dlt_ref[:],
+                 preferred_element_type=jnp.float32)
+    if antithetic:
+        x = jnp.concatenate([x, -x], axis=0)
+        hx = jnp.concatenate([hx, -hx], axis=0)
+        w = jnp.concatenate([w, -w], axis=0)
+    block = x.shape[0]
     sv = jnp.exp(x + vd_ref[:])
     v = sv * sv
     svw = sv * (w * math.sqrt(dt))
@@ -628,8 +642,7 @@ def _tangent_planes(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, *,
     earg = x * (1.0 / eta) + aux_ref[1, :]
     cume = jnp.dot(earg * b, tri_ref[:],
                    preferred_element_type=jnp.float32)
-    harg = jnp.dot(n.astype(dlt_ref.dtype), dlt_ref[:],
-                   preferred_element_type=jnp.float32) + aux_ref[2, :]
+    harg = hx + aux_ref[2, :]
     cumh = jnp.dot(harg * b, tri_ref[:],
                    preferred_element_type=jnp.float32)
     return ls, cumb, cume, cumh, col
@@ -688,7 +701,7 @@ def _chain_greeks_body(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref,
                        pol_ref, out_ref, *, n_steps: int, s_pad: int,
                        s0: float, xi: float, eta: float, r: float,
                        dt: float, log_s0: float, is_call: bool,
-                       group: int):
+                       group: int, antithetic: bool = False):
     """Fused whole-smile Greeks: the strike-independent tangent planes
     (6 MXU matmuls — the block's dominant cost) are computed ONCE per
     path block and swept by the group's policies, the Greeks analogue of
@@ -697,7 +710,8 @@ def _chain_greeks_body(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref,
     CHAIN_GROUP = 10 -> at most 80 of the 128 lanes)."""
     planes = _tangent_planes(noise, lt_ref, dlt_ref, vd_ref, tri_ref,
                              aux_ref, n_steps=n_steps, s_pad=s_pad,
-                             eta=eta, r=r, dt=dt, log_s0=log_s0)
+                             eta=eta, r=r, dt=dt, log_s0=log_s0,
+                             antithetic=antithetic)
     lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for g in range(group):
@@ -708,9 +722,16 @@ def _chain_greeks_body(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref,
     out_ref[...] = acc
 
 
+def _greek_rows(block_paths: int, antithetic: bool) -> int:
+    """In-kernel noise rows per block for the Greeks kernels: half under
+    antithetic (pairs fill the block halves, see _tangent_planes)."""
+    return block_paths // 2 if antithetic else block_paths
+
+
 def _chain_greeks_kernel(seed_ref, *refs, block_paths: int, **kw):
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
-    n, w = _normals((block_paths, kw["s_pad"]))
+    n, w = _normals((_greek_rows(block_paths, kw.get("antithetic", False)),
+                     kw["s_pad"]))
     _chain_greeks_body((n, w), *refs, **kw)
 
 
@@ -722,7 +743,8 @@ def _chain_greeks_kernel_noise_in(noise_ref, *refs, block_paths: int,
 
 def _greeks_kernel(seed_ref, *refs, block_paths: int, **kw):
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
-    n, w = _normals((block_paths, kw["s_pad"]))
+    n, w = _normals((_greek_rows(block_paths, kw.get("antithetic", False)),
+                     kw["s_pad"]))
     _greeks_body((n, w), *refs, **kw)
 
 
@@ -761,34 +783,45 @@ def make_pallas_greeks_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                              block_paths: int = 256, is_call: bool = False,
                              interpret: bool = False,
                              noise_input: bool = False,
-                             fgn_dtype=jnp.float32):
+                             fgn_dtype=jnp.float32,
+                             antithetic: bool = False):
     """Fused streaming Greeks unit: (seed, log-boundary policy table) ->
     [6] chunk partial sums (price, delta, vega_xi, vega_eta, rho_rate,
     vega_h) under the fitted exercise policy — see _greeks_body.
     Chol fGN form and log-boundary policy only (the measured-fastest
-    configuration; the XLA jvp stream remains the general fallback)."""
+    configuration; the XLA jvp stream remains the general fallback).
+
+    antithetic=True pairs the block (half the draws, both noise matmuls
+    shared per pair — _tangent_planes); injected noise then carries
+    block_paths/2 rows per plane."""
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
     if not noise_input and block_paths % 16:
         raise ValueError("block_paths must divide by 16 for in-kernel RNG")
+    if antithetic and block_paths % 32:
+        raise ValueError("antithetic needs block_paths % 32 == 0 (half "
+                         "the rows are drawn, and the Box-Muller row "
+                         "slices must stay sublane-aligned)")
     # Two [s_pad, s_pad] matrices resident (Lt' + dLt') — the spectral
     # budget is the right byte model.
     if not supports(n_steps, "spectral"):
         raise ValueError("n_steps too large for the fused Greeks kernel")
     _check_block_budget(n_steps, block_paths, "spectral")
     s_pad = _round_up(n_steps, LANE)
+    noise_rows = block_paths // 2 if antithetic else block_paths
     lt_p, dlt_p, vd_p, tri_p, aux_p = _greeks_consts(
         n_steps, s_pad, xi, h, eta, dt, fgn_dtype)
 
     kw = dict(n_steps=n_steps, s_pad=s_pad, s0=float(s0), xi=float(xi),
               eta=float(eta), r=float(r), dt=float(dt),
               log_s0=float(math.log(s0)), is_call=bool(is_call),
-              strike=float(strike), block_paths=block_paths)
+              strike=float(strike), block_paths=block_paths,
+              antithetic=bool(antithetic))
     body = _greeks_kernel_noise_in if noise_input else _greeks_kernel
     kernel = functools.partial(body, **kw)
     grid_n = chunk_paths // block_paths
     first_spec = (
-        pl.BlockSpec((2, block_paths, s_pad), lambda i: (0, i, 0),
+        pl.BlockSpec((2, noise_rows, s_pad), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
     mat_spec = pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
@@ -834,7 +867,8 @@ def make_pallas_chain_greeks_chunk(s0, xi, h, eta, rho, r, strikes,
                                    is_call: bool = False,
                                    interpret: bool = False,
                                    noise_input: bool = False,
-                                   fgn_dtype=jnp.float32):
+                                   fgn_dtype=jnp.float32,
+                                   antithetic: bool = False):
     """Fused whole-smile streaming Greeks unit: (seed, policy tables
     [K, 8, s_pad]) -> [6, K] chunk partial sums in GREEK_ORDER, sharing
     each in-VMEM path block AND its tangent planes (the 6 MXU matmuls of
@@ -856,6 +890,10 @@ def make_pallas_chain_greeks_chunk(s0, xi, h, eta, rho, r, strikes,
         raise ValueError("chunk_paths must divide by block_paths")
     if not noise_input and block_paths % 16:
         raise ValueError("block_paths must divide by 16 for in-kernel RNG")
+    if antithetic and block_paths % 32:
+        raise ValueError("antithetic needs block_paths % 32 == 0 (half "
+                         "the rows are drawn, and the Box-Muller row "
+                         "slices must stay sublane-aligned)")
     # Lt' + dLt' resident -> the spectral byte model, which also matches
     # the chain kernel's conservative 512-step cap (VERIFY_r03 §11).
     if not supports(n_steps, "spectral"):
@@ -863,6 +901,7 @@ def make_pallas_chain_greeks_chunk(s0, xi, h, eta, rho, r, strikes,
             "n_steps too large for the fused chain Greeks kernel")
     _check_block_budget(n_steps, block_paths, "spectral")
     s_pad = _round_up(n_steps, LANE)
+    noise_rows = block_paths // 2 if antithetic else block_paths
     group = min(n_k, CHAIN_GROUP)
     n_g = -(-n_k // group)
     k_tab = n_g * group
@@ -871,13 +910,14 @@ def make_pallas_chain_greeks_chunk(s0, xi, h, eta, rho, r, strikes,
     kw = dict(n_steps=n_steps, s_pad=s_pad, s0=float(s0), xi=float(xi),
               eta=float(eta), r=float(r), dt=float(dt),
               log_s0=float(math.log(s0)), is_call=bool(is_call),
-              group=group, block_paths=block_paths)
+              group=group, block_paths=block_paths,
+              antithetic=bool(antithetic))
     body = (_chain_greeks_kernel_noise_in if noise_input
             else _chain_greeks_kernel)
     kernel = functools.partial(body, **kw)
     grid_n = chunk_paths // block_paths
     first_spec = (
-        pl.BlockSpec((2, block_paths, s_pad), lambda i: (0, i, 0),
+        pl.BlockSpec((2, noise_rows, s_pad), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
     mat_spec = pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),

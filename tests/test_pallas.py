@@ -336,25 +336,25 @@ def test_antithetic_config_rejections():
         config=engine.StreamConfig(
             n_paths=1 << 12, n_steps=1100, chunk_paths=1 << 10,
             pilot_paths=1 << 9, antithetic=True, pathgen_impl="pallas"))
-    # Eligible config constructs; bounds and Greeks reject at call time.
+    # Eligible pallas config constructs; bounds reject at call time (the
+    # pallas generic path stream is unpaired) — Greeks do NOT reject
+    # (the fused Greeks kernel pairs in-kernel; exercised on hardware in
+    # test_pallas_greeks).
     p = engine.StreamingPricer(
         **kwargs,
         config=engine.StreamConfig(**base, pathgen_impl="pallas"))
     with pytest.raises(ValueError, match="antithetic"):
         p.price_with_bounds(jax.random.key(0))
-    with pytest.raises(ValueError, match="antithetic"):
-        p.price_and_greeks(jax.random.key(0))
-    # Chain pricer: the fused boundary chain PAIRS (constructs); its
-    # Greeks surface and every non-fused chain configuration reject.
+    # Chain pricer: the fused boundary chain PAIRS (constructs; its
+    # Greeks pair in-kernel too — exercised in test_pallas_greeks);
+    # non-fused chain configurations reject.
     chain_kw = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
                     strikes=[100.0], maturity=32 / 252.0, is_call=False)
     chain_base = dict(n_paths=1 << 12, n_steps=32, chunk_paths=1 << 10,
                       pilot_paths=1 << 9, pathgen_impl="pallas",
                       antithetic=True)
-    pc = engine.StreamingChainPricer(
+    engine.StreamingChainPricer(
         **chain_kw, config=engine.StreamConfig(**chain_base))
-    with pytest.raises(ValueError, match="antithetic"):
-        pc.price_and_greeks(jax.random.key(0))
     for bad in (dict(chain_policy_form="quadratic"), dict(qmc=True)):
         with pytest.raises(ValueError, match="antithetic"):
             engine.StreamingChainPricer(

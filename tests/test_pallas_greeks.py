@@ -333,3 +333,67 @@ def test_serving_chain_greeks_match_non_bucketed():
         jax.random.key(11), n_steps_live=32, maturity=kwargs["maturity"],
         market=dict(s0=100.0, xi=0.09, r=0.04, eta=1.0), hurst=0.2)
     assert g2[0, 0] > g_serve[0, 0]          # more vol, dearer put
+
+
+def test_fused_greeks_antithetic_matches_pair(rng):
+    """antithetic=True on injected noise (chunk/2 rows per plane) equals
+    the plain Greeks kernel on +noise plus on -noise, for ALL six
+    outputs — per-member tangent arithmetic is the plain body's (only
+    the two noise matmuls are shared per pair, and they are linear)."""
+    pilot = engine.make_chunk_pathgen(**MKT, n_steps=N_STEPS, dt=DT,
+                                      chunk_paths=1 << 11)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, MKT["r"], STRIKE, MATURITY, DT, IS_CALL, 2)
+    rows = pathgen_pallas.log_boundary_rows(
+        pathgen_pallas.boundary_rows(fits, MKT["r"], STRIKE, MATURITY,
+                                     DT, N_STEPS, IS_CALL))
+    half = CHUNK // 2
+
+    kw = dict(**MKT, strike=STRIKE, maturity=MATURITY, dt=DT,
+              n_steps=N_STEPS, is_call=IS_CALL, interpret=True,
+              noise_input=True)
+    anti, s_pad = pathgen_pallas.make_pallas_greeks_chunk(
+        chunk_paths=CHUNK, block_paths=64, antithetic=True, **kw)
+    plain, _ = pathgen_pallas.make_pallas_greeks_chunk(
+        chunk_paths=half, block_paths=32, **kw)
+
+    noise = jnp.asarray(rng.standard_normal((2, half, s_pad)), jnp.float32)
+    got = np.asarray(anti(noise, rows))
+    want = np.asarray(plain(noise, rows)) + np.asarray(plain(-noise, rows))
+    scale = np.maximum(np.abs(want), 1e-3 * np.max(np.abs(want)))
+    assert np.all(np.abs(got - want) / scale < 1e-5), (got, want)
+
+
+def test_fused_chain_greeks_antithetic_matches_pair(rng):
+    """Chain-Greeks antithetic == plain(+N) + plain(-N), per strike and
+    per output (6 x K)."""
+    strikes = [94.0, 100.0, 106.0]
+    pilot = engine.make_chunk_pathgen(**MKT, n_steps=N_STEPS, dt=DT,
+                                      chunk_paths=1 << 11)(jax.random.key(0))
+
+    def one_fit(strike):
+        _, fits = lsm_fit(pilot, MKT["r"], strike, MATURITY, DT,
+                          IS_CALL, 2)
+        return fits
+
+    fits = jax.vmap(one_fit)(jnp.asarray(strikes))
+    tables = jax.vmap(
+        lambda fit, k: pathgen_pallas.log_boundary_rows(
+            pathgen_pallas.boundary_rows(fit, MKT["r"], k, MATURITY, DT,
+                                         N_STEPS, IS_CALL))
+    )(fits, jnp.asarray(strikes))
+    half = CHUNK // 2
+
+    kw = dict(**MKT, strikes=strikes, maturity=MATURITY, dt=DT,
+              n_steps=N_STEPS, is_call=IS_CALL, interpret=True,
+              noise_input=True)
+    anti, s_pad = pathgen_pallas.make_pallas_chain_greeks_chunk(
+        chunk_paths=CHUNK, block_paths=64, antithetic=True, **kw)
+    plain, _ = pathgen_pallas.make_pallas_chain_greeks_chunk(
+        chunk_paths=half, block_paths=32, **kw)
+
+    noise = jnp.asarray(rng.standard_normal((2, half, s_pad)), jnp.float32)
+    got = np.asarray(anti(noise, tables))
+    want = np.asarray(plain(noise, tables)) + np.asarray(
+        plain(-noise, tables))
+    scale = np.maximum(np.abs(want), 1e-3 * np.max(np.abs(want)))
+    assert np.all(np.abs(got - want) / scale < 1e-5), (got, want)
