@@ -135,15 +135,10 @@ def main(argv=None) -> int:
         print("error: --bounds cannot combine with --greeks/"
               "--control-variate", file=sys.stderr)
         return 2
-    if args.antithetic and args.bounds and args.pathgen == "pallas":
-        # Bounds pair only through the XLA generator (the pallas
-        # configs' whole-path stream draws unpaired blocks) — engine
-        # rejects too; this is the friendly front-door message.
-        # --greeks needs no guard: the fused Greeks kernels pair.
-        print("error: --antithetic with --bounds needs --pathgen xla "
-              "(the pallas whole-path stream is unpaired)",
-              file=sys.stderr)
-        return 2
+    # --antithetic composes with --greeks (fused Greeks kernels pair)
+    # and --bounds (single-tile pallas and XLA whole-path generators
+    # pair); the engine rejects the remaining unpaired corners (QMC,
+    # step-tiled bounds) with clean errors via _price_once.
     n_paths = int(args.paths)
     pathgen = args.pathgen
     if jax.devices()[0].platform != "tpu" and pathgen == "pallas":

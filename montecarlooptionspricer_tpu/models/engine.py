@@ -141,23 +141,33 @@ class StreamConfig:
     # semantics, the r02 form).  Decision differences are the same
     # one-ulp root-band class as chain_policy_form's.
     policy_form: str = "boundary"
-    # Antithetic pairing inside the fused single-tile priced kernel:
-    # each chunk prices chunk_paths/2 pairs (N, W) / (-N, -W) — every
-    # path's marginal law is exactly the standard one (standard normals
-    # are symmetric), from HALF the Box-Muller draws (the kernel's
-    # measured VPU transcendental bound), with pair members negatively
-    # correlated (the classic variance reduction for monotone payoffs).
-    # Chunk totals stay iid, so the streamed stderr remains exact and
-    # automatically reflects the reduction.  The fGN map is linear in the
-    # noise, so the pair also shares ONE fGN matmul (the partner's plane
-    # is its negation) — at long horizons (the slab kernel) that halves
-    # the O(s_pad^2)-per-path MXU bound too.  Requires a fused boundary
-    # configuration (pathgen_impl="pallas", fuse_policy, poly_order 2,
-    # policy_form="boundary", no QMC) on the single-tile or slab kernel;
-    # anything else rejects loudly at construction.  OFF by default:
-    # the plain-MC estimator is the reference-parity default, and
-    # pairing changes the sample's joint law (dependence within pairs)
-    # even though each path's law and the estimator's mean do not move.
+    # Antithetic pairing: each chunk prices chunk_paths/2 pairs
+    # (N, W) / (-N, -W) — every path's marginal law is exactly the
+    # standard one (standard normals are symmetric), from HALF the
+    # Box-Muller draws (the fused kernels' measured VPU transcendental
+    # bound), with pair members negatively correlated (the classic
+    # variance reduction for monotone payoffs).  Chunk totals stay iid,
+    # so the streamed stderr remains exact and automatically reflects
+    # the reduction.  The fGN map is linear in the noise, so the pair
+    # also shares ONE fGN synthesis (the partner's plane is its
+    # negation) — at long horizons (the slab kernel) that halves the
+    # O(s_pad^2)-per-path MXU bound too.
+    #
+    # Coverage: the fused boundary kernels pair prices (single-tile,
+    # slab, chain) AND Greeks (both noise matmuls shared,
+    # pathgen_pallas._tangent_planes); the XLA generator pairs at the
+    # noise-plane level, so every whole-path surface inherits it —
+    # generic stream, CV, duality bounds, jvp Greeks, bucketed/serving
+    # chains; the single-tile pallas whole-path generator pairs too
+    # (pallas-config bounds).  Rejected loudly where no pairing exists:
+    # QMC, the factored-DFT long-horizon kernel, quadratic policy
+    # forms, and step-tiled-config price_with_bounds (the tiled
+    # whole-path stream draws unpaired blocks — use pathgen_impl="xla"
+    # for paired bounds there).  OFF by default: the plain-MC estimator
+    # is the
+    # reference-parity default, and pairing changes the sample's joint
+    # law (dependence within pairs) even though each path's law and the
+    # estimator's mean do not move.
     antithetic: bool = False
     # Chunks per device program: the chunk loop runs as an on-device
     # fori_loop, so host<->device round-trips happen once per
@@ -1065,7 +1075,11 @@ class StreamingPricer:
                 chunk_gen = pathgen_pallas.make_pallas_pathgen(
                     s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
                     block_paths=_fused_block(config, n_steps),
-                    fgn_dtype=fgn_dtype, fgn_form=_resolve_fgn_form(config))
+                    fgn_dtype=fgn_dtype, fgn_form=_resolve_fgn_form(config),
+                    # Whole-path consumers of the chunk stream (the
+                    # duality-bounds sides) inherit the pairing; the
+                    # pilot stays plain (cf. the XLA branch).
+                    antithetic=config.antithetic)
             # Carriers are int32 (run_word, stream_index) pairs; the kernel
             # also folds the grid block id.  Chunk i advances the stream
             # index; the run word never changes within a run.
@@ -1464,6 +1478,8 @@ class StreamingPricer:
         # bound) and the beta-martingale dual (upper bound,
         # dual_upper_values) — a rigorous price bracket at any path count.
         def bounds_fit_fn(k):
+            from ..ops.reductions import global_mean
+
             pilot = pilot_gen(shard_mix(k))
             _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call,
                               config.poly_order, axis_name=ax)
@@ -1471,11 +1487,22 @@ class StreamingPricer:
                                       is_call, axis_name=ax)
             lam = fit_dual_scale(pilot, deltas, r, strike, maturity, dt,
                                  is_call, axis_name=ax)
-            return fits, deltas, lam
+            # Pilot estimates of E[chunk total] for both sides: the dual
+            # upper's chunk spread is SMALL by construction (martingale
+            # control), often under the raw f32 c^2 floor — the variance
+            # accumulators center on these (cf. the CV stream's fix).
+            lv = lsm_policy_path_values(pilot, fits, r, strike, maturity,
+                                        dt, is_call)
+            uv = dual_upper_values(pilot, deltas, lam, r, strike,
+                                   maturity, dt, is_call)
+            cc = jnp.stack([global_mean(lv, ax), global_mean(uv, ax)]
+                           ) * jnp.float32(config.chunk_paths)
+            return fits, deltas, lam, cc
 
         def bounds_stream_fn(k, fits_lam, start, count):
-            fits, deltas, lam = fits_lam
+            fits, deltas, lam, cc = fits_lam
             k = shard_mix(k)
+            lo_c, up_c = cc[0].astype(jnp.float32), cc[1].astype(jnp.float32)
 
             def body(i, carry):
                 lo, up, lsq, usq = carry
@@ -1487,7 +1514,9 @@ class StreamingPricer:
                                               is_call))
                 s = s.astype(jnp.float32)
                 d = d.astype(jnp.float32)
-                return lo + s, up + d, lsq + s * s, usq + d * d
+                return (lo + s, up + d,
+                        lsq + (s - lo_c) * (s - lo_c),
+                        usq + (d - up_c) * (d - up_c))
 
             zero = jnp.zeros((), jnp.float32)
             if ax is not None:
@@ -1607,15 +1636,16 @@ class StreamingPricer:
         (_chunk_stderr caveats apply), so the MC noise on each end of the
         bracket is distinguishable from the duality gap itself."""
         config = self.config
-        if config.antithetic and self._pathgen_impl == "pallas":
-            # The XLA generator pairs at the noise level, so its whole
-            # paths (and both bound sides) inherit antithetic; the pallas
-            # pathgen used by this config's generic stream does not.
+        if (config.antithetic and self._pathgen_impl == "pallas"
+                and self._pathgen_tiled):
+            # Single-tile pallas and XLA whole-path generators both pair
+            # (bounds sides inherit it); the step-tiled whole-path
+            # generator is the one stream left unpaired.
             raise ValueError(
-                "price_with_bounds on a pallas configuration streams "
-                "whole paths through the unpaired pallas generator; use "
-                "antithetic=False, or pathgen_impl='xla' for paired "
-                "bounds")
+                "price_with_bounds on a step-tiled pallas configuration "
+                "streams whole paths through the unpaired tiled "
+                "generator; use antithetic=False, or pathgen_impl='xla' "
+                "for paired bounds at long horizons")
         if n_paths is None:
             n_paths = config.n_paths
         per_step = config.chunk_paths * self.n_dev
@@ -1643,9 +1673,13 @@ class StreamingPricer:
             return lo / n_paths, up / n_paths
         m = n_chunks * self.n_dev
         per = config.chunk_paths
+        # sq accumulators are centered on the pilot estimates (the dual
+        # upper's spread sits under the raw f32 floor — see
+        # bounds_fit_fn / _chunk_stderr's center contract).
+        cc = np.asarray(fits_lam[3], np.float64)
         return (lo / n_paths, up / n_paths,
-                float(_chunk_stderr(lo, lsq, m, per)),
-                float(_chunk_stderr(up, usq, m, per)))
+                float(_chunk_stderr(lo, lsq, m, per, center=cc[0])),
+                float(_chunk_stderr(up, usq, m, per, center=cc[1])))
 
     def price_and_greeks(self, key, n_paths: Optional[int] = None,
                          with_stderr: bool = False):

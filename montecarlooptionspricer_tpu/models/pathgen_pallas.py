@@ -238,10 +238,11 @@ def n_planes(fgn_form: str) -> int:
 
 
 def _euler_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref,
-                      out_ref, **kw):
+                      out_ref, antithetic: bool = False, **kw):
     block = out_ref.shape[0]
-    s = _paths_from_noise(zr, zi, w, cr_ref, ci_ref, vd_ref, tri_ref,
-                          **kw)
+    x = _fgn_x(zr, zi, cr_ref, ci_ref)
+    stage = _logpaths_from_x_anti if antithetic else _logpaths_from_x
+    s = jnp.exp(stage(x, w, vd_ref, tri_ref, **kw))
     # out[:, 0] = S0; out[:, 1:n_steps+1] = S.  When n_steps is a lane
     # multiple, out has one more padded lane-group than s (out_cols =
     # round_up(n_steps + 1) > s_pad) — pad s to fit.
@@ -455,11 +456,13 @@ def _pathgen_kernel(seed_ref, *refs, fgn_form: str = "spectral", **kw):
     """Production kernel: in-kernel hardware PRNG (zero HBM noise traffic).
     Seeded from (mix(run_word, stream_index), block_id), so runs /
     pilot-vs-chunks / blocks can never collide by arithmetic on a single
-    word (see _fold_words)."""
+    word (see _fold_words).  With antithetic, half the rows are drawn
+    and the pair fills the block halves (_logpaths_from_x_anti)."""
     *mats, vd_ref, tri_ref, out_ref = refs
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
     block, s_pad = out_ref.shape[0], kw["s_pad"]
-    zr, zi, w = _draw_planes(block, s_pad, fgn_form)
+    rows = block // 2 if kw.get("antithetic") else block
+    zr, zi, w = _draw_planes(rows, s_pad, fgn_form)
     _euler_from_noise(zr, zi, w, *_mats2(mats), vd_ref, tri_ref,
                       out_ref, **kw)
 
@@ -1087,13 +1090,17 @@ def _half_var_drift(n_steps: int, s_pad: int, xi, h, eta, dt) -> jax.Array:
 def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
            chunk_paths: int, block_paths: int, interpret: bool,
            noise_input: bool, fgn_dtype=jnp.float32,
-           fgn_form: str = "spectral"):
+           fgn_form: str = "spectral", antithetic: bool = False):
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
     if not noise_input and block_paths % 16:
         raise ValueError("block_paths must divide by 16 (the 1.5-pair "
                          "Box-Muller scheme slices at block and block*3/2, "
                          "which must stay sublane-aligned)")
+    if antithetic and block_paths % 32:
+        raise ValueError("antithetic needs block_paths % 32 == 0 (half "
+                         "the rows are drawn, and the Box-Muller row "
+                         "slices must stay sublane-aligned)")
     if not supports(n_steps, fgn_form):
         raise ValueError(
             f"n_steps={n_steps} pads past the fused kernel's "
@@ -1112,13 +1119,15 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     tri_p = jnp.asarray(tri)
 
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
-              dt=float(dt), log_s0=float(math.log(s0)), fgn_form=fgn_form)
+              dt=float(dt), log_s0=float(math.log(s0)), fgn_form=fgn_form,
+              antithetic=bool(antithetic))
     body = _pathgen_kernel_noise_in if noise_input else _pathgen_kernel
     kernel = functools.partial(body, **kw)
 
     planes = n_planes(fgn_form)
+    noise_rows = block_paths // 2 if antithetic else block_paths
     first_spec = (
-        pl.BlockSpec((planes, block_paths, s_pad), lambda i: (0, i, 0),
+        pl.BlockSpec((planes, noise_rows, s_pad), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
     grid = (chunk_paths // block_paths,)
@@ -1144,17 +1153,23 @@ def _build(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
 def make_pallas_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                         chunk_paths: int, block_paths: int = 256,
                         interpret: bool = False, fgn_dtype=jnp.float32,
-                        fgn_form: str = "spectral"):
+                        fgn_form: str = "spectral",
+                        antithetic: bool = False):
     """Build seed -> [chunk_paths, n_steps + 1] float32 rBergomi generator
     with in-kernel RNG.
 
     ``seed`` is an int32 scalar or a 2-vector (run_word, stream_index); the
     kernel additionally folds the grid block id into the PRNG seed.  Pass
     distinct stream indices per chunk for independent chunks.
+
+    antithetic=True fills each block with block_paths/2 pairs
+    (N, W) / (-N, -W) sharing one fGN matmul — whole-path consumers
+    (bounds, generic policy streams) inherit the pairing.
     """
     call, consts, _ = _build(s0, xi, h, eta, rho, r, n_steps, dt, chunk_paths,
                              block_paths, interpret, noise_input=False,
-                             fgn_dtype=fgn_dtype, fgn_form=fgn_form)
+                             fgn_dtype=fgn_dtype, fgn_form=fgn_form,
+                             antithetic=antithetic)
 
     def gen(seed) -> jax.Array:
         out = call(_as_seed_words(seed), *consts)
@@ -1652,17 +1667,21 @@ def make_pallas_pathgen_from_noise(s0, xi, h, eta, rho, r, n_steps: int,
                                    dt: float, chunk_paths: int,
                                    block_paths: int = 256,
                                    interpret: bool = False,
-                                   fgn_form: str = "spectral"):
+                                   fgn_form: str = "spectral",
+                                   antithetic: bool = False):
     """Test variant: noise [planes, chunk, s_pad] supplied by the caller
     (Zr, Zi, W spectral; N, W chol), so the kernel's math path can be
-    compared elementwise against the XLA generator on any backend."""
+    compared elementwise against the XLA generator on any backend.
+    With antithetic the planes carry chunk/2 rows each."""
     call, consts, s_pad = _build(s0, xi, h, eta, rho, r, n_steps, dt,
                                  chunk_paths, block_paths, interpret,
-                                 noise_input=True, fgn_form=fgn_form)
+                                 noise_input=True, fgn_form=fgn_form,
+                                 antithetic=antithetic)
     planes = n_planes(fgn_form)
+    noise_rows = chunk_paths // 2 if antithetic else chunk_paths
 
     def gen(noise) -> jax.Array:
-        assert noise.shape == (planes, chunk_paths, s_pad), (
+        assert noise.shape == (planes, noise_rows, s_pad), (
             noise.shape, planes, s_pad)
         out = call(noise.astype(jnp.float32), *consts)
         return out[:, : n_steps + 1]

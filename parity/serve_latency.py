@@ -51,6 +51,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=100)
     ap.add_argument("--chunk-paths", type=int, default=1024)
+    ap.add_argument("--antithetic", action="store_true",
+                    help="measure the paired server (--serve --antithetic)")
     args = ap.parse_args()
 
     reqs = build_requests(args.requests)
@@ -59,7 +61,8 @@ def main() -> int:
     t0 = time.time()
     out = subprocess.run(
         [sys.executable, "-m", "montecarlooptionspricer_tpu.cli.price",
-         "--serve", "--chunk-paths", str(args.chunk_paths)],
+         "--serve", "--chunk-paths", str(args.chunk_paths)]
+        + (["--antithetic"] if args.antithetic else []),
         input=payload, capture_output=True, text=True, timeout=3600,
         env=os.environ)
     wall = time.time() - t0
@@ -85,6 +88,12 @@ def main() -> int:
             print(f"| {label} warm max | {lat[-1] * 1e3:.1f} ms |")
         else:
             print(f"| {label} warm quotes | 0 (all cold) |")
+    # Quote noise: mean reported per-strike stderr across price quotes
+    # (the antithetic server shows its variance reduction here).
+    ses = [s for r in rows if "delta" not in r
+           for s in r["stderrs"] if s is not None]
+    if ses:
+        print(f"| mean quote stderr | {sum(ses) / len(ses):.5f} |")
     print(f"| total wall (incl. compiles) | {wall:.1f} s |")
     return 0
 

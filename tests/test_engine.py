@@ -878,3 +878,21 @@ def test_xla_antithetic_price_agreement_and_reduction():
     pa, sa = anti.price(jax.random.key(9), with_stderr=True)
     assert abs(pa - pp) < 4.0 * float(np.hypot(sa, sp)), (pa, pp, sa, sp)
     assert sa < 0.9 * sp, (sa, sp)
+
+
+def test_bounds_stderrs_positive_and_finite():
+    """price_with_bounds(with_stderr=True): both error bars finite and
+    POSITIVE (the dual upper's chunk spread sits under the raw f32
+    floor — the centered accumulators restored it; a hardware run had
+    reported upper_stderr = 0.0 exactly before the fix)."""
+    kwargs = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    p = engine.StreamingPricer(
+        **kwargs, config=engine.StreamConfig(
+            n_paths=1 << 14, n_steps=32, chunk_paths=1 << 10,
+            pilot_paths=1 << 11, chunks_per_call=16))
+    lo, up, lse, use = p.price_with_bounds(jax.random.key(5),
+                                           with_stderr=True)
+    assert lo <= up and np.isfinite(lo) and np.isfinite(up)
+    assert np.isfinite(lse) and lse > 0, lse
+    assert np.isfinite(use) and use > 0, use

@@ -336,15 +336,22 @@ def test_antithetic_config_rejections():
         config=engine.StreamConfig(
             n_paths=1 << 12, n_steps=1100, chunk_paths=1 << 10,
             pilot_paths=1 << 9, antithetic=True, pathgen_impl="pallas"))
-    # Eligible pallas config constructs; bounds reject at call time (the
-    # pallas generic path stream is unpaired) — Greeks do NOT reject
-    # (the fused Greeks kernel pairs in-kernel; exercised on hardware in
-    # test_pallas_greeks).
-    p = engine.StreamingPricer(
+    # Eligible single-tile pallas config constructs with NO surface
+    # rejections left (fused price/Greeks pair in-kernel, the whole-path
+    # pallas generator pairs for bounds — all exercised on hardware).
+    engine.StreamingPricer(
         **kwargs,
         config=engine.StreamConfig(**base, pathgen_impl="pallas"))
-    with pytest.raises(ValueError, match="antithetic"):
-        p.price_with_bounds(jax.random.key(0))
+    # The step-tiled whole-path generator is the one unpaired stream:
+    # bounds on a slab-horizon config reject at call time.
+    slab = engine.StreamingPricer(
+        s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+        strike=102.0, maturity=1100 / 252.0, is_call=False,
+        config=engine.StreamConfig(
+            n_paths=1 << 12, n_steps=1100, chunk_paths=1 << 10,
+            pilot_paths=1 << 9, antithetic=True, pathgen_impl="pallas"))
+    with pytest.raises(ValueError, match="antithetic|unpaired"):
+        slab.price_with_bounds(jax.random.key(0))
     # Chain pricer: the fused boundary chain PAIRS (constructs; its
     # Greeks pair in-kernel too — exercised in test_pallas_greeks);
     # non-fused chain configurations reject.
@@ -392,3 +399,32 @@ def test_antithetic_price_and_variance_on_chip():
     pa, sa = anti.price(jax.random.key(7), with_stderr=True)
     assert abs(pa - pp) < 4.0 * float(np.hypot(sa, sp)), (pa, pp, sa, sp)
     assert sa < 0.9 * sp, (sa, sp)
+
+
+def test_pallas_pathgen_antithetic_matches_pair(rng):
+    """Whole-path generator antithetic=True on injected noise (chunk/2
+    rows per plane) == plain generator rows on +noise stacked on -noise:
+    the pair shares one fGN matmul but each member's Euler arithmetic is
+    the plain body's (chol form, the production configuration)."""
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.2, 1.0, -0.4, 0.04
+    n_steps, chunk, dt = 48, 128, 1 / 252.0
+    half = chunk // 2
+
+    kw = dict(interpret=True, fgn_form="chol")
+    anti, s_pad = pathgen_pallas.make_pallas_pathgen_from_noise(
+        s0, xi, h, eta, rho, r, n_steps, dt, chunk, block_paths=64,
+        antithetic=True, **kw)
+    plain, _ = pathgen_pallas.make_pallas_pathgen_from_noise(
+        s0, xi, h, eta, rho, r, n_steps, dt, half, block_paths=32, **kw)
+
+    noise = jnp.asarray(rng.standard_normal((2, half, s_pad)), jnp.float32)
+    got = np.asarray(anti(noise))
+    # Pairing is per BLOCK (each grid block's halves are partners), so
+    # the expected layout interleaves block-sized (+/-) slabs: block b of
+    # the antithetic gen consumes noise rows [32b, 32b+32) and emits
+    # [f(+n_b); f(-n_b)].
+    p_plus = np.asarray(plain(noise))
+    p_minus = np.asarray(plain(-noise))
+    want = np.concatenate([p_plus[:32], p_minus[:32],
+                           p_plus[32:], p_minus[32:]], axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
