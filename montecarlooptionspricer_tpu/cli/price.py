@@ -70,7 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--qmc", action="store_true",
                    help="randomized quasi-Monte Carlo price Brownian "
                         "(scrambled Sobol + per-chunk digital shift; "
-                        "several-x lower stderr per path; XLA generator)")
+                        "1-4.5x lower stderr per path by workload; XLA "
+                        "generator)")
+    p.add_argument("--qmc-fgn", action="store_true",
+                   help="extend the Sobol set to the fGN planes "
+                        "(3x dims): the right choice on high-vol-of-vol "
+                        "markets where the variance rides the fGN; "
+                        "requires --qmc")
     p.add_argument("--bounds", action="store_true",
                    help="report a rigorous [lower, upper] price bracket "
                         "(LSM policy value + delta-hedge duality upper "
@@ -151,12 +157,18 @@ def main(argv=None) -> int:
     chunk = max(block, (min(args.chunk_paths, n_paths) // block) * block)
     n_paths = max(chunk, (n_paths // chunk) * chunk)
 
-    cfg = engine.StreamConfig(
-        n_paths=n_paths, n_steps=n_steps, chunk_paths=chunk,
-        pilot_paths=min(1 << 16, chunk), chunks_per_call=64,
-        pathgen_impl=pathgen, cumsum_impl="matmul",
-        control_variate=args.control_variate, qmc=args.qmc,
-        antithetic=args.antithetic)
+    try:
+        cfg = engine.StreamConfig(
+            n_paths=n_paths, n_steps=n_steps, chunk_paths=chunk,
+            pilot_paths=min(1 << 16, chunk), chunks_per_call=64,
+            pathgen_impl=pathgen, cumsum_impl="matmul",
+            control_variate=args.control_variate, qmc=args.qmc,
+            qmc_fgn=args.qmc_fgn, antithetic=args.antithetic)
+    except ValueError as e:
+        # Config-level rejections (e.g. --qmc-fgn without --qmc) exit
+        # like CLI validation errors, not tracebacks.
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     key = jax.random.key(args.seed)
     market = dict(s0=args.s0, xi=args.xi, h=args.hurst, eta=args.eta,
                   rho=args.rho, r=args.r)
@@ -442,7 +454,7 @@ def serve(args, mkt) -> int:
                     n_paths=chunk, n_steps=bucket, chunk_paths=chunk,
                     pilot_paths=min(1 << 16, chunk), chunks_per_call=64,
                     pathgen_impl=pathgen, cumsum_impl="matmul",
-                    qmc=args.qmc,
+                    qmc=args.qmc, qmc_fgn=args.qmc_fgn,
                     # Server-level estimator choice (never per-request —
                     # it would double the shape-class space): bucketed
                     # pricers ride the XLA generator, which pairs every

@@ -108,9 +108,15 @@ class StreamConfig:
     # Randomized QMC for the price Brownian: scrambled Sobol + per-chunk
     # digital shift + Brownian PCA (see make_chunk_pathgen).  Forces the
     # XLA generator (the fused kernels' in-kernel PRNG can't consume a
-    # precomputed point set).  Measured ~3-5x stderr reduction per path at
-    # 1e6 paths for near-the-money contracts.
+    # precomputed point set).  Measured 1-4.5x stderr reduction per path
+    # by workload (VERIFY_r03 §28) — the advantage tracks how much payoff
+    # variance the PCA'd Brownian carries.
     qmc: bool = False
+    # Extend the Sobol set to the fGN planes too (3*n_steps dims, the
+    # generate_paths_qmc layout): the right choice on high-vol-of-vol
+    # markets where the variance rides the fGN, at 3x the base-set
+    # footprint.  Requires qmc=True.
+    qmc_fgn: bool = False
     # Martingale control variate: corrects the streamed estimate with
     # beta * (mean e^{-rT} S_T - s0), beta fitted on the pilot block.
     # Unbiased (the control's mean is exactly s0 under this model) with
@@ -186,6 +192,8 @@ class StreamConfig:
         if self.chain_policy_form not in ("boundary", "quadratic"):
             raise ValueError(
                 f"unknown chain_policy_form: {self.chain_policy_form!r}")
+        if self.qmc_fgn and not self.qmc:
+            raise ValueError("qmc_fgn requires qmc=True")
         if self.policy_form not in ("boundary", "quadratic"):
             raise ValueError(
                 f"unknown policy_form: {self.policy_form!r}")
@@ -294,7 +302,8 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                        chunk_paths: int, dtype=jnp.float32,
                        fgn_dtype=jnp.float32, cumsum_impl: str = "cumsum",
                        qmc: bool = False, fgn_impl: str = "matmul",
-                       traced_h: bool = False, antithetic: bool = False):
+                       traced_h: bool = False, antithetic: bool = False,
+                       qmc_fgn: bool = False):
     """Build chunk_paths-sized rBergomi generator key -> [chunk, steps+1]
     using the MXU fGN matmul.  Statistically identical to
     rough_volatility.generate_paths (different RNG stream layout).
@@ -320,10 +329,15 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     cached device constant), digitally shifted per chunk key, mapped to
     normals by inverse CDF and rotated through the Brownian PCA matrix so
     the low Sobol dimensions carry the path's dominant variance modes
-    (ops/qmc.py).  Only the price Brownian — which carries nearly all the
-    payoff variance at production vol-of-vol levels — is low-discrepancy;
-    the two fGN planes stay pseudo-random (QMC-ing 2 more n_steps-dim
-    planes would triple the base-set footprint for the residual variance).
+    (ops/qmc.py).  By default only the price Brownian is low-discrepancy;
+    the two fGN planes stay pseudo-random (tripling the base-set
+    footprint buys nothing when the Brownian carries the payoff
+    variance).  ``qmc_fgn=True`` extends the Sobol set to 3*n_steps
+    dimensions covering the fGN planes too — the right choice on
+    HIGH-vol-of-vol markets where the variance rides the fGN (measured:
+    VERIFY_r03 §28's eta=1.5 / 32-step case is ~1x with the default and
+    recovers the multi-x reduction with qmc_fgn; the layout matches
+    rough_volatility.generate_paths_qmc, which always QMCs all three).
     Per-chunk shifts are independent, so chunk estimates stay independent
     and unbiased — streaming accumulation and stderr logic are unchanged.
     Capability upgrade over the reference's plain pseudo-random MC
@@ -397,10 +411,16 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     else:
         raise ValueError(f"unknown cumsum_impl: {cumsum_impl!r}")
 
+    if qmc_fgn and not qmc:
+        raise ValueError("qmc_fgn requires qmc=True")
+    if qmc_fgn and fgn_impl == "fft":
+        raise ValueError("qmc_fgn requires the matmul fGN synthesis "
+                         "(the fft branch draws its own noise)")
     if qmc:
         from ..ops import qmc as qmc_mod
 
-        sobol_bits = jnp.asarray(qmc_mod.sobol_base(chunk_paths, n_steps))
+        qdim = 3 * n_steps if qmc_fgn else n_steps
+        sobol_bits = jnp.asarray(qmc_mod.sobol_base(chunk_paths, qdim))
         # PCA map already carries the sqrt(dt) scale: rows of the Brownian
         # covariance factor, differenced to increments (M M^T = dt*I).
         pca_t = jnp.asarray(qmc_mod.brownian_pca_matrix(n_steps, dt)).T
@@ -452,13 +472,20 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
             # Full precision: the PCA rotation realizes the low-discrepancy
             # structure; bf16 matmul noise (~0.4% relative) would drown the
             # sub-MC-noise accuracy QMC exists to deliver.
-            dw = jnp.matmul(zq, pca_t, precision=jax.lax.Precision.HIGHEST)
+            dw = jnp.matmul(zq[:, :n_steps], pca_t,
+                            precision=jax.lax.Precision.HIGHEST)
             dw = dw.astype(dtype)
         else:
             dw = jax.random.normal(kw, (n_draw, n_steps),
                                    dtype) * sqrt_dt
         if fgn_impl == "matmul":
-            z = jax.random.normal(kz, (2, n_draw, n_steps), fgn_dtype)
+            if qmc_fgn:
+                # Sobol dims [n, 2n) / [2n, 3n) are (Zr, Zi) — the layout
+                # of rough_volatility.generate_paths_qmc's complex plane.
+                z = jnp.stack([zq[:, n_steps:2 * n_steps],
+                               zq[:, 2 * n_steps:]]).astype(fgn_dtype)
+            else:
+                z = jax.random.normal(kz, (2, n_draw, n_steps), fgn_dtype)
             x_hat = (jnp.matmul(z[0], cr_t,
                                 preferred_element_type=jnp.float32)
                      - jnp.matmul(z[1], ci_t,
@@ -1091,11 +1118,11 @@ class StreamingPricer:
             # pilot noise anyway).
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
                 fgn_impl=_resolve_fgn_impl(config, n_steps))
             chunk_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
                 fgn_impl=_resolve_fgn_impl(config, n_steps),
                 antithetic=config.antithetic)
             next_carrier = jax.random.fold_in
@@ -1344,7 +1371,7 @@ class StreamingPricer:
         # mandatory here regardless of the price path's generator.
         xla_gen = make_chunk_pathgen(
             s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths, dtype,
-            fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+            fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
             fgn_impl="matmul", traced_h=True,
             # jvp tangents of paired paths are a valid paired estimator
             # (the pairing lives in the noise; the tangents are w.r.t.
@@ -1355,7 +1382,7 @@ class StreamingPricer:
             antithetic=config.antithetic)
         xla_pilot = make_chunk_pathgen(
             s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths, dtype,
-            fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+            fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
             fgn_impl="matmul", traced_h=True)
         self._market = (float(s0), float(xi), float(r), float(eta),
                         float(h))
@@ -1885,12 +1912,12 @@ class StreamingChainPricer:
         else:
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
                 fgn_impl=_resolve_fgn_impl(config, n_steps),
                 traced_h=traced_market)
             chunk_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
                 fgn_impl=_resolve_fgn_impl(config, n_steps),
                 traced_h=traced_market,
                 # Noise-level pairing (pilot stays plain, cf.
@@ -2069,7 +2096,7 @@ class StreamingChainPricer:
         elif not bucketed:
             xg_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
                 fgn_impl="matmul", traced_h=True,
                 # Paired jvp Greeks for XLA chain configs (pilot plain);
                 # pallas chains reject antithetic Greeks, so this gen
@@ -2077,7 +2104,7 @@ class StreamingChainPricer:
                 antithetic=config.antithetic)
             xg_pilot = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
                 fgn_impl="matmul", traced_h=True)
             self._market = (float(s0), float(xi), float(r), float(eta),
                             float(h))

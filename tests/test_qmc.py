@@ -198,3 +198,37 @@ def test_chain_stderr_shows_qmc_variance_reduction():
         ses[use_qmc] = se
     # QMC cuts the near-the-money stderr well below pseudo-random's.
     assert np.all(ses[True] < ses[False] / 1.5), ses
+
+
+def test_streaming_qmc_fgn_high_vol_of_vol():
+    """qmc_fgn=True extends the Sobol set to the fGN planes: on a
+    HIGH-vol-of-vol market (eta=1.5, 32 steps) where the payoff variance
+    rides the fGN and the Brownian-only default is ~neutral
+    (VERIFY_r03 §28), the full-dimension set must cut the cross-key
+    price spread materially vs plain MC."""
+    import numpy as np
+    from montecarlooptionspricer_tpu.models import engine
+
+    kwargs = dict(s0=100.0, xi=0.04, h=0.1, eta=1.5, rho=-0.4, r=0.04,
+                  strike=102.0, maturity=32 / 252.0, is_call=False)
+    base = dict(n_paths=1 << 14, n_steps=32, chunk_paths=1 << 12,
+                pilot_paths=1 << 12, chunks_per_call=4)
+
+    def spread(**kw):
+        p = engine.StreamingPricer(
+            **kwargs, config=engine.StreamConfig(**base, **kw))
+        vals = [p.price(jax.random.key(50 + s)) for s in range(8)]
+        return float(np.std(np.asarray(vals), ddof=1))
+
+    mc = spread()
+    qf = spread(qmc=True, qmc_fgn=True)
+    # Expected multi-x; 1.4x keeps the gate far from flaky at 8 keys.
+    assert qf < mc / 1.4, (mc, qf)
+
+
+def test_qmc_fgn_requires_qmc():
+    from montecarlooptionspricer_tpu.models import engine
+
+    with pytest.raises(ValueError, match="qmc_fgn"):
+        engine.StreamConfig(n_paths=1 << 12, n_steps=32,
+                            chunk_paths=1 << 10, qmc_fgn=True)
