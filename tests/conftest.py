@@ -31,15 +31,17 @@ if not _ON_HW:
     except AttributeError:  # older jax: XLA_FLAGS path above covers it
         pass
 
-if _ON_HW:
-    # Hardware runs pay 20-460 s per jitted program through the axon
-    # tunnel; the persistent cache makes whole-file TPU sweeps (the
-    # cross-platform numerics check, cf. the LSM near-singular-solve bug)
-    # feasible across sessions.
-    from montecarlooptionspricer_tpu.utils import (  # noqa: E402
-        enable_persistent_cache)
+# Persistent compilation cache for BOTH tiers.  Hardware runs pay
+# 20-460 s per jitted program through the axon tunnel; the hermetic CPU
+# tier recompiles every program from scratch on every pytest invocation
+# otherwise (the cache key includes platform and device count, so CPU and
+# TPU entries coexist in one directory and the virtual-8-device programs
+# never collide with single-chip ones).  Warm-run measurements:
+# VERIFY_r04 "fast tier" section.
+from montecarlooptionspricer_tpu.utils import (  # noqa: E402
+    enable_persistent_cache)
 
-    enable_persistent_cache()
+enable_persistent_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
