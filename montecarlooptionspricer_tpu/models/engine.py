@@ -106,11 +106,15 @@ class StreamConfig:
     # payoff sum and path data never leaves VMEM.
     fuse_policy: bool = True
     # Randomized QMC for the price Brownian: scrambled Sobol + per-chunk
-    # digital shift + Brownian PCA (see make_chunk_pathgen).  Forces the
-    # XLA generator (the fused kernels' in-kernel PRNG can't consume a
-    # precomputed point set).  Measured 1-4.5x stderr reduction per path
-    # by workload (VERIFY_r03 §28) — the advantage tracks how much payoff
-    # variance the PCA'd Brownian carries.
+    # digital shift + Brownian PCA (see make_chunk_pathgen).  With
+    # pathgen_impl="pallas" at single-tile horizons the Sobol planes are
+    # built in XLA per chunk and fed through the fused kernels'
+    # noise_input entries (_make_fused_qmc_noise), so the variance win
+    # composes with fused-kernel throughput; elsewhere (long horizons,
+    # bucketed/serving chains — the fused kernels bake their step count)
+    # QMC rides the XLA generator.  Measured 1-4.5x stderr reduction per
+    # path by workload (VERIFY_r03 §28) — the advantage tracks how much
+    # payoff variance the PCA'd Brownian carries.
     qmc: bool = False
     # Extend the Sobol set to the fGN planes too (3*n_steps dims, the
     # generate_paths_qmc layout): the right choice on high-vol-of-vol
@@ -159,21 +163,21 @@ class StreamConfig:
     # negation) — at long horizons (the slab kernel) that halves the
     # O(s_pad^2)-per-path MXU bound too.
     #
-    # Coverage: the fused boundary kernels pair prices (single-tile,
-    # slab, chain) AND Greeks (both noise matmuls shared,
-    # pathgen_pallas._tangent_planes); the XLA generator pairs at the
-    # noise-plane level, so every whole-path surface inherits it —
-    # generic stream, CV, duality bounds, jvp Greeks, bucketed/serving
-    # chains; the single-tile pallas whole-path generator pairs too
-    # (pallas-config bounds).  Rejected loudly where no pairing exists:
-    # QMC, the factored-DFT long-horizon kernel, quadratic policy
-    # forms, and step-tiled-config price_with_bounds (the tiled
-    # whole-path stream draws unpaired blocks — use pathgen_impl="xla"
-    # for paired bounds there).  OFF by default: the plain-MC estimator
-    # is the
-    # reference-parity default, and pairing changes the sample's joint
-    # law (dependence within pairs) even though each path's law and the
-    # estimator's mean do not move.
+    # Coverage (complete as of r04): the fused boundary kernels pair
+    # prices at EVERY horizon (single-tile, slab, factored DFT — both
+    # DFT stages are linear, so the partner's plane is a negation in
+    # every factorization) and chains AND Greeks (both noise matmuls
+    # shared, pathgen_pallas._tangent_planes); the XLA generator pairs
+    # at the noise-plane level, so every whole-path surface inherits
+    # it — generic stream, CV, duality bounds, jvp Greeks,
+    # bucketed/serving chains; the pallas whole-path generators pair
+    # too (single-tile, slab, factored — pallas-config bounds at any
+    # horizon).  Rejected loudly where no pairing exists: QMC (its
+    # stratification replaces pairing) and quadratic policy forms.
+    # OFF by default: the plain-MC estimator is the reference-parity
+    # default, and pairing changes the sample's joint law (dependence
+    # within pairs) even though each path's law and the estimator's
+    # mean do not move.
     antithetic: bool = False
     # Chunks per device program: the chunk loop runs as an on-device
     # fori_loop, so host<->device round-trips happen once per
@@ -513,6 +517,65 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     return gen
 
 
+def _make_fused_qmc_noise(config: "StreamConfig", n_steps: int, s_pad: int,
+                          fgn_form: str, dt: float):
+    """key -> [n_planes, chunk_paths, s_pad] noise for the fused kernels'
+    ``noise_input`` entries, with the PRICE Brownian plane driven by
+    randomized QMC (scrambled Sobol + per-chunk digital shift + Brownian
+    PCA — exactly make_chunk_pathgen's scheme) instead of the in-kernel
+    hardware PRNG.
+
+    This is what lets ``StreamConfig(qmc=True, pathgen_impl="pallas")``
+    keep the fused policy/boundary evaluation and MXU fGN matmul: the
+    planes are built in XLA (ndtri + one PCA matmul per chunk), streamed
+    through HBM block by block (~3 KB/path — two orders of magnitude
+    under the v5e HBM roofline at fused-kernel throughput), and consumed
+    by `_priced_kernel_noise_in` / `_chain_kernel_noise_in`.
+
+    Plane layout matches `pathgen_pallas._noise_planes`:
+      chol     -> (N, W)       with X = N @ Lt;
+      spectral -> (Zr, Zi, W)  with X = Zr @ Cr - Zi @ Ci.
+    The kernel scales W by sqrt(dt) itself, so the PCA'd increments are
+    divided back by sqrt(dt) here (the map M has M M^T = dt * I).
+
+    ``qmc_fgn=True`` extends the Sobol set to the fGN plane(s) too.  For
+    the spectral form the dimension layout matches the XLA generator
+    ([0, n) Brownian, [n, 2n) Zr, [2n, 3n) Zi); the chol form consumes
+    ONE fGN plane, so its set is 2n-dimensional ([n, 2n) -> N) — a
+    different (smaller) point-set assignment than the XLA generator's,
+    same Gaussian law.  Padded columns are zero (annihilated by the
+    matrices' zero pad rows, like the in-kernel draws)."""
+    from ..ops import qmc as qmc_mod
+
+    chunk = config.chunk_paths
+    n_fgn_planes = 1 if fgn_form == "chol" else 2
+    qdim = (1 + (n_fgn_planes if config.qmc_fgn else 0)) * n_steps
+    sobol_bits = jnp.asarray(qmc_mod.sobol_base(chunk, qdim))
+    pca_t = jnp.asarray(qmc_mod.brownian_pca_matrix(n_steps, dt)).T
+    inv_sqrt_dt = float(1.0 / np.sqrt(dt))
+    pad = ((0, 0), (0, s_pad - n_steps))
+
+    def noise_fn(key):
+        kq, kp = jax.random.split(key)
+        zq = qmc_mod.normals(sobol_bits, kq)
+        # Full precision for the PCA rotation (see make_chunk_pathgen):
+        # bf16 matmul noise would drown the sub-MC accuracy QMC buys.
+        w = jnp.pad(jnp.matmul(zq[:, :n_steps], pca_t,
+                               precision=jax.lax.Precision.HIGHEST)
+                    * inv_sqrt_dt, pad)
+        if config.qmc_fgn:
+            planes = [jnp.pad(zq[:, (i + 1) * n_steps:(i + 2) * n_steps],
+                              pad) for i in range(n_fgn_planes)]
+        elif n_fgn_planes == 1:
+            planes = [jax.random.normal(kp, (chunk, s_pad), jnp.float32)]
+        else:
+            z = jax.random.normal(kp, (2, chunk, s_pad), jnp.float32)
+            planes = [z[0], z[1]]
+        return jnp.stack([*planes, w])
+
+    return noise_fn
+
+
 def _resolve_tiled_module(config: "StreamConfig", n_steps: int, fgn_dtype):
     """Long-horizon fused-kernel module for step counts past the
     single-tile VMEM cap, honoring StreamConfig.tiled_impl; None when
@@ -575,18 +638,16 @@ def _tiled_maker_kwargs(tiled, config: "StreamConfig",
     """Extra maker kwargs for the resolved tiled module: the slab kernel
     takes the fGN form; the factored four-step DFT is spectral-only (its
     frequency-domain structure has no Cholesky analogue); both priced
-    makers take the policy form."""
+    makers take the policy form and (r04) antithetic pairing — both DFT
+    stages and the slab matmul are linear in the noise, so the partner's
+    plane is a negation in every factorization."""
     from . import pathgen_pallas_tiled
 
     kw = {"policy_form": config.policy_form} if priced else {}
     if tiled is pathgen_pallas_tiled:
         kw["fgn_form"] = _resolve_fgn_form(config)
-        if priced:
-            # The slab kernel implements antithetic pairing (the factored
-            # DFT does not — eligibility is enforced at StreamingPricer
-            # construction, so a factored resolve never reaches here with
-            # antithetic set).
-            kw["antithetic"] = config.antithetic
+    if priced:
+        kw["antithetic"] = config.antithetic
     return kw
 
 
@@ -1061,10 +1122,22 @@ class StreamingPricer:
         self.n_dev = 1 if mesh is None else mesh.shape[axis_name]
 
         pathgen_impl = config.pathgen_impl
+        qmc_fused = False
         if config.qmc:
-            # The fused kernels draw noise in-kernel; a Sobol point set is
-            # a device constant they can't consume.  QMC rides the XLA
-            # generator (still MXU fGN + matmul cumsum).
+            # The fused kernels' in-kernel PRNG can't consume a Sobol
+            # point set, but their noise_input entries CAN: where the
+            # single-tile fused priced kernel is eligible, the QMC planes
+            # are built in XLA per chunk (_make_fused_qmc_noise) and fed
+            # through `_priced_kernel_noise_in`, keeping the fused
+            # policy/boundary evaluation and MXU fGN matmul.  Everything
+            # else about the pricer (keys, pilot, whole-path consumers —
+            # bounds, Greeks) rides the XLA generator exactly as before.
+            if pathgen_impl == "pallas":
+                from . import pathgen_pallas as _pp_q
+
+                qmc_fused = (config.fuse_policy and config.poly_order == 2
+                             and _pp_q.supports(n_steps,
+                                                _resolve_fgn_form(config)))
             pathgen_impl = "xla"
         tiled = None
         if pathgen_impl == "pallas":
@@ -1093,7 +1166,11 @@ class StreamingPricer:
                 chunk_gen, _ = tiled.make_tiled_pathgen(
                     s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
                     block_paths=config.pallas_block_paths,
-                    fgn_dtype=fgn_dtype, **tiled_kw)
+                    fgn_dtype=fgn_dtype,
+                    # Whole-path consumers (the duality-bounds stream)
+                    # inherit the pairing at long horizons too; the pilot
+                    # stays plain (cf. the single-tile branch).
+                    antithetic=config.antithetic, **tiled_kw)
             else:
                 pilot_gen = pathgen_pallas.make_pallas_pathgen(
                     s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
@@ -1130,6 +1207,7 @@ class StreamingPricer:
             raise ValueError(f"unknown pathgen_impl: {config.pathgen_impl!r}")
         self._pathgen_impl = pathgen_impl
         self._pathgen_tiled = tiled is not None
+        self._qmc_fused = qmc_fused
 
         ax = axis_name if mesh is not None else None
         if mesh is None:
@@ -1172,13 +1250,13 @@ class StreamingPricer:
 
         self._cv = bool(config.control_variate)
         self._s0 = float(s0)
-        from . import pathgen_pallas_tiled as _slab_mod
 
         _anti_ok = (
-            # Fused log-boundary bodies (single-tile and slab) pair
-            # in-kernel ...
+            # Fused log-boundary bodies pair in-kernel at EVERY horizon
+            # (single-tile, slab, factored DFT — the fGN map is linear in
+            # the noise in every factorization, so the partner's plane is
+            # a negation; r03 verdict item 3 closed the factored gap) ...
             (pathgen_impl == "pallas"
-             and (tiled is None or tiled is _slab_mod)
              and config.fuse_policy and config.poly_order == 2
              and config.policy_form == "boundary")
             # ... and the XLA generator pairs at the noise-plane level, so
@@ -1191,9 +1269,8 @@ class StreamingPricer:
             raise ValueError(
                 "antithetic=True requires either a fused boundary "
                 "configuration (pathgen_impl='pallas', fuse_policy, "
-                "poly_order=2, policy_form='boundary'; single-tile or "
-                "slab — the factored-DFT kernel has no pairing) or the "
-                "XLA generator without QMC")
+                "poly_order=2, policy_form='boundary' — any horizon) or "
+                "the XLA generator without QMC")
         if self._cv:
             from ..ops.reductions import global_mean, psum_if
 
@@ -1360,6 +1437,88 @@ class StreamingPricer:
                 sq0 = count.astype(jnp.float32) * c0 * c0
                 return (jnp.where(ex0, all0, total),
                         jnp.where(ex0, sq0, sq))
+
+        if qmc_fused:
+            # QMC through the FUSED kernel: the Sobol planes are built in
+            # XLA per chunk (threefry keys — pathgen_impl is "xla" here)
+            # and consumed by the noise_input fused kernel, so qmc=True
+            # keeps the in-VMEM policy evaluation and MXU fGN matmul
+            # instead of dropping to the XLA policy stream.  The variance
+            # win then COMPOSES with fused-kernel throughput (r03 verdict
+            # item 1).  CV composes too (the kernel's with_cv lane).
+            from . import pathgen_pallas
+
+            q_form = _resolve_fgn_form(config)
+            priced_q, q_s_pad = pathgen_pallas.make_pallas_priced_chunk(
+                s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
+                config.chunk_paths,
+                block_paths=_fused_block(config, n_steps),
+                is_call=is_call, noise_input=True, fgn_dtype=fgn_dtype,
+                with_cv=self._cv, fgn_form=q_form,
+                policy_form=config.policy_form)
+            noise_fn = _make_fused_qmc_noise(config, n_steps, q_s_pad,
+                                             q_form, dt)
+            make_rows_q = _fused_rows_builder(config, None, r, strike,
+                                              maturity, dt, n_steps,
+                                              is_call)
+            if self._cv:
+                def stream_fn(k, fits_beta, start, count):  # noqa: F811
+                    fits, beta, center = fits_beta
+                    k = shard_mix(k)
+                    rows = make_rows_q(fits)
+                    ex0, p0 = pathgen_pallas.time0_value(fits, s0, strike,
+                                                         is_call)
+
+                    def body(i, carry):
+                        a, c, sq = carry
+                        da, dc = priced_q(
+                            noise_fn(jax.random.fold_in(k, start + i)),
+                            rows)
+                        t = (da - beta.astype(jnp.float32) * dc
+                             - center.astype(jnp.float32))
+                        return a + da, c + dc, sq + t * t
+
+                    zero = jnp.zeros((), jnp.float32)
+                    if ax is not None:
+                        zero = _pvary(zero, ax)
+                    a, c, sq = jax.lax.fori_loop(0, count, body,
+                                                 (zero, zero, zero))
+                    # Time-0 exercise: cf. the fused CV stream above.
+                    n_f = (count * config.chunk_paths).astype(jnp.float32)
+                    a = jnp.where(ex0, jnp.float32(p0) * n_f, a)
+                    c = jnp.where(ex0, jnp.float32(self._s0) * n_f, c)
+                    t0 = ((jnp.float32(p0) - beta.astype(jnp.float32)
+                           * jnp.float32(self._s0))
+                          * jnp.float32(config.chunk_paths)
+                          - center.astype(jnp.float32))
+                    sq = jnp.where(ex0,
+                                   count.astype(jnp.float32) * t0 * t0, sq)
+                    return a, c, sq
+            else:
+                def stream_fn(k, fits, start, count):  # noqa: F811
+                    k = shard_mix(k)
+                    rows = make_rows_q(fits)
+                    ex0, p0 = pathgen_pallas.time0_value(fits, s0, strike,
+                                                         is_call)
+
+                    def body(i, carry):
+                        tot, sq = carry
+                        c = priced_q(
+                            noise_fn(jax.random.fold_in(k, start + i)),
+                            rows)
+                        return tot + c, sq + c * c
+
+                    init = jnp.zeros((), jnp.float32)
+                    if ax is not None:
+                        init = _pvary(init, ax)
+                    total, sq = jax.lax.fori_loop(0, count, body,
+                                                  (init, init))
+                    all0 = jnp.float32(p0) * (count * config.chunk_paths
+                                              ).astype(jnp.float32)
+                    c0 = jnp.float32(p0) * jnp.float32(config.chunk_paths)
+                    sq0 = count.astype(jnp.float32) * c0 * c0
+                    return (jnp.where(ex0, all0, total),
+                            jnp.where(ex0, sq0, sq))
 
         # --- streaming Greeks machinery (XLA generator, mesh-capable) -----
         # Forward-mode AD through the chunk loop: one tangent per market
@@ -1663,16 +1822,6 @@ class StreamingPricer:
         (_chunk_stderr caveats apply), so the MC noise on each end of the
         bracket is distinguishable from the duality gap itself."""
         config = self.config
-        if (config.antithetic and self._pathgen_impl == "pallas"
-                and self._pathgen_tiled):
-            # Single-tile pallas and XLA whole-path generators both pair
-            # (bounds sides inherit it); the step-tiled whole-path
-            # generator is the one stream left unpaired.
-            raise ValueError(
-                "price_with_bounds on a step-tiled pallas configuration "
-                "streams whole paths through the unpaired tiled "
-                "generator; use antithetic=False, or pathgen_impl='xla' "
-                "for paired bounds at long horizons")
         if n_paths is None:
             n_paths = config.n_paths
         per_step = config.chunk_paths * self.n_dev
@@ -1862,8 +2011,21 @@ class StreamingChainPricer:
                 "(no control sums), and silently returning plain-MC stderrs "
                 "would misattribute the missing variance reduction.  Use "
                 "StreamingPricer per strike for CV estimates.")
+        qmc_fused = False
         if config.qmc or bucketed:
-            pathgen_impl = "xla"  # see StreamingPricer: QMC is XLA-only
+            if config.qmc and not bucketed and pathgen_impl == "pallas":
+                # Non-bucketed QMC chains keep the fused K-policy kernel
+                # via its noise_input entry (cf. StreamingPricer's
+                # qmc_fused path).  Bucketed/serving chains stay XLA by
+                # construction: the fused kernels bake their step count,
+                # and bucketing exists precisely to trace it.
+                from . import pathgen_pallas as _pp_q
+
+                # The chain kernel keeps the conservative SPECTRAL cap
+                # for both fGN forms (see make_pallas_priced_chain).
+                qmc_fused = (config.fuse_policy and config.poly_order == 2
+                             and _pp_q.supports(n_steps))
+            pathgen_impl = "xla"  # keys/pilot/Greeks ride the XLA generator
         if pathgen_impl == "pallas":
             from . import pathgen_pallas
 
@@ -1885,6 +2047,7 @@ class StreamingChainPricer:
                 "n_steps within the chain kernel cap) or the XLA "
                 "generator without QMC (incl. bucketed/serving chains)")
         self._pathgen_impl = pathgen_impl
+        self._qmc_fused = qmc_fused
 
         ax = axis_name if mesh is not None else None
         if mesh is None:
@@ -2059,6 +2222,58 @@ class StreamingChainPricer:
                 if ax is not None:
                     init = _pvary(init, ax)
                 return jax.lax.fori_loop(0, count, acc, (init, init))
+
+        if qmc_fused:
+            # QMC through the FUSED chain kernel (cf. StreamingPricer's
+            # qmc_fused stream): Sobol planes built in XLA per chunk, fed
+            # through `_chain_kernel_noise_in`; every strike group re-reads
+            # the same noise array, so groups see bitwise-identical paths
+            # exactly like the in-kernel-PRNG chain.
+            from . import pathgen_pallas
+
+            q_form = _resolve_fgn_form(config)
+            chain_q, q_s_pad = pathgen_pallas.make_pallas_priced_chain(
+                s0, xi, h, eta, rho, r, strikes_f, maturity, dt, n_steps,
+                config.chunk_paths, block_paths=config.pallas_block_paths,
+                is_call=is_call, noise_input=True, fgn_dtype=fgn_dtype,
+                fgn_form=q_form, policy_form=config.chain_policy_form)
+            noise_fn = _make_fused_qmc_noise(config, n_steps, q_s_pad,
+                                             q_form, dt)
+            q_row_fn = (pathgen_pallas.boundary_rows
+                        if config.chain_policy_form == "boundary"
+                        else pathgen_pallas.policy_rows)
+
+            def stream_fn(k, fits, strikes_, start, count):  # noqa: F811
+                k = shard_mix(k)
+                tables = jax.vmap(
+                    lambda fit, strike: q_row_fn(
+                        fit, r, strike, maturity, dt, n_steps, is_call)
+                )(fits, strikes_)
+
+                def body(i, carry):
+                    tot, sq = carry
+                    c = chain_q(
+                        noise_fn(jax.random.fold_in(k, start + i)), tables)
+                    return tot + c, sq + c * c
+
+                init = jnp.zeros(n_k, jnp.float32)
+                if ax is not None:
+                    init = _pvary(init, ax)
+                totals, sumsq = jax.lax.fori_loop(0, count, body,
+                                                  (init, init))
+                # Per-strike time-0 exercise (cf. the fused chain stream).
+                p0 = jnp.maximum(
+                    jnp.where(is_call, s0 - strikes_, strikes_ - s0), 0.0)
+                z0 = (s0 - fits.mu[:, 0]) / fits.sd[:, 0]
+                cont0 = ((fits.coeffs[:, 0, 2] * z0 + fits.coeffs[:, 0, 1])
+                         * z0 + fits.coeffs[:, 0, 0])
+                ex0 = (p0 > ITM_EPS) & (p0 >= cont0)
+                nchunk = (count * config.chunk_paths).astype(jnp.float32)
+                all0 = (p0 * nchunk).astype(jnp.float32)
+                c0_tot = p0 * jnp.float32(config.chunk_paths)
+                sq0 = count.astype(jnp.float32) * c0_tot * c0_tot
+                return (jnp.where(ex0, all0, totals),
+                        jnp.where(ex0, sq0, sumsq))
 
         # --- per-strike streaming Greeks (whole-smile risk) ---------------
         # Forward-mode jvp over the five market tangents of the chunk's

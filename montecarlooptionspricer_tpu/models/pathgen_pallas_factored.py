@@ -54,8 +54,9 @@ from ..ops.fgn import next_pow2 as _next_pow2
 from .pathgen_pallas import LANE, _as_seed_words, _normals, _round_up
 from .pathgen_pallas_tiled import (TILE, _VMEM_BUDGET, _accumulate_priced,
                                    _draw_w, _euler_tile,
-                                   _finalize_priced_log, _policy_tile,
-                                   _policy_tile_log, _seed_tile)
+                                   _finalize_priced_log, _pair_tiles,
+                                   _policy_tile, _policy_tile_log,
+                                   _seed_tile)
 
 assert TILE == LANE  # stage 2's output tile is one lane group
 
@@ -213,19 +214,25 @@ def _stage2_tile(sr_ref, si_ref, j, *, n2: int, block: int):
 def _factored_pathgen_kernel(seed_ref, f1r_ref, f1i_ref, pr_ref, pi_ref,
                              tr_ref, ti_ref, vd_ref, tri_ref, out_ref,
                              sr_ref, si_ref, carry_ref, *, block: int,
-                             n_tiles: int, n2: int, fgn_dtype, **kw):
+                             n_tiles: int, n2: int, fgn_dtype,
+                             antithetic: bool = False, **kw):
     i, j = pl.program_id(0), pl.program_id(1)
     _seed_tile(seed_ref, i, j, n_tiles)
+    rows = block // 2 if antithetic else block
 
     @pl.when(j == 0)
     def _():
         _fill_stage1(f1r_ref, f1i_ref, pr_ref, pi_ref, tr_ref, ti_ref,
-                     sr_ref, si_ref, block=block, n2=n2,
+                     sr_ref, si_ref, block=rows, n2=n2,
                      fgn_dtype=fgn_dtype)
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
-    x = _stage2_tile(sr_ref, si_ref, j, n2=n2, block=block)
-    w = _draw_w(block)
+    x = _stage2_tile(sr_ref, si_ref, j, n2=n2, block=rows)
+    w = _draw_w(rows)
+    # The DFT is linear in the noise — BOTH stages are, so the partner's
+    # step tile is just -x: one stage-1 fill and one stage-2 combination
+    # per pair (the stage scratch holds only the half block).
+    x, w = _pair_tiles(x, w, antithetic)
     out_ref[:] = _euler_tile(
         x, w, vd_ref, tri_ref, carry_ref, j, block=block,
         n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"], dt=kw["dt"],
@@ -237,24 +244,27 @@ def _factored_pathgen_kernel_noise_in(noise_ref, f1r_ref, f1i_ref, pr_ref,
                                       tri_ref, out_ref, sr_ref, si_ref,
                                       carry_ref, *, block: int,
                                       n_tiles: int, n2: int, fgn_dtype,
-                                      **kw):
+                                      antithetic: bool = False, **kw):
     """Noise-injection variant: planes 0/1 are the driver normals in the
-    kernel's TRANSPOSED storage order ([block, m2] with flat column
+    kernel's TRANSPOSED storage order ([rows, m2] with flat column
     c = k2*LANE + k1 <-> logical k = N2*k1 + k2); plane 2 is the price
-    Brownian in natural step order (first s_pad columns used)."""
+    Brownian in natural step order (first s_pad columns used).  Under
+    ``antithetic`` the planes carry rows = block/2."""
     j = pl.program_id(1)
+    rows = block // 2 if antithetic else block
 
     @pl.when(j == 0)
     def _():
-        zr3 = jnp.swapaxes(noise_ref[0].reshape(block, n2, LANE), 0, 1)
-        zi3 = jnp.swapaxes(noise_ref[1].reshape(block, n2, LANE), 0, 1)
+        zr3 = jnp.swapaxes(noise_ref[0].reshape(rows, n2, LANE), 0, 1)
+        zi3 = jnp.swapaxes(noise_ref[1].reshape(rows, n2, LANE), 0, 1)
         _fill_stage1(f1r_ref, f1i_ref, pr_ref, pi_ref, tr_ref, ti_ref,
-                     sr_ref, si_ref, block=block, n2=n2,
+                     sr_ref, si_ref, block=rows, n2=n2,
                      fgn_dtype=fgn_dtype, noise=(zr3, zi3))
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
-    x = _stage2_tile(sr_ref, si_ref, j, n2=n2, block=block)
+    x = _stage2_tile(sr_ref, si_ref, j, n2=n2, block=rows)
     w = noise_ref[2, :, pl.ds(j * TILE, TILE)]
+    x, w = _pair_tiles(x, w, antithetic)
     out_ref[:] = _euler_tile(
         x, w, vd_ref, tri_ref, carry_ref, j, block=block,
         n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"], dt=kw["dt"],
@@ -313,21 +323,26 @@ def _factored_priced_kernel(seed_ref, f1r_ref, f1i_ref, pr_ref, pi_ref,
                             tr_ref, ti_ref, *refs, block: int,
                             n_tiles: int, n2: int, fgn_dtype,
                             is_call: bool, strike: float, cv_disc=None,
-                            policy_form: str = "quadratic", **kw):
+                            policy_form: str = "quadratic",
+                            antithetic: bool = False, **kw):
     i, j = pl.program_id(0), pl.program_id(1)
     _seed_tile(seed_ref, i, j, n_tiles)
     _, (sr_ref, si_ref), zero_refs = _priced_refs(refs, policy_form)
+    rows = block // 2 if antithetic else block
 
     @pl.when(j == 0)
     def _():
         _fill_stage1(f1r_ref, f1i_ref, pr_ref, pi_ref, tr_ref, ti_ref,
-                     sr_ref, si_ref, block=block, n2=n2,
+                     sr_ref, si_ref, block=rows, n2=n2,
                      fgn_dtype=fgn_dtype)
         for ref in zero_refs:
             ref[...] = jnp.zeros_like(ref)
 
-    x = _stage2_tile(sr_ref, si_ref, j, n2=n2, block=block)
-    w = _draw_w(block)
+    x = _stage2_tile(sr_ref, si_ref, j, n2=n2, block=rows)
+    w = _draw_w(rows)
+    # Both DFT stages are linear in the noise: one stage-1 fill and one
+    # stage-2 combination per pair; the partner's tile is -x.
+    x, w = _pair_tiles(x, w, antithetic)
     _priced_step(x, w, refs, j, block=block, n_tiles=n_tiles,
                  is_call=is_call, strike=strike, cv_disc=cv_disc,
                  policy_form=policy_form, **kw)
@@ -338,33 +353,41 @@ def _factored_priced_kernel_noise_in(noise_ref, f1r_ref, f1i_ref, pr_ref,
                                      block: int, n_tiles: int, n2: int,
                                      fgn_dtype, is_call: bool,
                                      strike: float, cv_disc=None,
-                                     policy_form: str = "quadratic", **kw):
+                                     policy_form: str = "quadratic",
+                                     antithetic: bool = False, **kw):
     j = pl.program_id(1)
     _, (sr_ref, si_ref), zero_refs = _priced_refs(refs, policy_form)
+    rows = block // 2 if antithetic else block
 
     @pl.when(j == 0)
     def _():
-        zr3 = jnp.swapaxes(noise_ref[0].reshape(block, n2, LANE), 0, 1)
-        zi3 = jnp.swapaxes(noise_ref[1].reshape(block, n2, LANE), 0, 1)
+        zr3 = jnp.swapaxes(noise_ref[0].reshape(rows, n2, LANE), 0, 1)
+        zi3 = jnp.swapaxes(noise_ref[1].reshape(rows, n2, LANE), 0, 1)
         _fill_stage1(f1r_ref, f1i_ref, pr_ref, pi_ref, tr_ref, ti_ref,
-                     sr_ref, si_ref, block=block, n2=n2,
+                     sr_ref, si_ref, block=rows, n2=n2,
                      fgn_dtype=fgn_dtype, noise=(zr3, zi3))
         for ref in zero_refs:
             ref[...] = jnp.zeros_like(ref)
 
-    x = _stage2_tile(sr_ref, si_ref, j, n2=n2, block=block)
+    x = _stage2_tile(sr_ref, si_ref, j, n2=n2, block=rows)
     w = noise_ref[2, :, pl.ds(j * TILE, TILE)]
+    x, w = _pair_tiles(x, w, antithetic)
     _priced_step(x, w, refs, j, block=block, n_tiles=n_tiles,
                  is_call=is_call, strike=strike, cv_disc=cv_disc,
                  policy_form=policy_form, **kw)
 
 
-def _validate(chunk_paths: int, block_paths: int, n_steps: int, fgn_dtype):
+def _validate(chunk_paths: int, block_paths: int, n_steps: int, fgn_dtype,
+              antithetic: bool = False):
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
     if block_paths % 16:
         raise ValueError("block_paths must divide by 16 (sublane-aligned "
                          "Box-Muller halves)")
+    if antithetic and block_paths % 32:
+        raise ValueError("antithetic needs block_paths % 32 == 0 (half "
+                         "the rows are drawn, and the Box-Muller row "
+                         "slices must stay sublane-aligned)")
     if not supports(n_steps, block_paths, fgn_dtype):
         raise ValueError(
             f"n_steps={n_steps} outside the factored kernel's range at "
@@ -373,11 +396,15 @@ def _validate(chunk_paths: int, block_paths: int, n_steps: int, fgn_dtype):
 
 
 def _common_specs(m2: int, noise_input: bool, block_paths: int,
-                  fgn_dtype):
+                  fgn_dtype, noise_rows: int | None = None):
     n1 = LANE
     n2 = m2 // LANE
+    # Under antithetic, noise planes and the stage scratch hold only the
+    # pair halves (noise_rows = block/2): the stage-2 negation expands
+    # them to the full block.
+    rows = block_paths if noise_rows is None else noise_rows
     first_spec = (
-        pl.BlockSpec((3, block_paths, m2), lambda i, j: (0, i, 0),
+        pl.BlockSpec((3, rows, m2), lambda i, j: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
     const_specs = [
@@ -398,8 +425,8 @@ def _common_specs(m2: int, noise_input: bool, block_paths: int,
     # 1e7x1825 (5.53M vs 5.89M paths/s) — the write/read conversions cost
     # more than the halved VMEM traffic saves on this VPU-bound kernel.
     scratch = [
-        pltpu.VMEM((n2, block_paths, n1), jnp.float32),      # S' real
-        pltpu.VMEM((n2, block_paths, n1), jnp.float32),      # S' imag
+        pltpu.VMEM((n2, rows, n1), jnp.float32),             # S' real
+        pltpu.VMEM((n2, rows, n1), jnp.float32),             # S' imag
         pltpu.VMEM((block_paths, LANE), jnp.float32),        # cumsum carry
     ]
     return first_spec, const_specs, scratch
@@ -409,10 +436,19 @@ def make_factored_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                           chunk_paths: int, block_paths: int = 256,
                           interpret: bool = False,
                           noise_input: bool = False,
-                          fgn_dtype=jnp.float32):
+                          fgn_dtype=jnp.float32,
+                          antithetic: bool = False):
     """Factored-DFT seed -> [chunk_paths, n_steps + 1] rBergomi generator
-    (seed semantics match pathgen_pallas.make_pallas_pathgen)."""
-    _validate(chunk_paths, block_paths, n_steps, fgn_dtype)
+    (seed semantics match pathgen_pallas.make_pallas_pathgen).
+
+    antithetic=True fills each block with block_paths/2 (Z, W) / (-Z, -W)
+    pairs: BOTH DFT stages are linear in the driver noise, so one stage-1
+    fill and one per-tile stage-2 combination serve the pair (the
+    partner's tile is -x) — half the Box-Muller draws and half the
+    stage-1/stage-2 arithmetic.  Injected noise then carries
+    block_paths/2 rows per plane."""
+    _validate(chunk_paths, block_paths, n_steps, fgn_dtype, antithetic)
+    noise_rows = block_paths // 2 if antithetic else block_paths
     s_pad, m2, n2, consts, (vd_p, tri, _su), kw = _consts(
         s0, xi, h, eta, rho, r, n_steps, dt, fgn_dtype)
     n_tiles = s_pad // TILE
@@ -420,9 +456,10 @@ def make_factored_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     body = (_factored_pathgen_kernel_noise_in if noise_input
             else _factored_pathgen_kernel)
     kernel = functools.partial(body, block=block_paths, n_tiles=n_tiles,
-                               n2=n2, fgn_dtype=jnp.dtype(fgn_dtype), **kw)
+                               n2=n2, fgn_dtype=jnp.dtype(fgn_dtype),
+                               antithetic=bool(antithetic), **kw)
     first_spec, const_specs, scratch = _common_specs(
-        m2, noise_input, block_paths, fgn_dtype)
+        m2, noise_input, block_paths, fgn_dtype, noise_rows)
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -457,17 +494,28 @@ def make_factored_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                                noise_input: bool = False,
                                fgn_dtype=jnp.float32,
                                with_cv: bool = False,
-                               policy_form: str = "quadratic"):
+                               policy_form: str = "quadratic",
+                               antithetic: bool = False):
     """Factored-DFT fully fused streaming unit: (seed, policy table) ->
     chunk payoff sum under the fitted exercise policy (policy-table and
     policy_form semantics match pathgen_pallas.make_pallas_priced_chunk:
     "boundary" consumes log_boundary_rows tables, evaluated in LOG space;
     "quadratic" consumes policy_rows; with_cv adds the martingale-control
-    partial sum in lane 1)."""
+    partial sum in lane 1).
+
+    antithetic=True (boundary form only, matching the other priced
+    kernels) prices each block as block_paths/2 (Z, W) / (-Z, -W) pairs —
+    both DFT stages are linear, so the pair shares one stage-1 fill and
+    one stage-2 combination per tile (see make_factored_pathgen).
+    Injected noise then carries block_paths/2 rows per plane."""
     if policy_form not in ("quadratic", "boundary"):
         raise ValueError(f"unknown policy_form {policy_form!r}")
     log_boundary = policy_form == "boundary"
-    _validate(chunk_paths, block_paths, n_steps, fgn_dtype)
+    if antithetic and not log_boundary:
+        raise ValueError("antithetic requires policy_form='boundary' "
+                         "(the log-plane factored body)")
+    _validate(chunk_paths, block_paths, n_steps, fgn_dtype, antithetic)
+    noise_rows = block_paths // 2 if antithetic else block_paths
     s_pad, m2, n2, consts, (vd_p, tri, su), kw = _consts(
         s0, xi, h, eta, rho, r, n_steps, dt, fgn_dtype)
     n_tiles = s_pad // TILE
@@ -481,9 +529,9 @@ def make_factored_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
         n2=n2, fgn_dtype=jnp.dtype(fgn_dtype),
         is_call=bool(is_call), strike=float(strike),
         policy_form="log_boundary" if log_boundary else "quadratic",
-        **extra, **kw)
+        antithetic=bool(antithetic), **extra, **kw)
     first_spec, const_specs, scratch = _common_specs(
-        m2, noise_input, block_paths, fgn_dtype)
+        m2, noise_input, block_paths, fgn_dtype, noise_rows)
     in_specs = [first_spec] + const_specs + [
         pl.BlockSpec((1, TILE), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),           # var-drift tile

@@ -264,21 +264,24 @@ def _seed_tile(seed_ref, i, j, n_tiles: int):
 
 
 def _tiled_pathgen_kernel(seed_ref, *refs, block: int, n_tiles: int,
-                          fgn_dtype, fgn_form: str = "spectral", **kw):
+                          fgn_dtype, fgn_form: str = "spectral",
+                          antithetic: bool = False, **kw):
     nm = 1 if fgn_form == "chol" else 2
     mats = refs[:nm]
     vd_ref, tri_ref, out_ref = refs[nm:nm + 3]
     plane_refs, carry_ref = refs[nm + 3:-1], refs[-1]
     i, j = pl.program_id(0), pl.program_id(1)
     _seed_tile(seed_ref, i, j, n_tiles)
+    rows = block // 2 if antithetic else block
 
     @pl.when(j == 0)
     def _():
-        _fill_driver_noise(plane_refs, block, n_tiles, fgn_dtype)
+        _fill_driver_noise(plane_refs, rows, n_tiles, fgn_dtype)
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
     x = _fgn_tile([p[:] for p in plane_refs], mats)
-    w = _draw_w(block)
+    w = _draw_w(rows)
+    x, w = _pair_tiles(x, w, antithetic)
     out_ref[:] = _euler_tile(
         x, w, vd_ref, tri_ref, carry_ref, j, block=block,
         n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"], dt=kw["dt"],
@@ -287,9 +290,11 @@ def _tiled_pathgen_kernel(seed_ref, *refs, block: int, n_tiles: int,
 
 def _tiled_pathgen_kernel_noise_in(noise_ref, *refs, block: int,
                                    n_tiles: int, fgn_dtype,
-                                   fgn_form: str = "spectral", **kw):
+                                   fgn_form: str = "spectral",
+                                   antithetic: bool = False, **kw):
     """Noise-injection variant (full-width planes Zr/Zi/W, or N/W chol):
-    CPU-interpretable elementwise check of the tiled math path."""
+    CPU-interpretable elementwise check of the tiled math path.  Under
+    ``antithetic`` the planes carry block/2 rows."""
     nm = 1 if fgn_form == "chol" else 2
     mats = refs[:nm]
     vd_ref, tri_ref, out_ref = refs[nm:nm + 3]
@@ -304,6 +309,7 @@ def _tiled_pathgen_kernel_noise_in(noise_ref, *refs, block: int,
 
     x = _fgn_tile([p[:] for p in plane_refs], mats)
     w = noise_ref[nm, :, pl.ds(j * TILE, TILE)]
+    x, w = _pair_tiles(x, w, antithetic)
     out_ref[:] = _euler_tile(
         x, w, vd_ref, tri_ref, carry_ref, j, block=block,
         n_steps=kw["n_steps"], xi=kw["xi"], r=kw["r"], dt=kw["dt"],
@@ -457,12 +463,25 @@ def _validate(chunk_paths: int, block_paths: int, n_steps: int,
 def make_tiled_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                        chunk_paths: int, block_paths: int = 256,
                        interpret: bool = False, noise_input: bool = False,
-                       fgn_dtype=jnp.float32, fgn_form: str = "spectral"):
+                       fgn_dtype=jnp.float32, fgn_form: str = "spectral",
+                       antithetic: bool = False):
     """Step-tiled seed -> [chunk_paths, n_steps + 1] rBergomi generator for
     horizons past the single-tile kernel's VMEM cap (seed semantics match
-    pathgen_pallas.make_pallas_pathgen)."""
+    pathgen_pallas.make_pallas_pathgen).
+
+    antithetic=True fills each block with block_paths/2 (N, W) / (-N, -W)
+    pairs (rows i and i + block/2 are partners): half the driver draws AND
+    half the O(s_pad^2)-per-path fGN matmul (the partner's tile is -x,
+    _pair_tiles), exactly the priced kernel's pairing — this is what lets
+    whole-path consumers (the duality-bounds stream) pair at long
+    horizons.  Injected noise then carries block_paths/2 rows."""
+    if antithetic and block_paths % 32:
+        raise ValueError("antithetic needs block_paths % 32 == 0 (half "
+                         "the rows are drawn, and the Box-Muller row "
+                         "slices must stay sublane-aligned)")
     _validate(chunk_paths, block_paths, n_steps, noise_input, fgn_dtype,
               fgn_form)
+    noise_rows = block_paths // 2 if antithetic else block_paths
     s_pad, (mats, vd_p, tri, _su), kw = _consts(
         s0, xi, h, eta, rho, r, n_steps, dt, fgn_dtype, fgn_form)
     n_tiles = s_pad // TILE
@@ -472,9 +491,10 @@ def make_tiled_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
             else _tiled_pathgen_kernel)
     kernel = functools.partial(body, block=block_paths, n_tiles=n_tiles,
                                fgn_dtype=jnp.dtype(fgn_dtype),
-                               fgn_form=fgn_form, **kw)
+                               fgn_form=fgn_form,
+                               antithetic=bool(antithetic), **kw)
     first_spec = (
-        pl.BlockSpec((planes, block_paths, s_pad), lambda i, j: (0, i, 0),
+        pl.BlockSpec((planes, noise_rows, s_pad), lambda i, j: (0, i, 0),
                      memory_space=pltpu.VMEM) if noise_input
         else pl.BlockSpec(memory_space=pltpu.SMEM))
     mat_specs = [pl.BlockSpec((s_pad, TILE), lambda i, j: (0, j),
@@ -494,8 +514,9 @@ def make_tiled_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((chunk_paths, s_pad), jnp.float32),
         scratch_shapes=[
-            *([pltpu.VMEM((block_paths, s_pad), jnp.dtype(fgn_dtype))]
-              * (planes - 1)),                              # driver noise
+            *([pltpu.VMEM((noise_rows, s_pad), jnp.dtype(fgn_dtype))]
+              * (planes - 1)),                 # driver noise (rows/pair
+            #                                    halved under antithetic)
             pltpu.VMEM((block_paths, LANE), jnp.float32),            # carry
         ],
         interpret=pltpu.InterpretParams() if interpret else False,

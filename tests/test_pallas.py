@@ -318,17 +318,17 @@ def test_antithetic_config_rejections():
     assert np.isfinite(lo) and np.isfinite(up) and lo <= up
     g = px.price_and_greeks(jax.random.key(2))
     assert all(np.isfinite(v) for v in g), g
-    # The factored-DFT long-horizon kernel has no pairing: a spectral
-    # horizon past the single-tile cap resolves to it and must reject.
-    with pytest.raises(ValueError, match="antithetic"):
-        engine.StreamingPricer(
-            s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
-            strike=102.0, maturity=600 / 252.0, is_call=False,
-            config=engine.StreamConfig(
-                n_paths=1 << 12, n_steps=600, chunk_paths=1 << 10,
-                pilot_paths=1 << 9, antithetic=True,
-                pathgen_impl="pallas", fgn_form="spectral"))
-    # The chol slab DOES pair: a horizon past the single-tile chol cap
+    # r04: the factored-DFT long-horizon kernel pairs too (both DFT
+    # stages are linear in the noise) — a spectral horizon past the
+    # single-tile cap resolves to it and CONSTRUCTS.
+    engine.StreamingPricer(
+        s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+        strike=102.0, maturity=600 / 252.0, is_call=False,
+        config=engine.StreamConfig(
+            n_paths=1 << 12, n_steps=600, chunk_paths=1 << 10,
+            pilot_paths=1 << 9, antithetic=True,
+            pathgen_impl="pallas", fgn_form="spectral"))
+    # The chol slab pairs: a horizon past the single-tile chol cap
     # (1024 padded steps) constructs.
     engine.StreamingPricer(
         s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
@@ -342,16 +342,6 @@ def test_antithetic_config_rejections():
     engine.StreamingPricer(
         **kwargs,
         config=engine.StreamConfig(**base, pathgen_impl="pallas"))
-    # The step-tiled whole-path generator is the one unpaired stream:
-    # bounds on a slab-horizon config reject at call time.
-    slab = engine.StreamingPricer(
-        s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
-        strike=102.0, maturity=1100 / 252.0, is_call=False,
-        config=engine.StreamConfig(
-            n_paths=1 << 12, n_steps=1100, chunk_paths=1 << 10,
-            pilot_paths=1 << 9, antithetic=True, pathgen_impl="pallas"))
-    with pytest.raises(ValueError, match="antithetic|unpaired"):
-        slab.price_with_bounds(jax.random.key(0))
     # Chain pricer: the fused boundary chain PAIRS (constructs; its
     # Greeks pair in-kernel too — exercised in test_pallas_greeks);
     # non-fused chain configurations reject.
