@@ -82,6 +82,12 @@ def numpy_baseline(n_paths: int) -> float:
     return n_paths / (time.perf_counter() - t0)
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def probe_device() -> None:
     """Fail FAST if the device backend is unreachable.
 
@@ -179,7 +185,22 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
     throughput = (n_paths + PILOT) / elapsed
     log(f"price={price:.6f} paths={n_paths + PILOT} elapsed={elapsed:.3f}s "
-        f"throughput={throughput:,.0f} paths/s/chip")
+        f"throughput={throughput:,.0f} paths/s/chip (END-TO-END: includes "
+        "the pilot fit and per-call dispatch)")
+
+    # Steady-state: the stream program alone, fits precomputed — the rate
+    # the kernel sustains once fixed costs (pilot fit ~47 ms, axon-tunnel
+    # dispatch ~33 ms/call) are amortized.  This is why a 1e8 end-to-end
+    # run measures ~63M while 1e7 measures ~43-53M: same program, fixed
+    # costs 10x better amortized (parity/spread_probe.py, VERIFY_r04).
+    k_pilot, k_stream = pricer._keys(jax.random.key(42))
+    fits_d = pricer._fit(k_pilot)
+    jax.device_get(pricer._stream(k_stream, fits_d, 0, 1))  # warm
+    t_stream = min(_timed(lambda: jax.device_get(
+        pricer._stream(k_stream, fits_d, 0, N_CHUNKS))) for _ in range(3))
+    steady = n_paths / t_stream
+    log(f"steady-state (stream-only, {N_CHUNKS} chunks): {t_stream:.3f}s "
+        f"-> {steady:,.0f} paths/s/chip")
 
     log(f"measuring NumPy float64 baseline on {BASELINE_PATHS} paths...")
     base = numpy_baseline(BASELINE_PATHS)
@@ -194,6 +215,9 @@ def main() -> None:
         "value": round(throughput, 1),
         "unit": "paths/s/chip",
         "vs_baseline": round(throughput / base, 2),
+        # Steady-state stream rate (fixed pilot-fit + dispatch costs
+        # excluded) — the 1e8-equivalent rate of the same program.
+        "steady_state": round(steady, 1),
     }))
 
 

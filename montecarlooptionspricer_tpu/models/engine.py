@@ -139,6 +139,16 @@ class StreamConfig:
     # f32 rounding of the root and for pathological non-ITM-anchored
     # fits (clipped; second-order value impact — see boundary_rows).
     chain_policy_form: str = "boundary"
+    # Chain-kernel strike-group sweep: "grid" — one pallas_call with a
+    # (path blocks, strike groups) grid; the path block is generated
+    # once into VMEM scratch and re-swept by every group's tables, so a
+    # K-strike strip pays generation once per block
+    # (pathgen_pallas._chain_kernel_grid); "regen" — the round-3 design,
+    # one fused pass per ceil(K/10) group, each regenerating the block
+    # from the shared seed.  "auto" = grid for multi-group strips (the
+    # two kernels' sums agree bitwise; grid removes the regeneration
+    # that made K=50 cost ~6x K=1 — VERIFY_r04).
+    chain_sweep_impl: str = "auto"
     # Single-strike fused-kernel exercise-policy representation:
     # "boundary" — boundary_rows intervals evaluated in LOG space
     # (pathgen_pallas.log_boundary_rows / _policy_value_log_boundary):
@@ -196,6 +206,9 @@ class StreamConfig:
         if self.chain_policy_form not in ("boundary", "quadratic"):
             raise ValueError(
                 f"unknown chain_policy_form: {self.chain_policy_form!r}")
+        if self.chain_sweep_impl not in ("auto", "grid", "regen"):
+            raise ValueError(
+                f"unknown chain_sweep_impl: {self.chain_sweep_impl!r}")
         if self.qmc_fgn and not self.qmc:
             raise ValueError("qmc_fgn requires qmc=True")
         if self.policy_form not in ("boundary", "quadratic"):
@@ -2071,7 +2084,8 @@ class StreamingChainPricer:
                 is_call=is_call, fgn_dtype=fgn_dtype,
                 fgn_form=_resolve_fgn_form(config),
                 policy_form=config.chain_policy_form,
-                antithetic=config.antithetic)
+                antithetic=config.antithetic,
+                sweep_impl=config.chain_sweep_impl)
         else:
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
@@ -2236,7 +2250,8 @@ class StreamingChainPricer:
                 s0, xi, h, eta, rho, r, strikes_f, maturity, dt, n_steps,
                 config.chunk_paths, block_paths=config.pallas_block_paths,
                 is_call=is_call, noise_input=True, fgn_dtype=fgn_dtype,
-                fgn_form=q_form, policy_form=config.chain_policy_form)
+                fgn_form=q_form, policy_form=config.chain_policy_form,
+                sweep_impl=config.chain_sweep_impl)
             noise_fn = _make_fused_qmc_noise(config, n_steps, q_s_pad,
                                              q_form, dt)
             q_row_fn = (pathgen_pallas.boundary_rows

@@ -452,6 +452,45 @@ def _chain_kernel_noise_in(noise_ref, *refs, block_paths: int,
                                  policy_form=policy_form)
 
 
+def _chain_kernel_grid(first_ref, *refs, block_paths: int, is_call: bool,
+                       group: int, policy_form: str,
+                       fgn_form: str = "spectral",
+                       antithetic: bool = False,
+                       noise_input: bool = False, **kw):
+    """Grid-over-groups chain kernel: grid = (path_blocks, n_groups) with
+    the GROUP axis fastest.  The path block is generated ONCE per path
+    block — at group step j == 0, into a VMEM scratch plane — and every
+    group's policy sweep re-reads the scratch, so a K-strike strip pays
+    path generation once per block instead of once per ceil(K/10) group
+    (the regen design's cost model; VERIFY_r03 §6 measured K=50 ~ 6x K=1
+    because generation dominates the marginal group).  Each group's
+    [group, 8, s_pad] policy-table block is streamed by the Pallas
+    pipeline (block index = j — a STATIC per-step slice, none of the
+    in-kernel dynamic-slice DMA latency that sank the fori_loop form),
+    and the per-group sweep stays <= CHAIN_GROUP strikes so Mosaic's
+    scheduling stays in its linear regime.  Seeding is the regen
+    kernel's exactly — (seed, path-block id) — so prices match the
+    regen design bitwise."""
+    *mats, vd_ref, tri_ref, pol_ref, out_ref, s_ref = refs
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _generate():
+        if noise_input:
+            zr, zi, w = _noise_planes(first_ref, fgn_form)
+        else:
+            pltpu.prng_seed(_fold_words(first_ref[0], first_ref[1]),
+                            pl.program_id(0))
+            rows = block_paths // 2 if antithetic else block_paths
+            zr, zi, w = _draw_planes(rows, kw["s_pad"], fgn_form)
+        s_ref[...] = _chain_paths(zr, zi, w, mats, vd_ref, tri_ref,
+                                  antithetic, **kw)
+
+    out_ref[...] = _sweep_values(s_ref[...], pol_ref, out_ref.shape,
+                                 is_call=is_call, group=group,
+                                 policy_form=policy_form)
+
+
 def _pathgen_kernel(seed_ref, *refs, fgn_form: str = "spectral", **kw):
     """Production kernel: in-kernel hardware PRNG (zero HBM noise traffic).
     Seeded from (mix(run_word, stream_index), block_id), so runs /
@@ -1536,7 +1575,8 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
                              fgn_dtype=jnp.float32,
                              fgn_form: str = "spectral",
                              policy_form: str = "boundary",
-                             antithetic: bool = False):
+                             antithetic: bool = False,
+                             sweep_impl: str = "auto"):
     """Fused K-strike streaming unit: (seed, policy_tables [K, 8, s_pad])
     -> [K] chunk payoff sums, sharing ONE in-VMEM path block across the
     whole strike strip.  Policy tables are per-strike `boundary_rows`
@@ -1545,19 +1585,25 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
     (policy_form="quadratic" — the cell-level quadratic), stacked on a
     leading axis.
 
-    The strip is swept in groups of CHAIN_GROUP strikes, each group one
-    invocation of the fused kernel: generate a path block in VMEM, sweep
-    the group's policies over it — zero HBM path traffic.  Groups REUSE
-    the seed, so every group regenerates bitwise-identical paths (the
-    PRNG is keyed on (seed, block id) only): K strikes cost
-    ceil(K / CHAIN_GROUP) fused passes.  Both alternatives measured
-    worse on v5e (VERIFY_r03 section 6): a >10-strike unroll (Mosaic
-    schedules the policy sweep superlinearly past ~10 strikes) and
-    materializing paths to HBM for a separate policy-sweep kernel
+    The strip is swept in groups of <= CHAIN_GROUP strikes.  Multi-group
+    strips use the grid-over-groups kernel (sweep_impl="grid", the
+    auto default for n_k > CHAIN_GROUP): one pallas_call with grid
+    (path_blocks, n_groups), the path block generated once into VMEM
+    scratch and re-swept by every group — K strikes pay generation ONCE
+    per block (see _chain_kernel_grid).  sweep_impl="regen" keeps the
+    round-3 design: one fused pass per group, REUSING the seed so every
+    group regenerates bitwise-identical paths (the PRNG is keyed on
+    (seed, block id) only) — K strikes cost ceil(K / CHAIN_GROUP) fused
+    passes.  Both kernels seed identically, so their sums agree
+    bitwise (tests/test_pallas.py pins this).  Two earlier alternatives
+    measured worse on v5e (VERIFY_r03 section 6): a >10-strike unroll
+    (Mosaic schedules the policy sweep superlinearly past ~10 strikes)
+    and materializing paths to HBM for a separate policy-sweep kernel
     (without the generator's matmuls in the same kernel body, Mosaic
     runs the identical sweep code ~5x slower per strike — the sweep's
-    VPU work stops hiding under the MXU), so paying generation
-    ceil(K/10) times costs less than either.
+    VPU work stops hiding under the MXU).  The grid kernel avoids both:
+    per-step sweeps stay <= CHAIN_GROUP strikes and the path plane
+    never leaves VMEM.
 
     antithetic=True (boundary form only): each block prices
     block_paths/2 pairs (N, W) / (-N, -W) sharing one fGN matmul (see
@@ -1566,6 +1612,8 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
     rows per plane."""
     if policy_form not in ("boundary", "quadratic"):
         raise ValueError(f"unknown policy_form {policy_form!r}")
+    if sweep_impl not in ("auto", "grid", "regen"):
+        raise ValueError(f"unknown sweep_impl {sweep_impl!r}")
     if antithetic and policy_form != "boundary":
         raise ValueError("antithetic requires policy_form='boundary' "
                          "(the production chain form)")
@@ -1619,29 +1667,68 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
                      memory_space=pltpu.VMEM),              # cumsum tri
     ]
 
-    body = _chain_kernel_noise_in if noise_input else _chain_kernel
-    fused = pl.pallas_call(
-        functools.partial(body, **kw, **pol_kw),
-        grid=(grid_n,),
-        in_specs=[
-            first_spec,                                 # seed or noise
-            *const_specs,
-            pl.BlockSpec((group, 8, s_pad), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),      # group's tables
-        ],
-        out_specs=pl.BlockSpec((8, LANE), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
-        interpret=interp,
-    )
+    use_grid = n_g > 1 and sweep_impl in ("auto", "grid")
+    if use_grid:
+        # One pallas_call over (path blocks, groups), group axis fastest:
+        # the scratch path plane is generated at j == 0 and re-swept by
+        # every group's statically-blocked policy tables.
+        first_spec_g = (
+            pl.BlockSpec((n_planes(fgn_form), noise_rows, s_pad),
+                         lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM) if noise_input
+            else pl.BlockSpec(memory_space=pltpu.SMEM))
+        const_specs_g = [
+            *(pl.BlockSpec((s_pad, s_pad), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM) for _ in mats),
+            pl.BlockSpec((1, s_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),          # var drift
+            pl.BlockSpec((s_pad, s_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),          # cumsum tri
+        ]
+        fused = pl.pallas_call(
+            functools.partial(_chain_kernel_grid, **kw, **pol_kw,
+                              noise_input=noise_input),
+            grid=(grid_n, n_g),
+            in_specs=[
+                first_spec_g,                           # seed or noise
+                *const_specs_g,
+                pl.BlockSpec((group, 8, s_pad), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),  # group j's tables
+            ],
+            out_specs=pl.BlockSpec((8, LANE), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((grid_n * 8, n_g * LANE),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((block_paths, s_pad), jnp.float32)],
+            interpret=interp,
+        )
 
-    def run(first, tables):
-        # One fused pass per strike group, same seed/noise -> the PRNG
-        # regenerates bitwise-identical paths for every group.
-        outs = [fused(first, *mats, vd_p, tri_p,
-                      tables[g * group:(g + 1) * group])
-                for g in range(n_g)]
-        return jnp.concatenate(outs, axis=1)
+        def run(first, tables):
+            return fused(first, *mats, vd_p, tri_p, tables)
+    else:
+        body = _chain_kernel_noise_in if noise_input else _chain_kernel
+        fused = pl.pallas_call(
+            functools.partial(body, **kw, **pol_kw),
+            grid=(grid_n,),
+            in_specs=[
+                first_spec,                                 # seed or noise
+                *const_specs,
+                pl.BlockSpec((group, 8, s_pad), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),      # group's tables
+            ],
+            out_specs=pl.BlockSpec((8, LANE), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
+            interpret=interp,
+        )
+
+        def run(first, tables):
+            # One fused pass per strike group, same seed/noise -> the PRNG
+            # regenerates bitwise-identical paths for every group.
+            outs = [fused(first, *mats, vd_p, tri_p,
+                          tables[g * group:(g + 1) * group])
+                    for g in range(n_g)]
+            return jnp.concatenate(outs, axis=1)
 
     def chunk_sums(seed_or_noise, tables) -> jax.Array:
         """[K] payoff sums for the chunk.  ``tables`` is [K, 8, s_pad]."""

@@ -24,7 +24,8 @@ import time
 import numpy as np
 
 
-def run(form: str, n_paths: int, n_steps: int, block: int) -> None:
+def run(form: str, n_paths: int, n_steps: int, block: int,
+        sweep: str = "auto") -> None:
     import jax
 
     from montecarlooptionspricer_tpu.models import engine
@@ -38,7 +39,8 @@ def run(form: str, n_paths: int, n_steps: int, block: int) -> None:
         cfg = engine.StreamConfig(
             n_paths=n_paths, n_steps=n_steps, chunk_paths=1 << 19,
             pilot_paths=1 << 15, pathgen_impl="pallas",
-            pallas_block_paths=block, chain_policy_form=form)
+            pallas_block_paths=block, chain_policy_form=form,
+            chain_sweep_impl=sweep)
         pricer = engine.StreamingChainPricer(
             **mkt, strikes=strikes, maturity=maturity, is_call=False,
             config=cfg)
@@ -66,13 +68,18 @@ def main() -> None:
     ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--form", default="both",
                     choices=["boundary", "quadratic", "both"])
+    ap.add_argument("--sweep", default="auto",
+                    choices=["auto", "grid", "regen"],
+                    help="multi-group sweep kernel: grid = one pallas_call "
+                         "with the path block in VMEM scratch (r04); "
+                         "regen = one pass per 10-strike group (r03)")
     args = ap.parse_args()
     forms = (["boundary", "quadratic"] if args.form == "both"
              else [args.form])
     for form in forms:
         print(f"form={form} paths={args.paths} steps={args.steps} "
-              f"block={args.block}", flush=True)
-        run(form, args.paths, args.steps, args.block)
+              f"block={args.block} sweep={args.sweep}", flush=True)
+        run(form, args.paths, args.steps, args.block, args.sweep)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,215 @@
+"""Serve-mode burn-in (VERDICT r03 item 7): a 10k-request fully-mixed
+soak against `mcop-price --serve`, asserting the server's steady-state
+contracts under sustained load:
+
+  * compile count stays at the SHAPE-CLASS bound — (step bucket, strip
+    bucket) pricer construction + one lazy greeks program per class —
+    while boards, budgets, markets, H, seeds, and strip lengths all vary
+    per quote;
+  * malformed and oversize requests injected mid-stream are contained as
+    {"id", "error"} rows (exactly one per injection, the stream keeps
+    flowing — the serving analogue of the pipeline's sentinel rows,
+    PredictionGen.cpp:825-847);
+  * RSS stays flat (no per-request leak): sampled every 2 s from
+    /proc/<pid>/status, the second-half max must not exceed the
+    first-half max by more than a small tolerance;
+  * p50/p95/p99 warm latency recorded per class (price/greeks).
+
+An optional eviction phase (--evict) then cycles MORE shape classes than
+the 16-entry LRU to prove eviction keeps the server alive and bounded:
+evicted classes recompile on return (compiled=true again), everything
+still prices.
+
+Run (real TPU or CPU):  python parity/serve_burnin.py [--requests 10000]
+Writes a markdown table to stdout (paste into VERIFY_r04.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+MALFORMED = [
+    "{not json at all",                                       # parse error
+    json.dumps({"id": "bad-mat", "strike": 100.0,
+                "maturity": float("nan")}),                   # NaN maturity
+    json.dumps({"id": "bad-steps", "strike": 100.0,
+                "maturity": 1.0, "steps": 100000}),           # > max-steps
+    json.dumps({"id": "bad-strikes", "maturity": 0.1,
+                "strikes": [100.0] * 300}),                   # > max-strikes
+    json.dumps({"id": "bad-paths", "strike": 100.0,
+                "maturity": 0.1, "paths": 1 << 30}),          # > max-paths
+    json.dumps({"id": "bad-h", "strike": 100.0,
+                "maturity": 0.1, "hurst": 1.5}),              # H outside (0,1)
+    json.dumps({"id": "bad-k", "maturity": 0.1,
+                "strikes": [100.0, -5.0]}),                   # negative strike
+]
+
+
+def build_requests(n: int, inject_every: int = 500):
+    """The 9-class mix: steps buckets {32, 64, 128} x strip buckets
+    {2, 4, 8} (lens 2/3/5), put side; every 5th quote asks for greeks
+    (one extra lazy compile per class).  Markets, H, budgets, seeds all
+    vary per quote — traced inputs, zero recompiles."""
+    reqs, n_bad = [], 0
+    for i in range(n):
+        if inject_every and i and i % inject_every == 0:
+            reqs.append(MALFORMED[(i // inject_every) % len(MALFORMED)])
+            n_bad += 1
+        k = [2, 3, 5][i % 3]
+        steps = [24, 48, 100][(i // 3) % 3]          # buckets 32/64/128
+        strikes = [92.0 + 3 * j + (i % 13) * 0.5 for j in range(k)]
+        reqs.append(json.dumps({
+            "id": i,
+            "strikes": strikes,
+            "put": True,
+            "steps": steps,
+            "maturity": steps / 252.0 * (1.0 + 0.001 * (i % 7)),
+            "paths": [1024, 2048, 4096][i % 3],
+            "hurst": 0.08 + 0.02 * (i % 12),
+            "s0": 100.0 + 0.25 * (i % 11) - 1.25,
+            "xi": 0.04 + 0.002 * (i % 5),
+            "eta": 1.2 + 0.1 * (i % 4),
+            "r": 0.04 + 0.001 * (i % 3),
+            "seed": i,
+            "greeks": i % 5 == 4,
+        }))
+    return reqs, n_bad
+
+
+def build_eviction_requests():
+    """24 shape classes (> the 16-entry LRU): steps buckets {32, 64, 128,
+    256} x strip lens {2, 3, 5, 9, 17, 33} (buckets 2..64), two sweeps.
+    The second sweep re-touches classes evicted by the first, so some
+    compiled=true rows repeat — the assertion is liveness + correctness,
+    not a fixed count."""
+    reqs = []
+    for sweep in range(2):
+        for steps in (24, 48, 100, 200):
+            for k in (2, 3, 5, 9, 17, 33):
+                reqs.append(json.dumps({
+                    "id": f"ev-{sweep}-{steps}-{k}",
+                    "strikes": [90.0 + j for j in range(k)],
+                    "put": True, "steps": steps,
+                    "maturity": steps / 252.0,
+                    "paths": 1024, "seed": sweep,
+                }))
+    return reqs
+
+
+def rss_mb(pid: int) -> float:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for ln in f:
+                if ln.startswith("VmRSS:"):
+                    return int(ln.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=10_000)
+    ap.add_argument("--chunk-paths", type=int, default=1024)
+    ap.add_argument("--evict", action="store_true",
+                    help="append the 24-class LRU-eviction phase")
+    args = ap.parse_args()
+
+    reqs, n_bad = build_requests(args.requests)
+    ev_reqs = build_eviction_requests() if args.evict else []
+    payload = "\n".join(reqs + ev_reqs) + "\n"
+
+    t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "montecarlooptionspricer_tpu.cli.price",
+         "--serve", "--chunk-paths", str(args.chunk_paths)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, env=os.environ)
+
+    rss_samples: list[tuple[float, float]] = []
+    stop = threading.Event()
+
+    def sample_rss():
+        while not stop.is_set():
+            rss_samples.append((time.time() - t0, rss_mb(proc.pid)))
+            stop.wait(2.0)
+
+    thr = threading.Thread(target=sample_rss, daemon=True)
+    thr.start()
+    out, err = proc.communicate(payload, timeout=7200)
+    stop.set()
+    thr.join(timeout=5)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        print(err[-4000:], file=sys.stderr)
+        return 1
+
+    rows = [json.loads(line) for line in out.strip().splitlines()]
+    n_main = args.requests + n_bad
+    main_rows, ev_rows = rows[:n_main], rows[n_main:]
+    assert len(main_rows) == n_main, (len(main_rows), n_main)
+
+    errors = [r for r in main_rows if "error" in r]
+    ok_rows = [r for r in main_rows if "error" not in r]
+    # Containment: exactly the injected malformed lines error; the
+    # stream around them is unharmed.
+    assert len(errors) == n_bad, (len(errors), n_bad)
+    assert all(str(r["id"]).startswith("bad-") or "json" in r["error"]
+               for r in errors), errors[:3]
+    assert all(r["prices"] for r in ok_rows)
+
+    # Compile-count bound: 9 pricer classes + 9 lazy greeks programs.
+    compiled = [r for r in ok_rows if r["compiled"]]
+    print(f"| requests (incl. {n_bad} malformed injections) | {n_main} |")
+    print(f"| error rows (== injections, containment held) | "
+          f"{len(errors)} |")
+    print(f"| compiled=true rows | {len(compiled)} (bound: 18 = 9 shape "
+          f"classes + 9 lazy greeks programs) |")
+    assert len(compiled) <= 18, [r["id"] for r in compiled]
+
+    for label, cls in (("price", [r for r in ok_rows if "delta" not in r]),
+                       ("greeks", [r for r in ok_rows if "delta" in r])):
+        lat = sorted(r["elapsed_s"] for r in cls if not r["compiled"])
+        if lat:
+            def pct(p, lat=lat):
+                return lat[min(len(lat) - 1, int(p * len(lat)))]
+            print(f"| {label} warm p50 / p95 / p99 / max | "
+                  f"{pct(.5)*1e3:.0f} / {pct(.95)*1e3:.0f} / "
+                  f"{pct(.99)*1e3:.0f} / {lat[-1]*1e3:.0f} ms "
+                  f"({len(lat)} quotes) |")
+
+    if rss_samples:
+        mid = len(rss_samples) // 2
+        first = max(v for _, v in rss_samples[:mid] if v) if mid else 0
+        second = max(v for _, v in rss_samples[mid:] if v)
+        peak = max(v for _, v in rss_samples)
+        print(f"| RSS first-half max / second-half max / peak | "
+              f"{first:.0f} / {second:.0f} / {peak:.0f} MiB |")
+        # Flatness: allow warmup growth into the first half, then the
+        # second half must stay within 15% of it.
+        if first:
+            assert second <= first * 1.15, (first, second)
+            print("| RSS flatness (2nd half <= 1.15x 1st half) | ok |")
+
+    if ev_rows:
+        ev_err = [r for r in ev_rows if "error" in r]
+        ev_comp = [r for r in ev_rows if r.get("compiled")]
+        assert not ev_err, ev_err[:3]
+        print(f"| eviction phase: 24 classes x 2 sweeps | {len(ev_rows)} "
+              f"rows, 0 errors, {len(ev_comp)} compiles (>= 24: evicted "
+              f"classes recompile on return) |")
+        assert len(ev_comp) >= 24
+
+    print(f"| total wall | {wall:.1f} s ({n_main / wall:.1f} quotes/s) |")
+    print("BURNIN: all assertions passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -98,6 +98,50 @@ def test_chain_boundary_kernel_matches_table_eval(rng, is_call):
     np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("fgn_form", ["spectral", "chol"])
+def test_chain_grid_sweep_matches_regen(rng, fgn_form):
+    """Grid-over-groups chain kernel (one pallas_call, path block in VMEM
+    scratch, grid = (blocks, groups)) == the regen design (one pass per
+    group, paths regenerated) BITWISE on identical injected noise: the
+    per-block arithmetic is the same code (_chain_paths + _sweep_values
+    per group) in the same reduction order — only WHERE the path plane
+    lives differs.  25 strikes = 3 groups of 10 with tail padding, so
+    the group streaming and pad-lane dropping are both exercised."""
+    n_steps, chunk, dt = 48, 256, 1 / 252.0
+    strikes = [float(v) for v in np.linspace(85.0, 115.0, 25)]
+    maturity, is_call = 48 / 252.0, False
+
+    pilot = engine.make_chunk_pathgen(**MKT, n_steps=n_steps, dt=dt,
+                                      chunk_paths=1 << 11)(jax.random.key(0))
+
+    def one_fit(strike):
+        _, fits = lsm_fit(pilot, MKT["r"], strike, maturity, dt, is_call, 2)
+        return fits
+
+    fits = jax.vmap(one_fit)(jnp.asarray(strikes))
+    tables = jax.vmap(
+        lambda fit, strike: pathgen_pallas.boundary_rows(
+            fit, MKT["r"], strike, maturity, dt, n_steps, is_call)
+    )(fits, jnp.asarray(strikes))
+
+    kw = dict(**MKT, strikes=strikes, maturity=maturity, dt=dt,
+              n_steps=n_steps, chunk_paths=chunk, block_paths=64,
+              is_call=is_call, interpret=True, noise_input=True,
+              policy_form="boundary", fgn_form=fgn_form)
+    grid_chain, s_pad = pathgen_pallas.make_pallas_priced_chain(
+        **kw, sweep_impl="grid")
+    regen_chain, _ = pathgen_pallas.make_pallas_priced_chain(
+        **kw, sweep_impl="regen")
+    n_pl = pathgen_pallas.n_planes(fgn_form)
+    noise = jnp.asarray(rng.standard_normal((n_pl, chunk, s_pad)),
+                        jnp.float32)
+    got = np.asarray(grid_chain(noise, tables))
+    want = np.asarray(regen_chain(noise, tables))
+    assert got.shape == (25,)
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("is_call", [False, True])
 def test_boundary_rows_decision_matches_quadratic(is_call):
     """The precomputed exercise boundary reproduces the fitted quadratic's

@@ -368,6 +368,55 @@ def test_price_cli_serve_warm_buckets():
     assert not lines[0]["compiled"]  # class was pre-warmed
 
 
+@pytest.mark.slow
+def test_price_cli_serve_compile_count_100_replay():
+    """Compile-count regression on a 100-request fully-mixed replay
+    (VERDICT r04 item 7): 4 shape classes (steps buckets {8, 32} x strip
+    buckets {2, 4}) with boards, budgets, markets, H, and seeds varying
+    per quote, greeks every 5th quote, plus 2 malformed injections.
+    Exactly 8 compiled=true rows (4 pricer classes + 4 lazy greeks
+    programs), 2 contained error rows, everything else warm."""
+    import json
+    import subprocess
+    import sys
+
+    reqs = []
+    for i in range(100):
+        k = [2, 3][i % 2]
+        steps = [8, 24][(i // 2) % 2]               # buckets 8 / 32
+        reqs.append(json.dumps({
+            "id": i,
+            "strikes": [94.0 + 4 * j + (i % 9) * 0.5 for j in range(k)],
+            "put": True, "steps": steps, "maturity": steps / 252.0,
+            "paths": [1024, 2048][i % 2],
+            "hurst": 0.1 + 0.02 * (i % 8),
+            "s0": 100.0 + 0.2 * (i % 7),
+            "xi": 0.04 + 0.002 * (i % 4),
+            "seed": i, "greeks": i % 5 == 4,
+        }))
+    reqs.insert(33, "{broken json")
+    reqs.insert(66, json.dumps({"id": "bad", "strike": 100.0,
+                                "maturity": 0.1, "hurst": 2.0}))
+    prog = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+            "from montecarlooptionspricer_tpu.cli.price import main; "
+            "sys.exit(main(['--serve', '--chunk-paths', '1024', "
+            "'--pathgen', 'xla']))")
+    out = subprocess.run(
+        [sys.executable, "-c", prog],
+        input="\n".join(reqs) + "\n", capture_output=True, text=True,
+        timeout=1200, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert len(rows) == 102
+    errors = [r for r in rows if "error" in r]
+    assert len(errors) == 2                      # containment, in place
+    compiled = [r for r in rows if r.get("compiled")]
+    assert len(compiled) == 8, [r["id"] for r in compiled]
+    ok = [r for r in rows if "error" not in r]
+    assert all(r["prices"] for r in ok)
+    assert sum("delta" in r for r in ok) == 20   # every 5th quote
+
+
 def test_price_cli_chain_greeks(capsys):
     """--strikes + --greeks: per-strike price + full Greek set arrays,
     each with stderrs, plus implied vols from the greek prices."""
