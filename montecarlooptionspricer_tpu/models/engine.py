@@ -2394,7 +2394,8 @@ class StreamingChainPricer:
                 config.chunk_paths,
                 block_paths=_fused_block(config, n_steps),
                 is_call=is_call, fgn_dtype=fgn_dtype,
-                antithetic=config.antithetic)
+                antithetic=config.antithetic,
+                sweep_impl=config.chain_sweep_impl)
 
             def fused_greek_stream_fn(k, fits, strikes_, start, count):
                 k = shard_mix(k)

@@ -803,6 +803,55 @@ def _chain_greeks_kernel_noise_in(noise_ref, *refs, block_paths: int,
     _chain_greeks_body((noise_ref[0], noise_ref[1]), *refs, **kw)
 
 
+def _chain_greeks_kernel_grid(first_ref, *refs, block_paths: int,
+                              is_call: bool, group: int,
+                              noise_input: bool = False,
+                              antithetic: bool = False, **kw):
+    """Grid-over-groups whole-smile Greeks kernel (the _chain_kernel_grid
+    analogue): grid = (path blocks, strike groups), group axis fastest.
+    The strike-independent tangent planes — the block's dominant cost,
+    6 MXU matmuls (_tangent_planes) — are computed ONCE per path block
+    at group step j == 0 into a [4, block, s_pad] VMEM scratch and every
+    group's policy sweep re-reads them, so a K-strike risk strip pays
+    the tangent matmuls once per block instead of once per
+    ceil(K/10) group.  Seeding matches the regen kernel, so outputs
+    agree bitwise."""
+    *body_refs, out_ref, planes_ref = refs
+    lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, pol_ref = body_refs
+    j = pl.program_id(1)
+    s_pad = kw["s_pad"]
+
+    @pl.when(j == 0)
+    def _generate():
+        if noise_input:
+            noise = (first_ref[0], first_ref[1])
+        else:
+            pltpu.prng_seed(_fold_words(first_ref[0], first_ref[1]),
+                            pl.program_id(0))
+            noise = _normals((_greek_rows(block_paths, antithetic), s_pad))
+        ls, cumb, cume, cumh, _ = _tangent_planes(
+            noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref,
+            n_steps=kw["n_steps"], s_pad=s_pad, eta=kw["eta"], r=kw["r"],
+            dt=kw["dt"], log_s0=kw["log_s0"], antithetic=antithetic)
+        planes_ref[0] = ls
+        planes_ref[1] = cumb
+        planes_ref[2] = cume
+        planes_ref[3] = cumh
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_paths, s_pad), 1)
+    planes = (planes_ref[0], planes_ref[1], planes_ref[2], planes_ref[3],
+              col)
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for g in range(group):
+        vals = _greek_stop_vals(planes, pol_ref[g], is_call=is_call,
+                                s0=kw["s0"], xi=kw["xi"], r=kw["r"],
+                                dt=kw["dt"])
+        for i, val in enumerate(vals):
+            acc = acc + jnp.where(lane == g * 8 + i, val, 0.0)
+    out_ref[...] = acc
+
+
 def _greeks_kernel(seed_ref, *refs, block_paths: int, **kw):
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
     n, w = _normals((_greek_rows(block_paths, kw.get("antithetic", False)),
@@ -930,7 +979,8 @@ def make_pallas_chain_greeks_chunk(s0, xi, h, eta, rho, r, strikes,
                                    interpret: bool = False,
                                    noise_input: bool = False,
                                    fgn_dtype=jnp.float32,
-                                   antithetic: bool = False):
+                                   antithetic: bool = False,
+                                   sweep_impl: str = "auto"):
     """Fused whole-smile streaming Greeks unit: (seed, policy tables
     [K, 8, s_pad]) -> [6, K] chunk partial sums in GREEK_ORDER, sharing
     each in-VMEM path block AND its tangent planes (the 6 MXU matmuls of
@@ -939,14 +989,16 @@ def make_pallas_chain_greeks_chunk(s0, xi, h, eta, rho, r, strikes,
     stacked on a leading axis; the strike rides each table's disc*strike
     row, so fresh strips reuse the compiled kernel.
 
-    Grouping mirrors make_pallas_priced_chain: the strip is swept in
-    groups of CHAIN_GROUP strikes, one fused pass per group, REUSING the
-    seed so every group regenerates bitwise-identical paths and tangent
-    planes — K strikes cost ceil(K / CHAIN_GROUP) fused Greeks passes
-    with the per-strike marginal a pure VPU sweep (7 one-hot reductions
-    + the interval test).  Chol fGN form + log-boundary policy only,
-    like make_pallas_greeks_chunk; the XLA jvp stream remains the
-    general fallback."""
+    Grouping mirrors make_pallas_priced_chain, including sweep_impl:
+    multi-group strips default to the grid-over-groups kernel
+    (_chain_greeks_kernel_grid — the tangent planes live in VMEM scratch
+    and are computed once per block, so K strikes pay the 6 tangent
+    matmuls ONCE instead of ceil(K/10) times); "regen" keeps one fused
+    pass per group, reusing the seed so every group regenerates
+    bitwise-identical planes.  The per-strike marginal is a pure VPU
+    sweep either way (7 one-hot reductions + the interval test).  Chol
+    fGN form + log-boundary policy only, like make_pallas_greeks_chunk;
+    the XLA jvp stream remains the general fallback."""
     n_k = int(strikes) if isinstance(strikes, int) else len(strikes)
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
@@ -974,36 +1026,72 @@ def make_pallas_chain_greeks_chunk(s0, xi, h, eta, rho, r, strikes,
               log_s0=float(math.log(s0)), is_call=bool(is_call),
               group=group, block_paths=block_paths,
               antithetic=bool(antithetic))
-    body = (_chain_greeks_kernel_noise_in if noise_input
-            else _chain_greeks_kernel)
-    kernel = functools.partial(body, **kw)
+    if sweep_impl not in ("auto", "grid", "regen"):
+        raise ValueError(f"unknown sweep_impl {sweep_impl!r}")
     grid_n = chunk_paths // block_paths
-    first_spec = (
-        pl.BlockSpec((2, noise_rows, s_pad), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM) if noise_input
-        else pl.BlockSpec(memory_space=pltpu.SMEM))
-    mat_spec = pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
-        kernel,
-        grid=(grid_n,),
-        in_specs=[
-            first_spec,                                     # seed or noise
-            mat_spec,                                       # Lt' (chol)
-            mat_spec,                                       # dLt'/dh
-            pl.BlockSpec((1, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),          # half var drift
-            mat_spec,                                       # cumsum tri
-            pl.BlockSpec((8, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),          # tangent rows
-            pl.BlockSpec((group, 8, s_pad), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),          # group's tables
-        ],
-        out_specs=pl.BlockSpec((8, LANE), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )
+    use_grid = n_g > 1 and sweep_impl in ("auto", "grid")
+    interp = pltpu.InterpretParams() if interpret else False
+    if use_grid:
+        first_spec_g = (
+            pl.BlockSpec((2, noise_rows, s_pad), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM) if noise_input
+            else pl.BlockSpec(memory_space=pltpu.SMEM))
+        mat_spec_g = pl.BlockSpec((s_pad, s_pad), lambda i, j: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            functools.partial(_chain_greeks_kernel_grid, **kw,
+                              noise_input=noise_input),
+            grid=(grid_n, n_g),
+            in_specs=[
+                first_spec_g,                               # seed or noise
+                mat_spec_g,                                 # Lt' (chol)
+                mat_spec_g,                                 # dLt'/dh
+                pl.BlockSpec((1, s_pad), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),      # half var drift
+                mat_spec_g,                                 # cumsum tri
+                pl.BlockSpec((8, s_pad), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),      # tangent rows
+                pl.BlockSpec((group, 8, s_pad), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),      # group j tables
+            ],
+            out_specs=pl.BlockSpec((8, LANE), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((grid_n * 8, n_g * LANE),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((4, block_paths, s_pad),
+                                       jnp.float32)],
+            interpret=interp,
+        )
+    else:
+        body = (_chain_greeks_kernel_noise_in if noise_input
+                else _chain_greeks_kernel)
+        kernel = functools.partial(body, **kw)
+        first_spec = (
+            pl.BlockSpec((2, noise_rows, s_pad), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM) if noise_input
+            else pl.BlockSpec(memory_space=pltpu.SMEM))
+        mat_spec = pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kernel,
+            grid=(grid_n,),
+            in_specs=[
+                first_spec,                                 # seed or noise
+                mat_spec,                                   # Lt' (chol)
+                mat_spec,                                   # dLt'/dh
+                pl.BlockSpec((1, s_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),      # half var drift
+                mat_spec,                                   # cumsum tri
+                pl.BlockSpec((8, s_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),      # tangent rows
+                pl.BlockSpec((group, 8, s_pad), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),      # group's tables
+            ],
+            out_specs=pl.BlockSpec((8, LANE), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((grid_n * 8, LANE), jnp.float32),
+            interpret=interp,
+        )
 
     def chunk_sums(seed_or_noise, tables) -> jax.Array:
         """[6, K] partial sums for the chunk; ``tables`` is [K, 8, s_pad]
@@ -1016,6 +1104,14 @@ def make_pallas_chain_greeks_chunk(s0, xi, h, eta, rho, r, strikes,
             pad = jnp.broadcast_to(tables[-1:],
                                    (k_tab - n_k, *tables.shape[1:]))
             tables = jnp.concatenate([tables, pad])
+        if use_grid:
+            out = call(first, *consts, tables)
+            # Stripe rows collapse across grid blocks; within group j's
+            # 128-lane block, lane g*8 + i is local strike g's i-th
+            # output (see _chain_greeks_kernel_grid).
+            sums = jnp.sum(out[::8], axis=0)
+            vals = sums.reshape(n_g, LANE // 8, 8)[:, :group, :6]
+            return vals.reshape(k_tab, 6)[:n_k].T
         vals = []
         for g in range(n_g):
             out = call(first, *consts, tables[g * group:(g + 1) * group])

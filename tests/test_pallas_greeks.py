@@ -202,6 +202,30 @@ def test_fused_chain_greeks_match_single_strike_kernel(rng, strikes):
             k, got[:, j], want)
 
 
+def test_chain_greeks_grid_sweep_matches_regen(rng):
+    """Grid-over-groups chain Greeks kernel (tangent planes in VMEM
+    scratch, grid = (blocks, groups)) == the regen design BITWISE on
+    identical injected noise — the per-block arithmetic is the same
+    (_tangent_planes + per-group _greek_stop_vals) in the same reduction
+    order.  25 strikes = 3 groups with tail padding."""
+    chunk = 128
+    strikes = [float(v) for v in np.linspace(85.0, 115.0, 25)]
+    kw = dict(**MKT, strikes=len(strikes), maturity=MATURITY, dt=DT,
+              n_steps=N_STEPS, chunk_paths=chunk, block_paths=64,
+              is_call=IS_CALL, interpret=True, noise_input=True)
+    grid_chain, s_pad = pathgen_pallas.make_pallas_chain_greeks_chunk(
+        **kw, sweep_impl="grid")
+    regen_chain, _ = pathgen_pallas.make_pallas_chain_greeks_chunk(
+        **kw, sweep_impl="regen")
+    noise = jnp.asarray(rng.standard_normal((2, chunk, s_pad)),
+                        jnp.float32)
+    _, tables = _chain_fits_and_tables(jax.random.key(1), strikes)
+    got = np.asarray(grid_chain(noise, tables))
+    want = np.asarray(regen_chain(noise, tables))
+    assert got.shape == (6, 25)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused_chain_greeks_engine_path_selected():
     """StreamingChainPricer exposes the fused chain Greeks machinery
     exactly on the eligible configuration (the fused chain price
