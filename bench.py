@@ -169,6 +169,8 @@ def main() -> None:
                               # so the headline stays plain MC.
                               antithetic=os.environ.get(
                                   "BENCH_ANTITHETIC") == "1",
+                              pallas_interleave=int(os.environ.get(
+                                  "BENCH_INTERLEAVE", 1)),
                               fgn_matmul_dtype=os.environ.get(
                                   "BENCH_FGN_DTYPE", default_fgn))
     pricer = engine.StreamingPricer(S0, XI, H, ETA, RHO, R, STRIKE,

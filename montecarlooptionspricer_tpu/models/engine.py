@@ -149,6 +149,15 @@ class StreamConfig:
     # two kernels' sums agree bitwise; grid removes the regeneration
     # that made K=50 cost ~6x K=1 — VERIFY_r04).
     chain_sweep_impl: str = "auto"
+    # Single-strike fused kernel: split each path block into this many
+    # INDEPENDENT sub-block chains inside one kernel body (boundary
+    # policy form only).  A single block's PRNG -> fGN matmul -> Euler ->
+    # cumsum matmul -> policy chain is serial, so the VPU and MXU take
+    # turns; independent sub-chains let Mosaic overlap one sub-block's
+    # matmuls with another's Box-Muller/policy work (the VERIFY_r04 §4
+    # roofline lever).  1 = off (the measured default until hardware
+    # proves a win); estimator-identical either way.
+    pallas_interleave: int = 1
     # Single-strike fused-kernel exercise-policy representation:
     # "boundary" — boundary_rows intervals evaluated in LOG space
     # (pathgen_pallas.log_boundary_rows / _policy_value_log_boundary):
@@ -1359,7 +1368,8 @@ class StreamingPricer:
                     is_call=is_call, fgn_dtype=fgn_dtype, with_cv=True,
                     fgn_form=_resolve_fgn_form(config),
                     policy_form=config.policy_form,
-                    antithetic=config.antithetic)
+                    antithetic=config.antithetic,
+                    interleave=config.pallas_interleave)
             make_rows_cv = _fused_rows_builder(config, tiled, r, strike,
                                                maturity, dt, n_steps,
                                                is_call)
@@ -1421,7 +1431,8 @@ class StreamingPricer:
                     is_call=is_call, fgn_dtype=fgn_dtype,
                     fgn_form=_resolve_fgn_form(config),
                     policy_form=config.policy_form,
-                    antithetic=config.antithetic)
+                    antithetic=config.antithetic,
+                    interleave=config.pallas_interleave)
             make_rows = _fused_rows_builder(config, tiled, r, strike,
                                             maturity, dt, n_steps, is_call)
 

@@ -558,6 +558,22 @@ def _store_priced_log(out_ref, val, cv):
                     + jnp.where(lane == 1, cv, 0.0))
 
 
+def _priced_log_subvals(noise, mats, vd_ref, tri_ref, pol_ref, *,
+                        is_call: bool, strike: float, cv_disc,
+                        antithetic: bool, **kw):
+    """One (sub-)block's (policy value sum, control sum) on the log
+    plane — the unit the interleaved kernels replicate."""
+    zr, zi, w = noise
+    x = _fgn_x(zr, zi, *_mats2(mats))
+    stage = _logpaths_from_x_anti if antithetic else _logpaths_from_x
+    ls = stage(x, w, vd_ref, tri_ref, **kw)
+    val = _policy_value_log_boundary(ls, pol_ref, is_call=is_call,
+                                     strike=strike)
+    cv = (None if cv_disc is None
+          else _cv_log_sum(ls, cv_disc, kw["n_steps"]))
+    return val, cv
+
+
 def _priced_body(noise, *refs, is_call: bool, strike: float, cv_disc,
                  policy_form: str, antithetic: bool = False, **kw):
     """Shared body of the fused priced kernels: paths + policy + store.
@@ -580,14 +596,10 @@ def _priced_body(noise, *refs, is_call: bool, strike: float, cv_disc,
     planes stacked as block halves through the shared nonlinear stage."""
     if policy_form == "log_boundary":
         *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
-        zr, zi, w = noise
-        x = _fgn_x(zr, zi, *_mats2(mats))
-        stage = _logpaths_from_x_anti if antithetic else _logpaths_from_x
-        ls = stage(x, w, vd_ref, tri_ref, **kw)
-        val = _policy_value_log_boundary(ls, pol_ref, is_call=is_call,
-                                         strike=strike)
-        cv = (None if cv_disc is None
-              else _cv_log_sum(ls, cv_disc, kw["n_steps"]))
+        val, cv = _priced_log_subvals(noise, mats, vd_ref, tri_ref,
+                                      pol_ref, is_call=is_call,
+                                      strike=strike, cv_disc=cv_disc,
+                                      antithetic=antithetic, **kw)
         _store_priced_log(out_ref, val, cv)
     else:
         *mats, vd_ref, tri_ref, su_ref, pol_ref, out_ref = refs
@@ -600,31 +612,77 @@ def _priced_body(noise, *refs, is_call: bool, strike: float, cv_disc,
 def _priced_kernel(seed_ref, *refs, block_paths: int, is_call: bool,
                    strike: float, cv_disc=None, fgn_form: str = "spectral",
                    policy_form: str = "quadratic",
-                   antithetic: bool = False, **kw):
+                   antithetic: bool = False, interleave: int = 1, **kw):
     """Fully fused kernel: RNG + paths + LSM policy value, emitting ONE
     partial sum per grid block — path data never leaves VMEM.  With
     cv_disc, also emits the martingale-control partial sum so the control
     variate rides the fused kernel instead of the generic path stream.
     With antithetic, half the rows are drawn and the pair (noise, -noise)
-    prices the full block (see _priced_body)."""
+    prices the full block (see _priced_body).
+
+    ``interleave`` > 1 (log_boundary only) splits the block into that
+    many INDEPENDENT sub-block chains inside one kernel body — the
+    roofline's named lever (VERIFY_r04 §4): each sub-chain is
+    PRNG → fGN matmul → Euler → cumsum matmul → policy, and independent
+    chains give Mosaic's scheduler the freedom to overlap one sub-block's
+    MXU matmuls with another's Box-Muller/policy VPU work, which a single
+    serialized chain cannot.  Estimator-identical (same per-path law,
+    disjoint PRNG draws, sums added); f32 summation order differs from
+    interleave=1."""
     pltpu.prng_seed(_fold_words(seed_ref[0], seed_ref[1]), pl.program_id(0))
     rows = block_paths // 2 if antithetic else block_paths
-    noise = _draw_planes(rows, kw["s_pad"], fgn_form)
-    _priced_body(noise, *refs, is_call=is_call, strike=strike,
-                 cv_disc=cv_disc, policy_form=policy_form,
-                 antithetic=antithetic, **kw)
+    if interleave == 1 or policy_form != "log_boundary":
+        noise = _draw_planes(rows, kw["s_pad"], fgn_form)
+        _priced_body(noise, *refs, is_call=is_call, strike=strike,
+                     cv_disc=cv_disc, policy_form=policy_form,
+                     antithetic=antithetic, **kw)
+        return
+    *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
+    sub = rows // interleave
+    val = cv = 0.0
+    for _ in range(interleave):
+        noise = _draw_planes(sub, kw["s_pad"], fgn_form)
+        v, c = _priced_log_subvals(noise, mats, vd_ref, tri_ref, pol_ref,
+                                   is_call=is_call, strike=strike,
+                                   cv_disc=cv_disc, antithetic=antithetic,
+                                   **kw)
+        val = val + v
+        cv = None if c is None else cv + c
+    _store_priced_log(out_ref, val, cv)
 
 
 def _priced_kernel_noise_in(noise_ref, *refs, block_paths: int,
                             is_call: bool, strike: float, cv_disc=None,
                             fgn_form: str = "spectral",
                             policy_form: str = "quadratic",
-                            antithetic: bool = False, **kw):
-    """Test variant of the fused kernel with injected noise planes."""
-    noise = _noise_planes(noise_ref, fgn_form)
-    _priced_body(noise, *refs, is_call=is_call, strike=strike,
-                 cv_disc=cv_disc, policy_form=policy_form,
-                 antithetic=antithetic, **kw)
+                            antithetic: bool = False, interleave: int = 1,
+                            **kw):
+    """Test variant of the fused kernel with injected noise planes.
+    ``interleave`` consumes disjoint row slices per sub-chain, so each
+    sub-chain's arithmetic equals a plain sub-sized block's on the same
+    noise rows."""
+    if interleave == 1 or policy_form != "log_boundary":
+        noise = _noise_planes(noise_ref, fgn_form)
+        _priced_body(noise, *refs, is_call=is_call, strike=strike,
+                     cv_disc=cv_disc, policy_form=policy_form,
+                     antithetic=antithetic, **kw)
+        return
+    *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
+    rows = (block_paths // 2 if antithetic else block_paths)
+    sub = rows // interleave
+    val = cv = 0.0
+    for t in range(interleave):
+        zr, zi, w = _noise_planes(noise_ref, fgn_form)
+        noise = (zr[t * sub:(t + 1) * sub],
+                 None if zi is None else zi[t * sub:(t + 1) * sub],
+                 w[t * sub:(t + 1) * sub])
+        v, c = _priced_log_subvals(noise, mats, vd_ref, tri_ref, pol_ref,
+                                   is_call=is_call, strike=strike,
+                                   cv_disc=cv_disc, antithetic=antithetic,
+                                   **kw)
+        val = val + v
+        cv = None if c is None else cv + c
+    _store_priced_log(out_ref, val, cv)
 
 
 def _greeks_body(noise, lt_ref, dlt_ref, vd_ref, tri_ref, aux_ref, pol_ref,
@@ -1548,10 +1606,17 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                              with_cv: bool = False,
                              fgn_form: str = "spectral",
                              policy_form: str = "quadratic",
-                             antithetic: bool = False):
+                             antithetic: bool = False,
+                             interleave: int = 1):
     """Fully fused streaming unit: (seed, policy table) -> chunk payoff
     sum under the fitted exercise policy.  Paths live and die in VMEM;
     HBM traffic is one float per grid block.
+
+    ``interleave`` > 1 (boundary form only) splits each block into that
+    many independent sub-block chains inside one kernel body so Mosaic
+    can overlap one sub-chain's MXU matmuls with another's VPU work —
+    see _priced_kernel.  Estimator-identical; f32 summation order
+    differs from interleave=1.
 
     policy_form="boundary" evaluates the policy in LOG space (exercise
     intervals pre-logged by log_boundary_rows; one exp per path at the
@@ -1614,12 +1679,22 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
         const_specs.append(pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
                                         memory_space=pltpu.VMEM))
 
+    if interleave > 1:
+        if not log_boundary:
+            raise ValueError("interleave > 1 requires the boundary "
+                             "policy form (the log-plane fused body)")
+        rows = block_paths // 2 if antithetic else block_paths
+        sub = rows // interleave
+        if sub * interleave != rows or sub % 16:
+            raise ValueError(
+                f"interleave={interleave} must split the block's "
+                f"{rows} noise rows into equal 16-aligned sub-blocks")
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
               dt=float(dt), log_s0=float(math.log(s0)),
               block_paths=block_paths, is_call=bool(is_call),
               strike=float(strike), fgn_form=fgn_form,
               policy_form="log_boundary" if log_boundary else "quadratic",
-              antithetic=bool(antithetic))
+              antithetic=bool(antithetic), interleave=int(interleave))
     if with_cv:
         kw["cv_disc"] = float(math.exp(-r * n_steps * dt))
     body = _priced_kernel_noise_in if noise_input else _priced_kernel

@@ -294,6 +294,73 @@ def test_fused_priced_antithetic_matches_pair(rng):
                                rtol=1e-6)
 
 
+@pytest.mark.parametrize("antithetic", [False, True])
+def test_fused_priced_interleave_matches_subblocks(rng, antithetic):
+    """interleave=2 on injected noise equals the plain kernel run on each
+    disjoint half of the noise rows: per-sub-chain arithmetic is the
+    plain body's at half the block size — only the scheduler's freedom
+    changes — so the value (and CV) sums must agree to f32
+    summation-order noise.  Chol form, the production configuration;
+    composes with antithetic pairing."""
+    from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.2, 1.0, -0.4, 0.04
+    n_steps, chunk, dt = 48, 128, 1 / 252.0
+    strike, maturity, is_call = 97.0, 48 / 252.0, False
+    rows_n = chunk // 2 if antithetic else chunk
+
+    pilot = engine.make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                      1 << 11)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call, 2)
+    rows = pathgen_pallas.log_boundary_rows(
+        pathgen_pallas.boundary_rows(fits, r, strike, maturity, dt,
+                                     n_steps, is_call))
+
+    kw = dict(is_call=is_call, interpret=True, noise_input=True,
+              policy_form="boundary", fgn_form="chol", with_cv=True,
+              antithetic=antithetic)
+    inter, s_pad = pathgen_pallas.make_pallas_priced_chunk(
+        s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps, chunk,
+        block_paths=chunk, interleave=2, **kw)
+    plain, _ = pathgen_pallas.make_pallas_priced_chunk(
+        s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
+        chunk // 2, block_paths=chunk // 2, **kw)
+
+    noise = jnp.asarray(rng.standard_normal((2, rows_n, s_pad)),
+                        jnp.float32)
+    got_v, got_c = inter(noise, rows)
+    half = rows_n // 2
+    va, ca = plain(noise[:, :half], rows)
+    vb, cb = plain(noise[:, half:], rows)
+    np.testing.assert_allclose(float(got_v), float(va) + float(vb),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(got_c), float(ca) + float(cb),
+                               rtol=1e-6)
+
+
+def test_interleave_config_rejections():
+    """interleave > 1 exists only in the log-boundary fused body; the
+    quadratic form and non-splittable blocks reject loudly."""
+    mk = dict(s0=100.0, xi=0.04, h=0.2, eta=1.0, rho=-0.4, r=0.04,
+              strike=97.0, maturity=48 / 252.0, dt=1 / 252.0, n_steps=48,
+              chunk_paths=128, block_paths=64, interpret=True,
+              noise_input=True)
+    with pytest.raises(ValueError, match="interleave"):
+        pathgen_pallas.make_pallas_priced_chunk(
+            *(mk[k] for k in ("s0", "xi", "h", "eta", "rho", "r",
+                              "strike", "maturity", "dt", "n_steps",
+                              "chunk_paths")),
+            block_paths=64, interpret=True, noise_input=True,
+            policy_form="quadratic", interleave=2)
+    with pytest.raises(ValueError, match="interleave"):
+        pathgen_pallas.make_pallas_priced_chunk(
+            *(mk[k] for k in ("s0", "xi", "h", "eta", "rho", "r",
+                              "strike", "maturity", "dt", "n_steps",
+                              "chunk_paths")),
+            block_paths=64, interpret=True, noise_input=True,
+            policy_form="boundary", interleave=3)
+
+
 def test_antithetic_config_rejections():
     """antithetic exists inside the fused boundary bodies (single-tile
     and slab) and the XLA generator; every other configuration (and
