@@ -99,8 +99,10 @@ def test_chain_boundary_kernel_matches_table_eval(rng, is_call):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("fgn_form", ["spectral", "chol"])
-def test_chain_grid_sweep_matches_regen(rng, fgn_form):
+@pytest.mark.parametrize("fgn_form,antithetic",
+                         [("spectral", False), ("chol", False),
+                          ("chol", True)])
+def test_chain_grid_sweep_matches_regen(rng, fgn_form, antithetic):
     """Grid-over-groups chain kernel (one pallas_call, path block in VMEM
     scratch, grid = (blocks, groups)) == the regen design (one pass per
     group, paths regenerated) BITWISE on identical injected noise: the
@@ -128,13 +130,15 @@ def test_chain_grid_sweep_matches_regen(rng, fgn_form):
     kw = dict(**MKT, strikes=strikes, maturity=maturity, dt=dt,
               n_steps=n_steps, chunk_paths=chunk, block_paths=64,
               is_call=is_call, interpret=True, noise_input=True,
-              policy_form="boundary", fgn_form=fgn_form)
+              policy_form="boundary", fgn_form=fgn_form,
+              antithetic=antithetic)
     grid_chain, s_pad = pathgen_pallas.make_pallas_priced_chain(
         **kw, sweep_impl="grid")
     regen_chain, _ = pathgen_pallas.make_pallas_priced_chain(
         **kw, sweep_impl="regen")
     n_pl = pathgen_pallas.n_planes(fgn_form)
-    noise = jnp.asarray(rng.standard_normal((n_pl, chunk, s_pad)),
+    rows_n = chunk // 2 if antithetic else chunk
+    noise = jnp.asarray(rng.standard_normal((n_pl, rows_n, s_pad)),
                         jnp.float32)
     got = np.asarray(grid_chain(noise, tables))
     want = np.asarray(regen_chain(noise, tables))

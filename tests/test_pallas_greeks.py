@@ -202,22 +202,26 @@ def test_fused_chain_greeks_match_single_strike_kernel(rng, strikes):
             k, got[:, j], want)
 
 
-def test_chain_greeks_grid_sweep_matches_regen(rng):
+@pytest.mark.parametrize("antithetic", [False, True])
+def test_chain_greeks_grid_sweep_matches_regen(rng, antithetic):
     """Grid-over-groups chain Greeks kernel (tangent planes in VMEM
     scratch, grid = (blocks, groups)) == the regen design BITWISE on
     identical injected noise — the per-block arithmetic is the same
     (_tangent_planes + per-group _greek_stop_vals) in the same reduction
-    order.  25 strikes = 3 groups with tail padding."""
+    order.  25 strikes = 3 groups with tail padding; the antithetic case
+    pins the paired generation into scratch too."""
     chunk = 128
+    rows = chunk // 2 if antithetic else chunk
     strikes = [float(v) for v in np.linspace(85.0, 115.0, 25)]
     kw = dict(**MKT, strikes=len(strikes), maturity=MATURITY, dt=DT,
               n_steps=N_STEPS, chunk_paths=chunk, block_paths=64,
-              is_call=IS_CALL, interpret=True, noise_input=True)
+              is_call=IS_CALL, interpret=True, noise_input=True,
+              antithetic=antithetic)
     grid_chain, s_pad = pathgen_pallas.make_pallas_chain_greeks_chunk(
         **kw, sweep_impl="grid")
     regen_chain, _ = pathgen_pallas.make_pallas_chain_greeks_chunk(
         **kw, sweep_impl="regen")
-    noise = jnp.asarray(rng.standard_normal((2, chunk, s_pad)),
+    noise = jnp.asarray(rng.standard_normal((2, rows, s_pad)),
                         jnp.float32)
     _, tables = _chain_fits_and_tables(jax.random.key(1), strikes)
     got = np.asarray(grid_chain(noise, tables))
