@@ -146,6 +146,30 @@ def test_chain_grid_sweep_matches_regen(rng, fgn_form, antithetic):
     np.testing.assert_array_equal(got, want)
 
 
+def test_chain_grid_engine_matches_regen_on_chip():
+    """StreamingChainPricer with chain_sweep_impl='grid' == 'regen' on
+    the real TPU, bitwise: identical seeding, identical per-block
+    arithmetic, identical host accumulation order — only where the path
+    plane lives differs.  (CPU runs skip: the fused chain kernel
+    compiles on-chip only.)"""
+    import jax as _jax
+
+    if _jax.devices()[0].platform != "tpu":
+        pytest.skip("requires a real TPU (fused kernels compile on-chip)")
+    strikes = [float(v) for v in np.linspace(85.0, 115.0, 25)]
+    base = dict(n_paths=1 << 16, n_steps=48, chunk_paths=1 << 14,
+                pilot_paths=1 << 12, pathgen_impl="pallas",
+                pallas_block_paths=256)
+    prices = {}
+    for impl in ("grid", "regen"):
+        p = engine.StreamingChainPricer(
+            **MKT, strikes=strikes, maturity=48 / 252.0, is_call=False,
+            config=engine.StreamConfig(**base, chain_sweep_impl=impl))
+        prices[impl] = np.asarray(p.price(jax.random.key(3)))
+    np.testing.assert_array_equal(prices["grid"], prices["regen"])
+    assert np.all(np.isfinite(prices["grid"]))
+
+
 @pytest.mark.parametrize("is_call", [False, True])
 def test_boundary_rows_decision_matches_quadratic(is_call):
     """The precomputed exercise boundary reproduces the fitted quadratic's
