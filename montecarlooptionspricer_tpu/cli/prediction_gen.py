@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "from scratch)")
     p.add_argument("--trace-dir", default="",
                    help="capture a jax.profiler trace of the run here")
+    p.add_argument("--max-memory-gb", type=float,
+                   default=d_pipe.max_memory_bytes / 1024**3,
+                   help="health-check kill threshold on peak RSS "
+                        "(reference hard-codes 8 GiB, "
+                        "PredictionGen.cpp:506-516; raise for CPU runs "
+                        "where XLA host buffers dominate)")
     return p
 
 
@@ -62,7 +68,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     config = PipelineConfig(option_csv=args.option_csv, spot_csv=args.spot_csv,
                             output_csv=args.output_csv,
-                            error_log=args.error_log)
+                            error_log=args.error_log,
+                            max_memory_bytes=int(args.max_memory_gb
+                                                 * 1024**3))
     try:
         pricing = PricingConfig(num_paths=args.num_paths,
                                 num_branches=args.num_branches,

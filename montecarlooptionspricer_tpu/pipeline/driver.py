@@ -47,6 +47,7 @@ from .writer import OrderedResultWriter, SafeFileWriter
 log = logging.getLogger(__name__)
 
 SENTINEL = ",0,0,0,0,0,0"
+RESUME_MARKER_SUFFIX = ".resume"
 
 
 @dataclasses.dataclass
@@ -325,9 +326,27 @@ def _resume_row_count(output_csv: str, expected_header: str) -> int:
       failures (idempotent — repricing rewrites the same sentinel).
       A priced row can never equal the sentinel: sigma <= 0 rows are
       sentineled, so a priced row's vol column is always non-zero.
+
+    The trailing-run heuristic alone is not enough for a GRACEFULLY
+    terminated run (signal / health kill): buckets price out of row order,
+    so the ordered writer may hold already-priced HIGH-index rows in its
+    buffer when termination sentinel-fills the gaps — the final flush then
+    interleaves terminate-fill sentinels BEFORE real rows, and the file
+    looks complete.  A terminating run therefore records the first
+    terminate-filled row index in a `<output>.resume` sidecar; when
+    present, every row from that index on is re-processed (and the file
+    truncated there).  A hard kill (SIGKILL / power loss) writes no
+    sidecar, but also never flushes past the contiguous done-prefix, so
+    the heuristic remains correct for that case.
     """
     if not os.path.exists(output_csv):
         return 0
+    cap = None                  # first terminate-filled row, if recorded
+    try:
+        with open(output_csv + RESUME_MARKER_SUFFIX) as mf:
+            cap = max(0, int(mf.read().strip()))
+    except (OSError, ValueError):
+        cap = None
     try:
         with open(output_csv, "r+") as f:
             header = f.readline()
@@ -336,9 +355,13 @@ def _resume_row_count(output_csv: str, expected_header: str) -> int:
             done = 0            # rows up to (incl.) the last non-sentinel
             offset = f.tell()   # byte offset just past that row
             run = 0             # current trailing sentinel run
+            row = 0             # 0-based index of the line about to scan
             for line in iter(f.readline, ""):
                 if not line.endswith("\n"):
                     break       # partial tail from a mid-write crash
+                if cap is not None and row >= cap:
+                    break       # terminate-fill region: redo from here
+                row += 1
                 if line.rstrip("\n").endswith(SENTINEL):
                     run += 1
                     continue
@@ -394,6 +417,12 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
     out_header = ",".join(header) + "," + ",".join(AUGMENTED_COLUMNS)
     done_rows = _resume_row_count(config.output_csv, out_header) if resume \
         else 0
+    # The marker (if any) is consumed by _resume_row_count above; drop it so
+    # it can't outlive this run and mislead a later one against fresh output.
+    try:
+        os.remove(config.output_csv + RESUME_MARKER_SUFFIX)
+    except OSError:
+        pass
     # Backup any previous output before truncating (PredictionGen.cpp:
     # 403-413): foo.csv -> foo.backup.csv.  Skipped only for a genuine
     # resume — a resume request against a foreign/mismatched file still
@@ -425,12 +454,19 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
     # ones by compile shape (quantized: (n_pad, m1), not exact step count).
     buckets: Dict[Tuple[int, int], List[RowTask]] = {}
     start_time = time.time()
+    first_fill: Optional[int] = None  # lowest terminate-filled row index
+
+    def fill(idx: int, line: str) -> None:
+        nonlocal first_fill
+        first_fill = idx if first_fill is None else min(first_fill, idx)
+        writer.put(idx, line + SENTINEL)
+
     for idx, tokens in enumerate(raw_rows):
         line = ",".join(tokens)
         if idx < done_rows:
             continue  # already written by the interrupted run
         if stats.should_terminate.is_set() or stats.catastrophic_failure:
-            writer.put(idx, line + SENTINEL)
+            fill(idx, line)
             continue
         error_log.write_line(f"Starting row {idx}")
         try:
@@ -459,7 +495,7 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
             chunk = tasks[i:i + b]
             if stats.should_terminate.is_set() or stats.catastrophic_failure:
                 for t in chunk:
-                    writer.put(t.index, t.line + SENTINEL)
+                    fill(t.index, t.line)
                 continue
             try:
                 from ..utils import annotate
@@ -469,7 +505,7 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
                 stats.fail(f"Thread error: {e}")
                 error_log.write_line(f"Thread error: {e}")
                 for t in chunk:
-                    writer.put(t.index, t.line + SENTINEL)
+                    fill(t.index, t.line)
                 continue
             for t, row_vals in zip(chunk, values):
                 if not np.all(np.isfinite(row_vals)):
@@ -495,6 +531,16 @@ def run_pipeline(config: Optional[PipelineConfig] = None,
 
     writer.flush_remaining()
     watchdog.stop()
+    # Resume sidecar: a terminating run records where terminate-fill began
+    # so a later --resume re-processes from there (see _resume_row_count).
+    # A clean completion removes any stale marker.
+    marker = config.output_csv + RESUME_MARKER_SUFFIX
+    if stats.catastrophic_failure and first_fill is not None:
+        try:
+            with open(marker, "w") as mf:
+                mf.write(f"{first_fill}\n")
+        except OSError:
+            pass
     if stats.error_count > 0:
         log.warning("Completed with %d errors. Check %s", stats.error_count,
                     config.error_log)

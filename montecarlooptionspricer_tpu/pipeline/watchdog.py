@@ -73,7 +73,11 @@ class Watchdog:
             self.stats.total_memory_usage = current_memory_bytes()
             if not self.stats.is_healthy():
                 self._write("Process health check failed! Initiating shutdown...\n")
-                self.stats.should_terminate.set()
+                # Mark catastrophic so the run exits non-zero and leaves a
+                # resume marker: a health kill (reference semantics: RSS >
+                # 8 GiB or error flood, PredictionGen.cpp:506-516) must not
+                # masquerade as a clean completion.
+                self.stats.fail("health check failed (memory/error limit)")
                 return
 
     def _keepalive_loop(self) -> None:

@@ -239,6 +239,107 @@ def test_resume_repairs_partial_line_and_trailing_sentinels(tmp_path):
     assert open(path).read() == "other\njunk,1\n"
 
 
+def test_resume_marker_caps_done_count(tmp_path):
+    """A gracefully terminated run flushes already-priced HIGH-index rows
+    after the terminate-fill sentinels (buckets price out of row order), so
+    the file looks complete to the trailing-run heuristic.  The `.resume`
+    sidecar written by the terminating run caps the done count at the first
+    terminate-filled row and truncates the file there."""
+    from montecarlooptionspricer_tpu.pipeline.driver import (
+        RESUME_MARKER_SUFFIX, SENTINEL, _resume_row_count)
+
+    hdr = "h1,h2"
+    path = str(tmp_path / "out.csv")
+    body = (hdr + "\n"
+            + "row0,1\n"                      # priced
+            + "fill" + SENTINEL + "\n"        # terminate-fill (row 1)
+            + "fill" + SENTINEL + "\n"        # terminate-fill (row 2)
+            + "row3,4\n")                     # priced BEFORE the kill,
+    with open(path, "w") as f:                # flushed after the fills
+        f.write(body)
+
+    # Without the marker the heuristic is fooled: all 4 rows look done.
+    assert _resume_row_count(path, hdr) == 4
+
+    with open(path, "w") as f:
+        f.write(body)
+    with open(path + RESUME_MARKER_SUFFIX, "w") as f:
+        f.write("1\n")
+    assert _resume_row_count(path, hdr) == 1
+    assert open(path).read() == hdr + "\nrow0,1\n"  # truncated at the cap
+
+
+def test_pipeline_interrupted_run_leaves_marker_and_resumes(workdir,
+                                                            monkeypatch):
+    """End-to-end sidecar round trip: a device failure in the LOW-index
+    bucket after the HIGH-index bucket already priced leaves interleaved
+    terminate-fill sentinels; the marker makes --resume redo them and the
+    final output equals a clean one-shot run."""
+    from montecarlooptionspricer_tpu.pipeline import driver as driver_mod
+
+    s = round(workdir["aapl"], 4)
+    rows = [
+        opt_row(option_type=0, dte=120.0, s=s, sdp=-0.02),  # big bucket
+        opt_row(option_type=1, dte=15.0, s=s, sdp=0.02),    # small bucket
+        opt_row(option_type=0, dte=15.0, s=s, sdp=-0.02),   # small bucket
+    ]
+    make_option_csv("option_data.csv", rows)
+    cfgs = lambda: (PipelineConfig(), PricingConfig(rows_per_batch=4, seed=5),
+                    MarketDefaults())
+
+    run_pipeline(*cfgs())
+    clean = open("option_data_augmented.csv").read()
+    assert not os.path.exists("option_data_augmented.csv.resume")
+
+    # Interrupted run: the small (15d) bucket prices first; the big (120d)
+    # bucket's batch raises, so row 0 is terminate-filled while rows 1-2
+    # are real — the interleaved state the marker exists for.
+    real_price = driver_mod.BatchedPricer.price
+
+    def boom_on_big(self, tasks, seed):
+        if max(t.n_steps for t in tasks) > 60:
+            raise RuntimeError("injected failure in big bucket")
+        return real_price(self, tasks, seed)
+
+    monkeypatch.setattr(driver_mod.BatchedPricer, "price", boom_on_big)
+    rc = run_pipeline(*cfgs())
+    assert rc == 1
+    marker = "option_data_augmented.csv.resume"
+    assert os.path.exists(marker) and open(marker).read().strip() == "0"
+    _, out_rows = read_output()
+    assert len(out_rows) == 3
+    assert out_rows[0][-6:] == ["0"] * 6          # terminate-filled
+    assert out_rows[1][-6:] != ["0"] * 6          # priced before the kill
+
+    # Resume with the fault removed: identical to the clean one-shot run,
+    # marker consumed.
+    monkeypatch.setattr(driver_mod.BatchedPricer, "price", real_price)
+    rc = run_pipeline(*cfgs(), resume=True)
+    assert rc == 0
+    assert open("option_data_augmented.csv").read() == clean
+    assert not os.path.exists(marker)
+
+
+def test_health_kill_is_catastrophic(workdir):
+    """A health-check kill (RSS/error limits, PredictionGen.cpp:506-516)
+    must exit non-zero and leave the resume marker, not report success."""
+    make_option_csv("option_data.csv", [
+        opt_row(option_type=0, dte=30.0, s=round(workdir["aapl"], 4)),
+        opt_row(option_type=1, dte=30.0, s=round(workdir["aapl"], 4)),
+    ])
+    rc = run_pipeline(
+        PipelineConfig(max_memory_bytes=1, health_check_interval_s=0.01),
+        PricingConfig(rows_per_batch=1), MarketDefaults())
+    assert rc == 1
+    log_text = open("error_log.txt").read()
+    assert "health check failed" in log_text.lower()
+    # Every row the kill pre-empted is sentinel-filled and marked for redo.
+    _, out_rows = read_output()
+    assert len(out_rows) == 2
+    if any(r[-6:] == ["0"] * 6 for r in out_rows):
+        assert os.path.exists("option_data_augmented.csv.resume")
+
+
 def test_pipeline_resume_ignores_foreign_output(workdir):
     make_option_csv("option_data.csv", [opt_row()])
     with open("option_data_augmented.csv", "w") as f:
