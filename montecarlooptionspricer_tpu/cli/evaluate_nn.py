@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stds", type=float, default=d.stds)
     p.add_argument("--hidden-dim", type=int, default=TrainConfig().hidden_dim)
     p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--skip-bad-rows", action="store_true",
+                   help="drop ragged/non-numeric rows (PredictionGen "
+                        "sentinel-fills malformed inputs verbatim) instead "
+                        "of erroring like the reference's std::stof")
     return p
 
 
@@ -44,7 +48,8 @@ def main(argv=None) -> int:
     from ..nn.trainer import BayesianTrainer
 
     x_test, y_test = read_csv(args.test_csv, list(INPUT_COLUMNS),
-                              TARGET_COLUMN)
+                              TARGET_COLUMN,
+                              skip_bad_rows=args.skip_bad_rows)
     trainer = BayesianTrainer(len(INPUT_COLUMNS), args.hidden_dim,
                               config=TrainConfig(input_dim=len(INPUT_COLUMNS),
                                                  hidden_dim=args.hidden_dim))

@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hidden-dim", type=int, default=d.hidden_dim)
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--mc-samples", type=int, default=100)
+    p.add_argument("--skip-bad-rows", action="store_true",
+                   help="drop ragged/non-numeric rows (PredictionGen "
+                        "sentinel-fills malformed inputs verbatim) instead "
+                        "of erroring like the reference's std::stof")
     return p
 
 
@@ -48,11 +52,14 @@ def main(argv=None) -> int:
 
     input_columns = list(INPUT_COLUMNS)
     log.info("Reading training data...")
-    x_train, y_train = read_csv(args.train_csv, input_columns, TARGET_COLUMN)
+    x_train, y_train = read_csv(args.train_csv, input_columns, TARGET_COLUMN,
+                                skip_bad_rows=args.skip_bad_rows)
     log.info("Reading validation data...")
-    x_valid, y_valid = read_csv(args.valid_csv, input_columns, TARGET_COLUMN)
+    x_valid, y_valid = read_csv(args.valid_csv, input_columns, TARGET_COLUMN,
+                                skip_bad_rows=args.skip_bad_rows)
     log.info("Reading test data...")
-    x_test, y_test = read_csv(args.test_csv, input_columns, TARGET_COLUMN)
+    x_test, y_test = read_csv(args.test_csv, input_columns, TARGET_COLUMN,
+                              skip_bad_rows=args.skip_bad_rows)
 
     cfg = TrainConfig(input_dim=len(input_columns),
                       hidden_dim=args.hidden_dim,

@@ -268,3 +268,31 @@ def test_train_model_mesh_data_parallel(rng, tmp_path):
         tr.train_model(x, y, num_epochs=1, batch_size=30,
                        checkpoint_path=str(tmp_path / "bad"),
                        mesh=make_mesh(8))
+
+
+def test_read_csv_skip_bad_rows(tmp_path):
+    """skip_bad_rows drops ragged and non-numeric rows with the strict
+    default unchanged — real PredictionGen outputs sentinel-fill malformed
+    inputs verbatim (PredictionGen.cpp:825-847), so augmented CSVs contain
+    both kinds."""
+    from montecarlooptionspricer_tpu.nn.data import read_csv
+
+    p = tmp_path / "aug.csv"
+    p.write_text(
+        "a,b,target\n"
+        "1.0,2.0,3.0\n"
+        "4.0,5.0\n"           # ragged (sentineled malformed input)
+        "NaNsense,6.0,7.0\n"  # right arity, garbage field
+        "8.0,9.0,10.0\n")
+    x, y = read_csv(str(p), ["a", "b"], "target", skip_bad_rows=True)
+    np.testing.assert_array_equal(x, np.asarray([[1, 2], [8, 9]], np.float32))
+    np.testing.assert_array_equal(y, np.asarray([3, 10], np.float32))
+
+    with pytest.raises(ValueError):
+        read_csv(str(p), ["a", "b"], "target")
+
+    # All rows bad -> empty, correctly shaped arrays, no crash.
+    q = tmp_path / "allbad.csv"
+    q.write_text("a,b,target\nx,y,z\n1.0\n")
+    x, y = read_csv(str(q), ["a", "b"], "target", skip_bad_rows=True)
+    assert x.shape == (0, 2) and y.shape == (0,)
