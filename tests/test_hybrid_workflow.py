@@ -106,3 +106,48 @@ def test_three_cli_hybrid_workflow_end_to_end(tmp_path, rng, monkeypatch):
         assert np.isfinite(mean) and lower <= mean <= upper
         # Actual round-trips from stage 1's CSV (the 'last' column).
         assert actual > 0
+
+
+@pytest.mark.slow
+def test_hybrid_workflow_with_malformed_rows_skip_bad_rows(tmp_path, rng,
+                                                           monkeypatch):
+    """Real PredictionGen outputs carry malformed input rows sentinel-filled
+    VERBATIM (PredictionGen.cpp:825-847): a short row stays ragged and a
+    garbage field stays non-numeric.  The strict NN loader (reference
+    std::stof semantics) must crash on such a split; --skip-bad-rows must
+    train through it.  This pins the data-prep contract the 4.2k-row soak
+    run hit in practice (VERIFY_r04 §10)."""
+    monkeypatch.chdir(tmp_path)
+    from montecarlooptionspricer_tpu.cli import prediction_gen, train_nn
+
+    _make_inputs(rng, n_rows=16)
+    with open("option_data.csv", "a") as f:
+        f.write("aapl,1,6/30/2023,100.0\n")  # ragged: 4 of 15 fields
+        f.write("aapl,0,6/30/2023,100.0,12.0,NaNsense,0.5,0.01,0.2,-0.05,"
+                "0.03,0.25,100,2.5,0.01\n")  # right arity, garbage field
+
+    rc = prediction_gen.main(["--num-paths", "64", "--rows-per-batch", "8"])
+    assert rc == 0
+    # Raw line count (read_table can't see ragged rows as rows of the
+    # table contract): 18 data lines survive, malformed ones verbatim.
+    with open("option_data_augmented.csv") as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 1 + 18
+    bad = [ln for ln in lines[1:]
+           if ln.count(",") != lines[0].count(",") or "NaNsense" in ln]
+    assert len(bad) == 2, "malformed rows should pass through sentineled"
+
+    header = lines[0]
+    for name, rows in (("train_data.csv", lines[1:]),
+                       ("valid_data.csv", lines[1:5]),
+                       ("test_data.csv", lines[5:9])):
+        with open(name, "w") as f:
+            f.write(header + "\n" + "\n".join(rows) + "\n")
+
+    args = ["--num-epochs", "2", "--batch-size", "8", "--mc-samples", "3",
+            "--model-file", "m2", "--checkpoint-file", "c2"]
+    with pytest.raises(ValueError):
+        train_nn.main(args)  # strict default = reference crash semantics
+    rc = train_nn.main(args + ["--skip-bad-rows"])
+    assert rc == 0
+    assert os.path.exists("m2.msgpack")
