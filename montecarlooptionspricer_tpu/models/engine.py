@@ -143,11 +143,13 @@ class StreamConfig:
     # (path blocks, strike groups) grid; the path block is generated
     # once into VMEM scratch and re-swept by every group's tables, so a
     # K-strike strip pays generation once per block
-    # (pathgen_pallas._chain_kernel_grid); "regen" — the round-3 design,
-    # one fused pass per ceil(K/10) group, each regenerating the block
-    # from the shared seed.  "auto" = grid for multi-group strips (the
-    # two kernels' sums agree bitwise; grid removes the regeneration
-    # that made K=50 cost ~6x K=1 — VERIFY_r04).
+    # (pathgen_pallas._chain_kernel_grid); "regen" — one fused pass per
+    # ceil(K/10) group, each regenerating the block from the shared
+    # seed.  "auto" = regen: grid measured WORSE on v5e (K=50 price
+    # 2.09 s vs 1.05 s; Greeks 1.75 s vs 1.29 s — its decoupled sweep
+    # steps lose the generator matmuls' scheduling cover, VERIFY_r04
+    # §6).  The two kernels' sums agree bitwise, so "grid" remains a
+    # safe A/B arm.
     chain_sweep_impl: str = "auto"
     # Single-strike fused kernel: split each path block into this many
     # INDEPENDENT sub-block chains inside one kernel body (boundary

@@ -470,7 +470,14 @@ def _chain_kernel_grid(first_ref, *refs, block_paths: int, is_call: bool,
     and the per-group sweep stays <= CHAIN_GROUP strikes so Mosaic's
     scheduling stays in its linear regime.  Seeding is the regen
     kernel's exactly — (seed, path-block id) — so prices match the
-    regen design bitwise."""
+    regen design bitwise.
+
+    MEASURED WORSE than regen on v5e (VERIFY_r04 §6): the sweep-only
+    grid steps (j > 0) run ~10x slower per sweep than the same sweep
+    fused with generation — without the generator's matmuls in the same
+    executed path, Mosaic's schedule exposes the VPU sweep's latency
+    (the HBM-materialization dead end of VERIFY_r03 §6, reproduced in
+    VMEM).  Kept as an explicitly selectable A/B arm, not the default."""
     *mats, vd_ref, tri_ref, pol_ref, out_ref, s_ref = refs
     j = pl.program_id(1)
 
@@ -1048,12 +1055,13 @@ def make_pallas_chain_greeks_chunk(s0, xi, h, eta, rho, r, strikes,
     row, so fresh strips reuse the compiled kernel.
 
     Grouping mirrors make_pallas_priced_chain, including sweep_impl:
-    multi-group strips default to the grid-over-groups kernel
-    (_chain_greeks_kernel_grid — the tangent planes live in VMEM scratch
-    and are computed once per block, so K strikes pay the 6 tangent
-    matmuls ONCE instead of ceil(K/10) times); "regen" keeps one fused
-    pass per group, reusing the seed so every group regenerates
-    bitwise-identical planes.  The per-strike marginal is a pure VPU
+    "regen" (the auto default) runs one fused pass per group, reusing
+    the seed so every group regenerates bitwise-identical planes;
+    "grid" selects _chain_greeks_kernel_grid (tangent planes in VMEM
+    scratch, computed once per block) — measured WORSE than regen even
+    here, where the 6 tangent matmuls dominate (v5e 4.2M x 365 K=50:
+    grid 1.75 s vs regen 1.29 s, VERIFY_r04 §6 — the decoupled sweep
+    steps lose their MXU scheduling cover).  The per-strike marginal is a pure VPU
     sweep either way (7 one-hot reductions + the interval test).  Chol
     fGN form + log-boundary policy only, like make_pallas_greeks_chunk;
     the XLA jvp stream remains the general fallback."""
@@ -1087,7 +1095,13 @@ def make_pallas_chain_greeks_chunk(s0, xi, h, eta, rho, r, strikes,
     if sweep_impl not in ("auto", "grid", "regen"):
         raise ValueError(f"unknown sweep_impl {sweep_impl!r}")
     grid_n = chunk_paths // block_paths
-    use_grid = n_g > 1 and sweep_impl in ("auto", "grid")
+    # auto -> regen: the grid design pays generation once per block but
+    # its sweep-only grid steps measured ~4-10x slower than the same
+    # sweep fused with generation (v5e, 8.4M x 365: grid K=50 2.09 s vs
+    # regen 1.05 s; Greeks 1.75 s vs 1.29 s) — the decoupled-sweep wall,
+    # same phenomenon as the r03 HBM-materialization dead end.  "grid"
+    # stays selectable for A/B (parity/group_probe.py).
+    use_grid = n_g > 1 and sweep_impl == "grid"
     interp = pltpu.InterpretParams() if interpret else False
     if use_grid:
         first_spec_g = (
@@ -1756,25 +1770,26 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
     (policy_form="quadratic" — the cell-level quadratic), stacked on a
     leading axis.
 
-    The strip is swept in groups of <= CHAIN_GROUP strikes.  Multi-group
-    strips use the grid-over-groups kernel (sweep_impl="grid", the
-    auto default for n_k > CHAIN_GROUP): one pallas_call with grid
-    (path_blocks, n_groups), the path block generated once into VMEM
-    scratch and re-swept by every group — K strikes pay generation ONCE
-    per block (see _chain_kernel_grid).  sweep_impl="regen" keeps the
-    round-3 design: one fused pass per group, REUSING the seed so every
-    group regenerates bitwise-identical paths (the PRNG is keyed on
-    (seed, block id) only) — K strikes cost ceil(K / CHAIN_GROUP) fused
-    passes.  Both kernels seed identically, so their sums agree
-    bitwise (tests/test_pallas.py pins this).  Two earlier alternatives
-    measured worse on v5e (VERIFY_r03 section 6): a >10-strike unroll
-    (Mosaic schedules the policy sweep superlinearly past ~10 strikes)
-    and materializing paths to HBM for a separate policy-sweep kernel
-    (without the generator's matmuls in the same kernel body, Mosaic
-    runs the identical sweep code ~5x slower per strike — the sweep's
-    VPU work stops hiding under the MXU).  The grid kernel avoids both:
-    per-step sweeps stay <= CHAIN_GROUP strikes and the path plane
-    never leaves VMEM.
+    The strip is swept in groups of <= CHAIN_GROUP strikes.
+    sweep_impl="regen" (the auto default) runs one fused pass per
+    group, REUSING the seed so every group regenerates bitwise-identical
+    paths (the PRNG is keyed on (seed, block id) only) — K strikes cost
+    ceil(K / CHAIN_GROUP) fused passes.  sweep_impl="grid" selects the
+    grid-over-groups kernel: one pallas_call with grid (path_blocks,
+    n_groups), the path block generated once into VMEM scratch and
+    re-swept by every group (see _chain_kernel_grid).  Both kernels
+    seed identically, so their sums agree bitwise (tests/test_pallas.py
+    pins this).  Three decoupled-sweep alternatives have now measured
+    WORSE than regen on v5e (VERIFY_r03 §6, VERIFY_r04 §6): a
+    >10-strike unroll (Mosaic schedules the policy sweep superlinearly
+    past ~10 strikes — 4.4 ms/strike at group 10 rising to 37 ms at
+    group 50), materializing paths to HBM for a separate policy-sweep
+    kernel (~5x slower per strike), and the grid kernel itself (K=50:
+    2.09 s vs regen's 1.05 s at 8.4M x 365 — its sweep-only grid steps
+    lose the generator matmuls' scheduling cover, the same wall as the
+    HBM form).  Generation therefore cannot be amortized below one pass
+    per group on this hardware; regen at group 10 is the measured
+    optimum of every family tried.
 
     antithetic=True (boundary form only): each block prices
     block_paths/2 pairs (N, W) / (-N, -W) sharing one fGN matmul (see
@@ -1838,7 +1853,13 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
                      memory_space=pltpu.VMEM),              # cumsum tri
     ]
 
-    use_grid = n_g > 1 and sweep_impl in ("auto", "grid")
+    # auto -> regen: the grid design pays generation once per block but
+    # its sweep-only grid steps measured ~4-10x slower than the same
+    # sweep fused with generation (v5e, 8.4M x 365: grid K=50 2.09 s vs
+    # regen 1.05 s; Greeks 1.75 s vs 1.29 s) — the decoupled-sweep wall,
+    # same phenomenon as the r03 HBM-materialization dead end.  "grid"
+    # stays selectable for A/B (parity/group_probe.py).
+    use_grid = n_g > 1 and sweep_impl == "grid"
     if use_grid:
         # One pallas_call over (path blocks, groups), group axis fastest:
         # the scratch path plane is generated at j == 0 and re-swept by
