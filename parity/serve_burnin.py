@@ -146,6 +146,12 @@ def main() -> int:
     stop.set()
     thr.join(timeout=5)
     wall = time.time() - t0
+    # Always persist the raw streams: a 25-minute TPU soak must be
+    # post-mortemable without a rerun.
+    with open("/tmp/serve_burnin_stdout.jsonl", "w") as f:
+        f.write(out)
+    with open("/tmp/serve_burnin_stderr.log", "w") as f:
+        f.write(err)
     if proc.returncode != 0:
         print(err[-4000:], file=sys.stderr)
         return 1
@@ -159,9 +165,19 @@ def main() -> int:
     ok_rows = [r for r in main_rows if "error" not in r]
     # Containment: exactly the injected malformed lines error; the
     # stream around them is unharmed.
-    assert len(errors) == n_bad, (len(errors), n_bad)
-    assert all(str(r["id"]).startswith("bad-") or "json" in r["error"]
-               for r in errors), errors[:3]
+    # Only injections can produce an error row: the "bad-*" ids, or a
+    # parse failure (id None/absent — every legitimate quote carries an
+    # integer id, so an id-less error row can only be the broken-JSON
+    # line).  The first burn-in run failed HERE, on its own predicate:
+    # it required "json" in the parse error's message, but
+    # json.JSONDecodeError says "Expecting property name ..." — a
+    # harness bug, not a server one (counts had already matched).
+    unexpected = [r for r in errors
+                  if r.get("id") is not None
+                  and not str(r["id"]).startswith("bad-")]
+    assert len(errors) == n_bad, (len(errors), n_bad,
+                                  unexpected[:10] or errors[:5])
+    assert not unexpected, unexpected[:10]
     assert all(r["prices"] for r in ok_rows)
 
     # Compile-count bound: 9 pricer classes + 9 lazy greeks programs.
