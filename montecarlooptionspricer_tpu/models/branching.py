@@ -101,9 +101,23 @@ def upper_bound(paths, r, strike, maturity, dt, is_call: bool,
     next_col = jnp.minimum(ex + 1, paths.shape[-1] - 1)
     rev_next = revmax0[:, next_col]                     # [N, T]
     if rp is None:
-        rp = jax.random.randint(key, (n, n_ex, num_branches), 0, n)
-    gathered = rev_next[rp, jnp.arange(n_ex)[None, :, None]]  # [N, T, B]
-    cont = jnp.mean(gathered, axis=-1)
+        # Accumulate the B branch draws one [N, T] plane at a time.  The
+        # one-shot [N, T, B] gather's s32 index tensor tile-pads its
+        # trailing (B, 1) dims to (8, 128) on TPU — 1.22 GiB unpadded
+        # became a 15.62 GiB HBM buffer at the pipeline's 2048-step
+        # bucket (batch 64 x 250 paths), OOMing the chip in the r04
+        # 10k-row soak.  A fori_loop over the (static, small) branch
+        # count keeps the peak at one [N, T] plane and draws the same
+        # uniform law, one fold_in sub-key per branch.
+        def body(b, acc):
+            rp_b = jax.random.randint(jax.random.fold_in(key, b),
+                                      (n, n_ex), 0, n)
+            return acc + jnp.take_along_axis(rev_next, rp_b, axis=0)
+        cont = jax.lax.fori_loop(0, num_branches, body,
+                                 jnp.zeros_like(rev_next)) / num_branches
+    else:
+        gathered = rev_next[rp, jnp.arange(n_ex)[None, :, None]]  # [N, T, B]
+        cont = jnp.mean(gathered, axis=-1)
     if n_steps is None:
         has_future = (jnp.arange(n_ex) < n_ex - 1)[None, :]
     else:

@@ -404,3 +404,34 @@ def test_pipeline_antithetic_rows(workdir):
         PricingConfig(qmc=True, antithetic=True)
     with pytest.raises(ValueError, match="even"):
         PricingConfig(num_paths=251, antithetic=True)
+
+
+@pytest.mark.slow
+def test_pipeline_2048_bucket_compiles_within_hbm():
+    """Regression for the r04 10k-row soak OOM (VERIFY_r04 §11): the
+    largest pipeline bucket (n_pad=2048 — dtes up to the reference's
+    1825-day history cap) at the default 64-row x 250-path batch must
+    compile within one v5e chip's HBM.  Pre-fix, branching.py's one-shot
+    [N, T, B] gather tile-padded its s32 index tensor to 15.62 GiB and
+    XLA:TPU refused the program (18.32G > 15.75G)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("HBM budget is only checkable on a real TPU")
+    from montecarlooptionspricer_tpu.pipeline.driver import BatchedPricer
+
+    bp = BatchedPricer(PricingConfig(), MarketDefaults())
+    fn = bp._build(2048, 2048)
+    batch = PricingConfig().rows_per_batch
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.key(0), jnp.arange(batch))
+    f32 = lambda v: jnp.full((batch,), v, jnp.float32)
+    lowered = fn.lower(keys, jnp.ones((batch,), bool),
+                       jnp.full((batch,), 1795, jnp.int32), f32(100.0),
+                       f32(0.04), f32(0.1), f32(1.5), f32(-0.7), f32(100.0),
+                       f32(1795 / 252.0), f32(0.3), f32(0.0))
+    compiled = lowered.compile()   # pre-fix: raises RESOURCE_EXHAUSTED here
+    mem = compiled.memory_analysis()
+    if mem is not None and hasattr(mem, "temp_size_in_bytes"):
+        assert mem.temp_size_in_bytes < 12 * 1024**3, mem.temp_size_in_bytes

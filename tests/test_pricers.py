@@ -135,6 +135,32 @@ def test_branching_upper_maturity_cut(rng):
     assert abs(ours - ref) < 5e-3 * max(1.0, abs(ref)) + 1e-3
 
 
+def test_branching_upper_key_draws_equal_injected_foldin(paths):
+    """The key-drawing path accumulates its B branch gathers one [N, T]
+    plane at a time (fori_loop — the one-shot [N, T, B] gather OOM'd the
+    2048-step pipeline bucket on chip, VERIFY_r04 §11).  Pin its
+    arithmetic to the vectorized injected-rp form by rebuilding the same
+    fold_in draws as an explicit rp tensor."""
+    m = paths.shape[1]
+    n = paths.shape[0]
+    ex = np.arange(m - 1)
+    maturity = m * DT
+    nb = 4
+    key = jax.random.key(42)
+    rp = np.stack(
+        [np.asarray(jax.random.randint(jax.random.fold_in(key, b),
+                                       (n, ex.size), 0, n))
+         for b in range(nb)], axis=-1)
+    via_key = float(upper_bound(jnp.asarray(paths, jnp.float32), R, STRIKE,
+                                maturity, DT, True, nb, jnp.asarray(ex),
+                                key=key))
+    via_rp = float(upper_bound(jnp.asarray(paths, jnp.float32), R, STRIKE,
+                               maturity, DT, True, nb, jnp.asarray(ex),
+                               key=None, rp=jnp.asarray(rp)))
+    assert np.isclose(via_key, via_rp, rtol=1e-5, atol=1e-6), (via_key,
+                                                               via_rp)
+
+
 def test_branching_price_statistical(paths):
     # Full price with internal RNG: must land between (noisy) bounds.
     m = paths.shape[1]
