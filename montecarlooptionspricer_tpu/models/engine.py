@@ -225,6 +225,14 @@ class StreamConfig:
         if self.policy_form not in ("boundary", "quadratic"):
             raise ValueError(
                 f"unknown policy_form: {self.policy_form!r}")
+        # interleave < 1 would run the kernel's sub-block loop zero times
+        # (all-zero sums -> a silent price of 0.0) or divide by zero at
+        # trace time; the kernel builders only validate values > 1.
+        if not isinstance(self.pallas_interleave, int) \
+                or self.pallas_interleave < 1:
+            raise ValueError(
+                f"pallas_interleave must be a positive int, got "
+                f"{self.pallas_interleave!r}")
 
 
 def _fgn_matrices_np(n_steps: int, h: float, eta: float, dt: float) -> tuple:
@@ -1481,7 +1489,8 @@ class StreamingPricer:
                 block_paths=_fused_block(config, n_steps),
                 is_call=is_call, noise_input=True, fgn_dtype=fgn_dtype,
                 with_cv=self._cv, fgn_form=q_form,
-                policy_form=config.policy_form)
+                policy_form=config.policy_form,
+                interleave=config.pallas_interleave)
             noise_fn = _make_fused_qmc_noise(config, n_steps, q_s_pad,
                                              q_form, dt)
             make_rows_q = _fused_rows_builder(config, None, r, strike,

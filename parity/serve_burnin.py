@@ -202,9 +202,11 @@ def main() -> int:
 
     if rss_samples:
         mid = len(rss_samples) // 2
-        first = max(v for _, v in rss_samples[:mid] if v) if mid else 0
-        second = max(v for _, v in rss_samples[mid:] if v)
-        peak = max(v for _, v in rss_samples)
+        # default=0: rss_mb() yields 0.0 when /proc is unreadable or the
+        # server exits before a sample — reporting must not die on that.
+        first = max((v for _, v in rss_samples[:mid] if v), default=0.0)
+        second = max((v for _, v in rss_samples[mid:] if v), default=0.0)
+        peak = max((v for _, v in rss_samples), default=0.0)
         print(f"| RSS first-half max / second-half max / peak | "
               f"{first:.0f} / {second:.0f} / {peak:.0f} MiB |")
         # Flatness: allow warmup growth into the first half, then the

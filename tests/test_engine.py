@@ -86,6 +86,16 @@ def test_config_rejects_enum_typos_at_construction():
             engine.StreamConfig(n_paths=1 << 10, n_steps=16, **kw)
 
 
+def test_config_rejects_nonpositive_interleave():
+    """interleave < 1 would run the fused kernel's sub-block loop ZERO
+    times — every partial sum 0.0, a silent price of 0.0 — and 0 is a
+    trace-time ZeroDivisionError; the kernel builders only check > 1."""
+    for bad in (0, -1, 2.0):
+        with pytest.raises(ValueError, match="pallas_interleave"):
+            engine.StreamConfig(n_paths=1 << 10, n_steps=16,
+                                pallas_interleave=bad)
+
+
 def test_explicit_chol_on_factored_kernel_errors():
     """An EXPLICIT fgn_form='chol' must not silently benchmark the
     spectral-only factored-DFT kernel (A/B integrity)."""
