@@ -1103,26 +1103,38 @@ def make_pallas_chain_greeks_chunk(s0, xi, h, eta, rho, r, strikes,
     # stays selectable for A/B (parity/group_probe.py).
     use_grid = n_g > 1 and sweep_impl == "grid"
     interp = pltpu.InterpretParams() if interpret else False
+
+    def _in_specs(gmap):
+        # Input specs shared by both grid arities (regen: grid (grid_n,);
+        # grid-over-groups: grid (grid_n, n_g)); ``gmap`` lifts each
+        # path-block index map to the call's arity.  The group-tables
+        # spec is the one input that genuinely differs (grid streams
+        # group j; regen re-feeds one group), so it stays at the call
+        # sites — as do the out/scratch specs.
+        first = (pl.BlockSpec((2, noise_rows, s_pad),
+                              gmap(lambda i: (0, i, 0)),
+                              memory_space=pltpu.VMEM) if noise_input
+                 else pl.BlockSpec(memory_space=pltpu.SMEM))
+        mat = pl.BlockSpec((s_pad, s_pad), gmap(lambda i: (0, 0)),
+                           memory_space=pltpu.VMEM)
+        return [
+            first,                                      # seed or noise
+            mat,                                        # Lt' (chol)
+            mat,                                        # dLt'/dh
+            pl.BlockSpec((1, s_pad), gmap(lambda i: (0, 0)),
+                         memory_space=pltpu.VMEM),      # half var drift
+            mat,                                        # cumsum tri
+            pl.BlockSpec((8, s_pad), gmap(lambda i: (0, 0)),
+                         memory_space=pltpu.VMEM),      # tangent rows
+        ]
+
     if use_grid:
-        first_spec_g = (
-            pl.BlockSpec((2, noise_rows, s_pad), lambda i, j: (0, i, 0),
-                         memory_space=pltpu.VMEM) if noise_input
-            else pl.BlockSpec(memory_space=pltpu.SMEM))
-        mat_spec_g = pl.BlockSpec((s_pad, s_pad), lambda i, j: (0, 0),
-                                  memory_space=pltpu.VMEM)
         call = pl.pallas_call(
             functools.partial(_chain_greeks_kernel_grid, **kw,
                               noise_input=noise_input),
             grid=(grid_n, n_g),
             in_specs=[
-                first_spec_g,                               # seed or noise
-                mat_spec_g,                                 # Lt' (chol)
-                mat_spec_g,                                 # dLt'/dh
-                pl.BlockSpec((1, s_pad), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM),      # half var drift
-                mat_spec_g,                                 # cumsum tri
-                pl.BlockSpec((8, s_pad), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM),      # tangent rows
+                *_in_specs(_with_group_axis),
                 pl.BlockSpec((group, 8, s_pad), lambda i, j: (j, 0, 0),
                              memory_space=pltpu.VMEM),      # group j tables
             ],
@@ -1137,25 +1149,11 @@ def make_pallas_chain_greeks_chunk(s0, xi, h, eta, rho, r, strikes,
     else:
         body = (_chain_greeks_kernel_noise_in if noise_input
                 else _chain_greeks_kernel)
-        kernel = functools.partial(body, **kw)
-        first_spec = (
-            pl.BlockSpec((2, noise_rows, s_pad), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM) if noise_input
-            else pl.BlockSpec(memory_space=pltpu.SMEM))
-        mat_spec = pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)
         call = pl.pallas_call(
-            kernel,
+            functools.partial(body, **kw),
             grid=(grid_n,),
             in_specs=[
-                first_spec,                                 # seed or noise
-                mat_spec,                                   # Lt' (chol)
-                mat_spec,                                   # dLt'/dh
-                pl.BlockSpec((1, s_pad), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),      # half var drift
-                mat_spec,                                   # cumsum tri
-                pl.BlockSpec((8, s_pad), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),      # tangent rows
+                *_in_specs(lambda f: f),
                 pl.BlockSpec((group, 8, s_pad), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),      # group's tables
             ],
@@ -1252,6 +1250,14 @@ def supports(n_steps: int, fgn_form: str = "spectral") -> bool:
     cap = MAX_KERNEL_STEPS_CHOL if fgn_form == "chol" else MAX_KERNEL_STEPS
     return (_round_up(n_steps, LANE) <= cap
             and max_block_paths(n_steps, fgn_form) >= 16)
+
+
+def _with_group_axis(imap):
+    """Lift a path-block BlockSpec index map ``i -> coords`` to the
+    (path block, strike group) grid of the grid-over-groups chain
+    kernels; the group coordinate is ignored by every input except the
+    policy tables (whose spec is written at the call sites)."""
+    return lambda i, j: imap(i)
 
 
 def _fgn_consts(n_steps: int, s_pad: int, h, eta, dt, fgn_dtype,
@@ -1824,8 +1830,8 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
     n_g = -(-n_k // group)
     k_tab = n_g * group
 
-    mats, mat_specs = _fgn_consts(n_steps, s_pad, h, eta, dt, fgn_dtype,
-                                  fgn_form)
+    mats, _ = _fgn_consts(n_steps, s_pad, h, eta, dt, fgn_dtype,
+                          fgn_form)   # specs rebuilt per grid arity below
     vd_p = _half_var_drift(n_steps, s_pad, xi, h, eta, dt)
     tri = np.triu(np.ones((s_pad, s_pad), np.float32))
     tri[n_steps:, :] = 0.0
@@ -1840,18 +1846,26 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
     grid_n = chunk_paths // block_paths
     interp = pltpu.InterpretParams() if interpret else False
     noise_rows = block_paths // 2 if antithetic else block_paths
-    first_spec = (
-        pl.BlockSpec((n_planes(fgn_form), noise_rows, s_pad),
-                     lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM) if noise_input
-        else pl.BlockSpec(memory_space=pltpu.SMEM))
-    const_specs = [
-        *mat_specs,                                         # Cr/Ci or Lt
-        pl.BlockSpec((1, s_pad), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),              # var drift
-        pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),              # cumsum tri
-    ]
+
+    def _in_specs(gmap):
+        # Input specs shared by both grid arities; ``gmap`` lifts each
+        # path-block index map to the call's arity (see _with_group_axis).
+        # The group-tables spec genuinely differs and stays at the call
+        # sites, as do the out specs.
+        first = (pl.BlockSpec((n_planes(fgn_form), noise_rows, s_pad),
+                              gmap(lambda i: (0, i, 0)),
+                              memory_space=pltpu.VMEM) if noise_input
+                 else pl.BlockSpec(memory_space=pltpu.SMEM))
+        return [
+            first,                                          # seed or noise
+            *(pl.BlockSpec((s_pad, s_pad), gmap(lambda i: (0, 0)),
+                           memory_space=pltpu.VMEM)
+              for _ in mats),                               # Cr/Ci or Lt
+            pl.BlockSpec((1, s_pad), gmap(lambda i: (0, 0)),
+                         memory_space=pltpu.VMEM),          # var drift
+            pl.BlockSpec((s_pad, s_pad), gmap(lambda i: (0, 0)),
+                         memory_space=pltpu.VMEM),          # cumsum tri
+        ]
 
     # auto -> regen: the grid design pays generation once per block but
     # its sweep-only grid steps measured ~4-10x slower than the same
@@ -1864,26 +1878,12 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
         # One pallas_call over (path blocks, groups), group axis fastest:
         # the scratch path plane is generated at j == 0 and re-swept by
         # every group's statically-blocked policy tables.
-        first_spec_g = (
-            pl.BlockSpec((n_planes(fgn_form), noise_rows, s_pad),
-                         lambda i, j: (0, i, 0),
-                         memory_space=pltpu.VMEM) if noise_input
-            else pl.BlockSpec(memory_space=pltpu.SMEM))
-        const_specs_g = [
-            *(pl.BlockSpec((s_pad, s_pad), lambda i, j: (0, 0),
-                           memory_space=pltpu.VMEM) for _ in mats),
-            pl.BlockSpec((1, s_pad), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),          # var drift
-            pl.BlockSpec((s_pad, s_pad), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),          # cumsum tri
-        ]
         fused = pl.pallas_call(
             functools.partial(_chain_kernel_grid, **kw, **pol_kw,
                               noise_input=noise_input),
             grid=(grid_n, n_g),
             in_specs=[
-                first_spec_g,                           # seed or noise
-                *const_specs_g,
+                *_in_specs(_with_group_axis),
                 pl.BlockSpec((group, 8, s_pad), lambda i, j: (j, 0, 0),
                              memory_space=pltpu.VMEM),  # group j's tables
             ],
@@ -1903,8 +1903,7 @@ def make_pallas_priced_chain(s0, xi, h, eta, rho, r, strikes, maturity,
             functools.partial(body, **kw, **pol_kw),
             grid=(grid_n,),
             in_specs=[
-                first_spec,                                 # seed or noise
-                *const_specs,
+                *_in_specs(lambda f: f),
                 pl.BlockSpec((group, 8, s_pad), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),      # group's tables
             ],
