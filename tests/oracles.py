@@ -280,3 +280,87 @@ def martingale_price(paths, r, strike, maturity, dt, is_call, poly_order,
             offset = float(np.mean([eval_mart(paths[i, 0]) for i in range(n)]))
         final_lower, final_upper = primal, dual
     return 0.5 * (final_lower + final_upper)
+
+
+# ---------------------------------------------------------------------------
+# Bayesian meta-model NN (BayesianNN.cpp) — forward pass and the reference's
+# MC-dropout prediction-interval semantics, in scalar-style NumPy float64.
+# ---------------------------------------------------------------------------
+
+BNN_DROPOUT_RATES = (0.3, 0.3, 0.2, 0.2, 0.1)   # drop1..drop5 (:68-72)
+
+
+def _bnn_dense(p: dict, x: np.ndarray) -> np.ndarray:
+    return x @ np.asarray(p["kernel"], np.float64) + np.asarray(
+        p["bias"], np.float64)
+
+
+def _bnn_row_norm(x: np.ndarray) -> np.ndarray:
+    """InstanceNorm1d given a 2-D (N, C) input: torch treats it as (C, L)
+    and normalizes each ROW over the feature axis, biased variance,
+    eps 1e-5, no affine (BayesianNN.cpp:62-66, quirk C15)."""
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mean) / np.sqrt(var + 1e-5)
+
+
+def bnn_forward_np(params: dict, x: np.ndarray,
+                   masks: list | None = None,
+                   num_mixtures: int = 5) -> np.ndarray:
+    """Reference-semantics forward pass (BayesianNN.cpp:129-208) over a
+    flax param tree (converted to NumPy), eval mode unless ``masks`` gives
+    the five inverted-dropout KEEP masks (each the same shape as the layer
+    output; train-mode scaling 1/(1-p) applied here).
+
+    The across-batch attention block is computed-and-discarded in the
+    reference (narrow(1, 0, 16) keeps only the gate's 16 columns,
+    :174-180), so this oracle simply never computes it — numerically
+    identical, and deliberately unlike bnn.py's full-topology path."""
+    x = np.asarray(x, np.float64)
+
+    def layer(name: str, inp: np.ndarray, i: int) -> np.ndarray:
+        out = np.maximum(_bnn_row_norm(_bnn_dense(
+            params[name]["Dense_0"], inp)), 0.0)
+        if masks is not None:
+            out = out * masks[i] / (1.0 - BNN_DROPOUT_RATES[i])
+        return out
+
+    out1 = layer("fc1", x, 0)
+    out2 = layer("fc2", out1, 1)
+    out3 = layer("fc3", out2, 2)
+    out4 = layer("fc4", out3, 3)
+    out5 = layer("fc5", out4, 4)
+    out5 = (out5 + _bnn_dense(params["fcSkip3"]["Dense_0"], out3)
+            + _bnn_dense(params["fcSkip4"]["Dense_0"], out4))   # :155-157
+    out6 = np.maximum(_bnn_dense(params["fc6"]["Dense_0"], out5), 0.0)
+    gate = 1.0 / (1.0 + np.exp(-_bnn_dense(params["fcGate"]["Dense_0"],
+                                           out6)))
+    out_final = out6 * gate                                      # :163
+    out_final = out_final / (1.0 + np.exp(-out_final))           # swish :180
+    s = _bnn_dense(params["flow0"]["sLayer"]["Dense_0"], out_final)
+    t = _bnn_dense(params["flow0"]["tLayer"]["Dense_0"], out_final)
+    z = out_final * np.exp(s) + t                                # flow :183
+    raw = _bnn_dense(params["fcMDN"]["Dense_0"], z)
+    means = raw[:, :num_mixtures]
+    logvars = np.clip(raw[:, num_mixtures:2 * num_mixtures], -10.0, 2.0)
+    logits = raw[:, 2 * num_mixtures:]
+    e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+    mix = e / e.sum(axis=-1, keepdims=True)                      # :206
+    return np.concatenate([means, logvars, mix], axis=-1)        # :208
+
+
+def meta_model_prediction_np(vals: np.ndarray, stds: float = 3.0):
+    """The reference's prediction-interval arithmetic
+    (BayesianNN.cpp:582-630, MetaModelPrediction): given the MC-dropout
+    draws of out[0][0] — the FIRST mixture component's mean only; the
+    mixture weights, the other four components, and the MDN's aleatoric
+    log-variances are all DISCARDED — the interval is mean +- stds * the
+    biased std of those draws.  This is why coverage is far below the
+    nominal 99.7%: the interval reflects dropout sampling noise of one
+    head, not the model's predictive distribution."""
+    vals = np.asarray(vals, np.float64)
+    n = vals.size
+    mean = vals.sum() / n
+    var = (vals ** 2).sum() / n - mean * mean
+    std = np.sqrt(var) if var > 0 else 0.0
+    return mean, mean - stds * std, mean + stds * std
