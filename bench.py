@@ -171,6 +171,8 @@ def main() -> None:
                                   "BENCH_ANTITHETIC") == "1",
                               pallas_interleave=int(os.environ.get(
                                   "BENCH_INTERLEAVE", 1)),
+                              pallas_schedule=os.environ.get(
+                                  "BENCH_SCHEDULE", "chained"),
                               fgn_matmul_dtype=os.environ.get(
                                   "BENCH_FGN_DTYPE", default_fgn))
     pricer = engine.StreamingPricer(S0, XI, H, ETA, RHO, R, STRIKE,
@@ -204,6 +206,27 @@ def main() -> None:
     log(f"steady-state (stream-only, {N_CHUNKS} chunks): {t_stream:.3f}s "
         f"-> {steady:,.0f} paths/s/chip")
 
+    # Session RTT + pilot cost, measured IN-RUN so every BENCH_r*.json is
+    # self-normalizing (VERIFY_r05 §5): the end-to-end number is
+    # t_stream + t_pilot + dispatch RTTs, and the 40.0-45.5M
+    # session-to-session spread is tunnel-RTT weather on those fixed
+    # costs, not kernel variance.  rtt_ms = median round-trip of a warm
+    # trivial program; pilot_ms = warm pilot fit + fit-consts dispatch.
+    import jax.numpy as jnp
+
+    triv = jax.jit(lambda x: x + 1.0)
+    jax.device_get(triv(jnp.zeros(8, jnp.float32)))  # warm/compile
+    rtts = sorted(_timed(lambda: jax.device_get(
+        triv(jnp.zeros(8, jnp.float32)))) for _ in range(21))
+    rtt_ms = rtts[10] * 1e3
+    t_pilot = min(_timed(lambda: jax.block_until_ready(
+        pricer._fit(k_pilot))) for _ in range(3))
+    fixed_ms = t_pilot * 1e3 + 2 * rtt_ms
+    predicted = n_paths / (t_stream + fixed_ms / 1e3)
+    log(f"session RTT median {rtt_ms:.1f} ms; pilot fit {t_pilot*1e3:.0f} "
+        f"ms; fixed-cost model predicts end-to-end "
+        f"{predicted:,.0f} paths/s (measured {throughput:,.0f})")
+
     log(f"measuring NumPy float64 baseline on {BASELINE_PATHS} paths...")
     base = numpy_baseline(BASELINE_PATHS)
     log(f"baseline: {base:,.0f} paths/s (batched NumPy, single host)")
@@ -220,6 +243,13 @@ def main() -> None:
         # Steady-state stream rate (fixed pilot-fit + dispatch costs
         # excluded) — the 1e8-equivalent rate of the same program.
         "steady_state": round(steady, 1),
+        # Self-normalizing context (VERIFY_r05 §5): this session's tunnel
+        # RTT and pilot-fit cost.  end-to-end ~= n_paths / (t_stream +
+        # pilot_ms + 2*rtt_ms); the spread across BENCH_r*.json files is
+        # carried by these two numbers, not the kernel.
+        "rtt_ms": round(rtt_ms, 1),
+        "pilot_ms": round(t_pilot * 1e3, 1),
+        "fixed_cost_predicted": round(predicted, 1),
     }))
 
 

@@ -103,6 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "accepting requests, so the first real quote in "
                         "each class is already warm (the cache key is a "
                         "pure shape class — the whole market is traced)")
+    p.add_argument("--lru-size", type=int, default=16,
+                   help="serve mode: max cached compiled pricers.  Size "
+                        "it to the working set: every big-program compile "
+                        "permanently retains ~6-24 MiB of host RSS below "
+                        "JAX (parity/compile_rss_probe.py), so LRU churn "
+                        "(evict + recompile) grows the server for as long "
+                        "as it churns")
     return p
 
 
@@ -291,8 +298,10 @@ def serve(args, mkt) -> int:
     import collections
 
     pricers: collections.OrderedDict = collections.OrderedDict()
-    max_pricers = 16
+    max_pricers = max(1, getattr(args, "lru_size", 16))
     made = 0
+    churn = 0
+    seen_keys: set = set()
 
     def respond(obj, warm=False):
         # `warm` is tracked OUT OF BAND (by which line source produced the
@@ -466,6 +475,25 @@ def serve(args, mkt) -> int:
                     config=cfg, bucketed=True, traced_market=True)
                 entry = pricers[cache_key] = [pricer, False]
                 made += 1
+                if cache_key in seen_keys:
+                    # LRU churn: a previously-evicted class recompiling.
+                    # Each big-program compile permanently retains ~6-24
+                    # MiB of host RSS below JAX (PJRT/plugin-side; not
+                    # released by gc, jax.clear_caches(), or
+                    # malloc_trim — measured in
+                    # parity/compile_rss_probe.py loops D-F), so
+                    # sustained churn grows the server unboundedly.
+                    # The pow2 bucketing keeps the class space finite;
+                    # an --lru-size covering it makes retention a
+                    # one-time cost.  Warn so operators see it.
+                    churn += 1
+                    log.warning(
+                        "serve: shape class %s recompiled after "
+                        "eviction (%d churn recompiles so far) — "
+                        "consider --lru-size > %d to bound host-RSS "
+                        "growth (~6-24 MiB retained per recompile)",
+                        cache_key, churn, max_pricers)
+                seen_keys.add(cache_key)
                 if len(pricers) > max_pricers:
                     pricers.popitem(last=False)   # evict LRU
             per_call = dict(strikes=padded, n_paths=n_paths,

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 from typing import Optional
 
 import numpy as np
@@ -121,6 +122,15 @@ class StreamConfig:
     # markets where the variance rides the fGN, at 3x the base-set
     # footprint.  Requires qmc=True.
     qmc_fgn: bool = False
+    # Leading Sobol dimensions per noise plane (truncated-PCA QMC): the
+    # price Brownian's first qmc_dim PCA components (eigen-ordered, so
+    # they carry almost all exploitable variance) ride the Sobol set and
+    # the tail is PRNG-filled; qmc_fgn planes truncate identically.
+    # Bounds the [chunk, dim] uint32 Sobol base a compiled program
+    # carries: the FULL 1825-step set at chunk 2^16 is ~0.5 GB and
+    # exceeds the axon tunnel's remote-compile limit (VERIFY_r05 §3).
+    # Horizons <= qmc_dim are exact (no truncation).
+    qmc_dim: int = 256
     # Martingale control variate: corrects the streamed estimate with
     # beta * (mean e^{-rT} S_T - s0), beta fitted on the pilot block.
     # Unbiased (the control's mean is exactly s0 under this model) with
@@ -160,6 +170,21 @@ class StreamConfig:
     # roofline lever).  1 = off (the measured default until hardware
     # proves a win); estimator-identical either way.
     pallas_interleave: int = 1
+    # Program-order schedule of the interleaved sub-chains in the fused
+    # priced kernel: "chained" emits each sub-chain's stages
+    # back-to-back; "staggered" (requires pallas_interleave=2, boundary
+    # policy, no antithetic) hand-staggers the two halves so each MXU
+    # stage neighbors the other half's VPU stage — the roofline's
+    # hand-scheduled double-buffer lever (VERIFY_r04 §4 / r04 verdict
+    # item 6).  Same draws, bitwise-equal sums; A/B via BENCH_SCHEDULE.
+    pallas_schedule: str = "chained"
+    # Run every Pallas kernel in the TPU-semantics INTERPRETER instead of
+    # compiling for the chip.  Validation/debugging knob only (orders of
+    # magnitude slower): it lets the fused code paths — single-tile,
+    # slab, factored, chain, QMC noise-in — compile AND execute on the
+    # virtual CPU mesh, which is how __graft_entry__.dryrun_multichip
+    # gives the pallas streams multi-chip coverage without TPU hardware.
+    pallas_interpret: bool = False
     # Single-strike fused-kernel exercise-policy representation:
     # "boundary" — boundary_rows intervals evaluated in LOG space
     # (pathgen_pallas.log_boundary_rows / _policy_value_log_boundary):
@@ -222,9 +247,28 @@ class StreamConfig:
                 f"unknown chain_sweep_impl: {self.chain_sweep_impl!r}")
         if self.qmc_fgn and not self.qmc:
             raise ValueError("qmc_fgn requires qmc=True")
+        if self.qmc_dim < 1:
+            raise ValueError("qmc_dim must be >= 1")
+        if self.antithetic and self.qmc:
+            # Already rejected downstream by make_chunk_pathgen; rejecting
+            # at construction keeps the fused noise-in paths (which never
+            # reach that builder) from silently combining a Sobol set
+            # with pairing it would break.
+            raise ValueError("antithetic is incompatible with qmc (the "
+                             "Sobol set has its own stratification)")
         if self.policy_form not in ("boundary", "quadratic"):
             raise ValueError(
                 f"unknown policy_form: {self.policy_form!r}")
+        if self.pallas_schedule not in ("chained", "staggered"):
+            raise ValueError(
+                f"unknown pallas_schedule: {self.pallas_schedule!r}")
+        if self.pallas_schedule == "staggered" and (
+                self.pallas_interleave != 2 or self.antithetic
+                or self.policy_form != "boundary"):
+            raise ValueError(
+                "pallas_schedule='staggered' is the two-half pipeline: "
+                "it requires pallas_interleave=2, policy_form='boundary' "
+                "and antithetic=False")
         # interleave < 1 would run the kernel's sub-block loop zero times
         # (all-zero sums -> a silent price of 0.0) or divide by zero at
         # trace time; the kernel builders only validate values > 1.
@@ -339,7 +383,7 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                        fgn_dtype=jnp.float32, cumsum_impl: str = "cumsum",
                        qmc: bool = False, fgn_impl: str = "matmul",
                        traced_h: bool = False, antithetic: bool = False,
-                       qmc_fgn: bool = False):
+                       qmc_fgn: bool = False, qmc_dim: int = 256):
     """Build chunk_paths-sized rBergomi generator key -> [chunk, steps+1]
     using the MXU fGN matmul.  Statistically identical to
     rough_volatility.generate_paths (different RNG stream layout).
@@ -455,7 +499,11 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     if qmc:
         from ..ops import qmc as qmc_mod
 
-        qdim = 3 * n_steps if qmc_fgn else n_steps
+        # Truncated-PCA Sobol set (see StreamConfig.qmc_dim): the leading
+        # q_w eigen-ordered PCA components per plane ride the Sobol set,
+        # the tail is PRNG-filled in gen_with_params.
+        q_w = min(n_steps, qmc_dim)
+        qdim = 3 * q_w if qmc_fgn else q_w
         sobol_bits = jnp.asarray(qmc_mod.sobol_base(chunk_paths, qdim))
         # PCA map already carries the sqrt(dt) scale: rows of the Brownian
         # covariance factor, differenced to increments (M M^T = dt*I).
@@ -504,11 +552,19 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
             x_hat = (jnp.real(jnp.fft.fft(a, n=m2, axis=-1))[..., :n_steps]
                      * fft_scale)
         if qmc:
+            kw, kt = jax.random.split(kw)
             zq = qmc_mod.normals(sobol_bits, kw)
+            zw = zq[:, :q_w]
+            if q_w < n_steps:
+                # PRNG-fill the trailing PCA components (truncated set,
+                # see StreamConfig.qmc_dim).
+                zw = jnp.concatenate(
+                    [zw, jax.random.normal(kt, (n_draw, n_steps - q_w),
+                                           jnp.float32)], axis=1)
             # Full precision: the PCA rotation realizes the low-discrepancy
             # structure; bf16 matmul noise (~0.4% relative) would drown the
             # sub-MC-noise accuracy QMC exists to deliver.
-            dw = jnp.matmul(zq[:, :n_steps], pca_t,
+            dw = jnp.matmul(zw, pca_t,
                             precision=jax.lax.Precision.HIGHEST)
             dw = dw.astype(dtype)
         else:
@@ -516,10 +572,17 @@ def make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
                                    dtype) * sqrt_dt
         if fgn_impl == "matmul":
             if qmc_fgn:
-                # Sobol dims [n, 2n) / [2n, 3n) are (Zr, Zi) — the layout
-                # of rough_volatility.generate_paths_qmc's complex plane.
-                z = jnp.stack([zq[:, n_steps:2 * n_steps],
-                               zq[:, 2 * n_steps:]]).astype(fgn_dtype)
+                # Sobol dims [q, 2q) / [2q, 3q) are (Zr, Zi) — the layout
+                # of rough_volatility.generate_paths_qmc's complex plane,
+                # truncated per plane; tails are PRNG-filled.
+                z = jnp.stack([zq[:, q_w:2 * q_w],
+                               zq[:, 2 * q_w:3 * q_w]])
+                if q_w < n_steps:
+                    z = jnp.concatenate(
+                        [z, jax.random.normal(
+                            kz, (2, n_draw, n_steps - q_w), jnp.float32)],
+                        axis=2)
+                z = z.astype(fgn_dtype)
             else:
                 z = jax.random.normal(kz, (2, n_draw, n_steps), fgn_dtype)
             x_hat = (jnp.matmul(z[0], cr_t,
@@ -576,28 +639,71 @@ def _make_fused_qmc_noise(config: "StreamConfig", n_steps: int, s_pad: int,
     ONE fGN plane, so its set is 2n-dimensional ([n, 2n) -> N) — a
     different (smaller) point-set assignment than the XLA generator's,
     same Gaussian law.  Padded columns are zero (annihilated by the
-    matrices' zero pad rows, like the in-kernel draws)."""
+    matrices' zero pad rows, like the in-kernel draws).
+
+    ``fgn_form="factored"`` targets the long-horizon four-step-DFT
+    kernels (r04 verdict item 4): ``s_pad`` is then the kernel's m2 =
+    next_pow2(n_steps) plane width and the two fGN planes are
+    FREQUENCY-domain draws over the m2-wide plane (the kernel's
+    transposed k-layout consumes iid normals, so any assignment is the
+    same law).
+
+    TRUNCATED Sobol set (StreamConfig.qmc_dim): only the leading
+    ``qmc_dim`` PCA components of the price Brownian ride the Sobol set;
+    the remaining components are PRNG normals.  brownian_pca_matrix
+    orders components by decreasing Brownian-covariance eigenvalue, so
+    the truncation keeps virtually all of the variance the
+    low-discrepancy structure can exploit (the standard
+    effective-dimension argument), while bounding the host-materialized
+    [chunk, qdim] uint32 base — the full 1825-step set at chunk 2^16 is
+    a ~0.5 GB program constant that exceeds the axon tunnel's
+    remote-compile request limit (measured HTTP 413, VERIFY_r05 §3).
+    ``qmc_fgn`` planes truncate identically; for the factored form the
+    leading dims are the LOW frequencies, where the fGN spectral mass
+    sits."""
     from ..ops import qmc as qmc_mod
 
     chunk = config.chunk_paths
+    factored = fgn_form == "factored"
     n_fgn_planes = 1 if fgn_form == "chol" else 2
-    qdim = (1 + (n_fgn_planes if config.qmc_fgn else 0)) * n_steps
+    # Width of the Sobol slice feeding each fGN plane: the dense forms
+    # draw n_steps time-domain columns (pad annihilated); the factored
+    # form draws the m2-wide frequency plane.
+    fgn_dim = s_pad if factored else n_steps
+    q_w = min(n_steps, config.qmc_dim)
+    q_f = min(fgn_dim, config.qmc_dim)
+    qdim = q_w + (n_fgn_planes * q_f if config.qmc_fgn else 0)
     sobol_bits = jnp.asarray(qmc_mod.sobol_base(chunk, qdim))
     pca_t = jnp.asarray(qmc_mod.brownian_pca_matrix(n_steps, dt)).T
     inv_sqrt_dt = float(1.0 / np.sqrt(dt))
     pad = ((0, 0), (0, s_pad - n_steps))
 
     def noise_fn(key):
-        kq, kp = jax.random.split(key)
+        kq, kp, kt = jax.random.split(key, 3)
         zq = qmc_mod.normals(sobol_bits, kq)
+        zw = zq[:, :q_w]
+        if q_w < n_steps:          # PRNG-fill the trailing PCA components
+            zw = jnp.concatenate(
+                [zw, jax.random.normal(kt, (chunk, n_steps - q_w),
+                                       jnp.float32)], axis=1)
         # Full precision for the PCA rotation (see make_chunk_pathgen):
         # bf16 matmul noise would drown the sub-MC accuracy QMC buys.
-        w = jnp.pad(jnp.matmul(zq[:, :n_steps], pca_t,
+        w = jnp.pad(jnp.matmul(zw, pca_t,
                                precision=jax.lax.Precision.HIGHEST)
                     * inv_sqrt_dt, pad)
         if config.qmc_fgn:
-            planes = [jnp.pad(zq[:, (i + 1) * n_steps:(i + 2) * n_steps],
-                              pad) for i in range(n_fgn_planes)]
+            kfs = jax.random.split(kp, n_fgn_planes)
+
+            def fgn_plane(i):
+                p = zq[:, q_w + i * q_f:q_w + (i + 1) * q_f]
+                if q_f < fgn_dim:  # PRNG-fill the trailing dims
+                    p = jnp.concatenate(
+                        [p, jax.random.normal(kfs[i],
+                                              (chunk, fgn_dim - q_f),
+                                              jnp.float32)], axis=1)
+                return p if factored else jnp.pad(p, pad)
+
+            planes = [fgn_plane(i) for i in range(n_fgn_planes)]
         elif n_fgn_planes == 1:
             planes = [jax.random.normal(kp, (chunk, s_pad), jnp.float32)]
         else:
@@ -665,6 +771,36 @@ def _resolve_tiled_module(config: "StreamConfig", n_steps: int, fgn_dtype):
     return None
 
 
+def _resolve_qmc_tiled_module(config: "StreamConfig", n_steps: int,
+                              fgn_dtype):
+    """Long-horizon kernel module able to run the fused-QMC priced
+    stream (r04 verdict item 4): same preference order as
+    _resolve_tiled_module, but against the NOISE-INPUT VMEM budgets —
+    the QMC planes are built in XLA and kept resident per block, which
+    costs the kernels real VMEM ([planes, block, width] f32) and lowers
+    their step ceilings (slab chol ~3.7k steps at block 256, factored
+    m2 <= 2048).  Returns None when no noise-in kernel covers the
+    horizon; the caller then logs the XLA fallback loudly."""
+    from . import pathgen_pallas_factored, pathgen_pallas_tiled
+    from .pathgen_pallas import _round_up
+
+    block = config.pallas_block_paths
+    form = _resolve_fgn_form(config)
+    impl = config.tiled_impl
+    slab_ok = (_round_up(n_steps, pathgen_pallas_tiled.LANE)
+               <= pathgen_pallas_tiled.max_tiled_steps(
+                   block, fgn_dtype, form, noise_input=True))
+    if impl in ("auto", "slab") and form == "chol" and slab_ok:
+        return pathgen_pallas_tiled
+    if impl in ("auto", "factored") and config.fgn_form != "chol" \
+            and pathgen_pallas_factored.supports(n_steps, block, fgn_dtype,
+                                                 noise_input=True):
+        return pathgen_pallas_factored
+    if impl in ("auto", "slab") and slab_ok:
+        return pathgen_pallas_tiled
+    return None
+
+
 def _tiled_maker_kwargs(tiled, config: "StreamConfig",
                         priced: bool = False) -> dict:
     """Extra maker kwargs for the resolved tiled module: the slab kernel
@@ -676,6 +812,7 @@ def _tiled_maker_kwargs(tiled, config: "StreamConfig",
     from . import pathgen_pallas_tiled
 
     kw = {"policy_form": config.policy_form} if priced else {}
+    kw["interpret"] = config.pallas_interpret
     if tiled is pathgen_pallas_tiled:
         kw["fgn_form"] = _resolve_fgn_form(config)
     if priced:
@@ -1086,7 +1223,7 @@ def _chunk_stderr(totals, sumsq, m: int, per_chunk: int,
     return np.sqrt(var_c / m) / per_chunk
 
 
-def _shard_map_wrappers(mesh, axis_name: str):
+def _shard_map_wrappers(mesh, axis_name: str, check_vma: bool = True):
     """(replicated_out, summed_out) builders for running per-shard
     functions under shard_map on a 1-D mesh.
 
@@ -1095,7 +1232,15 @@ def _shard_map_wrappers(mesh, axis_name: str):
     copy; summed_out wraps a function emitting per-shard partial sums
     (scalars or pytrees thereof) and reduces them.  Shared by
     StreamingPricer and StreamingChainPricer so shard_map plumbing changes
-    land in exactly one place."""
+    land in exactly one place.
+
+    ``check_vma=False`` when any per-shard body contains a pallas_call:
+    pallas_call outputs carry no vma (varying-across-mesh-axes) type, so
+    shard_map's replication tracking rejects them (jax 0.9).  The
+    wrappers' out_specs already state the truth (everything
+    device-varying along the mesh axis); disabling the checker for those
+    bodies loses only the static replication audit, not any collective
+    semantics."""
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map
@@ -1106,7 +1251,7 @@ def _shard_map_wrappers(mesh, axis_name: str):
         sm = shard_map(
             lambda *a: jax.tree.map(lambda x: x[None], fn(*a)),
             mesh=mesh, in_specs=(P(),) * n_in,
-            out_specs=P(axis_name))
+            out_specs=P(axis_name), check_vma=check_vma)
         return jax.jit(
             lambda *a: jax.tree.map(lambda x: x[0], sm(*a)))
 
@@ -1114,7 +1259,7 @@ def _shard_map_wrappers(mesh, axis_name: str):
         sm = shard_map(
             lambda *a: jax.tree.map(lambda x: x[None], fn(*a)),
             mesh=mesh, in_specs=(P(),) * n_in,
-            out_specs=P(axis_name))
+            out_specs=P(axis_name), check_vma=check_vma)
         return jax.jit(
             lambda *a: jax.tree.map(lambda x: jnp.sum(x, axis=0),
                                     sm(*a)))
@@ -1155,21 +1300,41 @@ class StreamingPricer:
 
         pathgen_impl = config.pathgen_impl
         qmc_fused = False
+        qmc_tiled = None
         if config.qmc:
             # The fused kernels' in-kernel PRNG can't consume a Sobol
-            # point set, but their noise_input entries CAN: where the
-            # single-tile fused priced kernel is eligible, the QMC planes
-            # are built in XLA per chunk (_make_fused_qmc_noise) and fed
-            # through `_priced_kernel_noise_in`, keeping the fused
-            # policy/boundary evaluation and MXU fGN matmul.  Everything
-            # else about the pricer (keys, pilot, whole-path consumers —
-            # bounds, Greeks) rides the XLA generator exactly as before.
+            # point set, but their noise_input entries CAN: the QMC
+            # planes are built in XLA per chunk (_make_fused_qmc_noise)
+            # and fed through the noise-in priced kernels — the
+            # single-tile `_priced_kernel_noise_in` where it is eligible,
+            # and PAST its step cap the long-horizon slab / factored-DFT
+            # noise-in kernels (r04 verdict item 4) — keeping the fused
+            # policy/boundary evaluation and MXU fGN synthesis at every
+            # horizon the kernels cover.  Everything else about the
+            # pricer (keys, pilot, whole-path consumers — bounds,
+            # Greeks) rides the XLA generator exactly as before.
             if pathgen_impl == "pallas":
                 from . import pathgen_pallas as _pp_q
 
-                qmc_fused = (config.fuse_policy and config.poly_order == 2
-                             and _pp_q.supports(n_steps,
-                                                _resolve_fgn_form(config)))
+                eligible = config.fuse_policy and config.poly_order == 2
+                if eligible and _pp_q.supports(n_steps,
+                                               _resolve_fgn_form(config)):
+                    qmc_fused = True
+                elif eligible:
+                    qmc_tiled = _resolve_qmc_tiled_module(config, n_steps,
+                                                          fgn_dtype)
+                    qmc_fused = qmc_tiled is not None
+                if not qmc_fused:
+                    # LOUD fallback (no silent ~4x throughput downgrade):
+                    # the horizon/config is outside every noise-in fused
+                    # kernel, so QMC streams through the XLA generator.
+                    logging.getLogger(__name__).warning(
+                        "qmc=True with pathgen_impl='pallas': no fused "
+                        "noise-in kernel covers n_steps=%d at this config "
+                        "(fuse_policy=%s, poly_order=%d, block=%d); the "
+                        "QMC stream rides the XLA generator at reduced "
+                        "throughput", n_steps, config.fuse_policy,
+                        config.poly_order, config.pallas_block_paths)
             pathgen_impl = "xla"
         tiled = None
         if pathgen_impl == "pallas":
@@ -1207,11 +1372,13 @@ class StreamingPricer:
                 pilot_gen = pathgen_pallas.make_pallas_pathgen(
                     s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
                     block_paths=_fused_block(config, n_steps),
-                    fgn_dtype=fgn_dtype, fgn_form=_resolve_fgn_form(config))
+                    fgn_dtype=fgn_dtype, fgn_form=_resolve_fgn_form(config),
+                    interpret=config.pallas_interpret)
                 chunk_gen = pathgen_pallas.make_pallas_pathgen(
                     s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
                     block_paths=_fused_block(config, n_steps),
                     fgn_dtype=fgn_dtype, fgn_form=_resolve_fgn_form(config),
+                    interpret=config.pallas_interpret,
                     # Whole-path consumers of the chunk stream (the
                     # duality-bounds sides) inherit the pairing; the
                     # pilot stays plain (cf. the XLA branch).
@@ -1227,11 +1394,11 @@ class StreamingPricer:
             # pilot noise anyway).
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn, qmc_dim=config.qmc_dim,
                 fgn_impl=_resolve_fgn_impl(config, n_steps))
             chunk_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn, qmc_dim=config.qmc_dim,
                 fgn_impl=_resolve_fgn_impl(config, n_steps),
                 antithetic=config.antithetic)
             next_carrier = jax.random.fold_in
@@ -1240,6 +1407,7 @@ class StreamingPricer:
         self._pathgen_impl = pathgen_impl
         self._pathgen_tiled = tiled is not None
         self._qmc_fused = qmc_fused
+        self._qmc_tiled = qmc_tiled  # long-horizon noise-in module or None
 
         ax = axis_name if mesh is not None else None
         if mesh is None:
@@ -1379,7 +1547,9 @@ class StreamingPricer:
                     fgn_form=_resolve_fgn_form(config),
                     policy_form=config.policy_form,
                     antithetic=config.antithetic,
-                    interleave=config.pallas_interleave)
+                    interleave=config.pallas_interleave,
+                    schedule=config.pallas_schedule,
+                    interpret=config.pallas_interpret)
             make_rows_cv = _fused_rows_builder(config, tiled, r, strike,
                                                maturity, dt, n_steps,
                                                is_call)
@@ -1442,7 +1612,9 @@ class StreamingPricer:
                     fgn_form=_resolve_fgn_form(config),
                     policy_form=config.policy_form,
                     antithetic=config.antithetic,
-                    interleave=config.pallas_interleave)
+                    interleave=config.pallas_interleave,
+                    schedule=config.pallas_schedule,
+                    interpret=config.pallas_interpret)
             make_rows = _fused_rows_builder(config, tiled, r, strike,
                                             maturity, dt, n_steps, is_call)
 
@@ -1482,18 +1654,44 @@ class StreamingPricer:
             # item 1).  CV composes too (the kernel's with_cv lane).
             from . import pathgen_pallas
 
-            q_form = _resolve_fgn_form(config)
-            priced_q, q_s_pad = pathgen_pallas.make_pallas_priced_chunk(
-                s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
-                config.chunk_paths,
-                block_paths=_fused_block(config, n_steps),
-                is_call=is_call, noise_input=True, fgn_dtype=fgn_dtype,
-                with_cv=self._cv, fgn_form=q_form,
-                policy_form=config.policy_form,
-                interleave=config.pallas_interleave)
-            noise_fn = _make_fused_qmc_noise(config, n_steps, q_s_pad,
-                                             q_form, dt)
-            make_rows_q = _fused_rows_builder(config, None, r, strike,
+            if qmc_tiled is not None:
+                # Long-horizon fused QMC: the slab / factored noise-in
+                # priced kernels take the same [planes, chunk, width]
+                # stack; the factored kernel's planes are m2-wide
+                # frequency draws (see _make_fused_qmc_noise).
+                from . import pathgen_pallas_factored as _ppf_q
+
+                tkw = _tiled_maker_kwargs(qmc_tiled, config, priced=True)
+                priced_q, q_s_pad = qmc_tiled.make_tiled_priced_chunk(
+                    s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
+                    config.chunk_paths,
+                    block_paths=config.pallas_block_paths,
+                    is_call=is_call, noise_input=True,
+                    fgn_dtype=fgn_dtype, with_cv=self._cv, **tkw)
+                if qmc_tiled is _ppf_q:
+                    from ..ops.fgn import next_pow2 as _np2
+
+                    noise_fn = _make_fused_qmc_noise(
+                        config, n_steps, _np2(n_steps), "factored", dt)
+                else:
+                    noise_fn = _make_fused_qmc_noise(
+                        config, n_steps, q_s_pad,
+                        _resolve_fgn_form(config), dt)
+            else:
+                q_form = _resolve_fgn_form(config)
+                priced_q, q_s_pad = pathgen_pallas.make_pallas_priced_chunk(
+                    s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps,
+                    config.chunk_paths,
+                    block_paths=_fused_block(config, n_steps),
+                    is_call=is_call, noise_input=True, fgn_dtype=fgn_dtype,
+                    with_cv=self._cv, fgn_form=q_form,
+                    policy_form=config.policy_form,
+                    interleave=config.pallas_interleave,
+                    schedule=config.pallas_schedule,
+                    interpret=config.pallas_interpret)
+                noise_fn = _make_fused_qmc_noise(config, n_steps, q_s_pad,
+                                                 q_form, dt)
+            make_rows_q = _fused_rows_builder(config, qmc_tiled, r, strike,
                                               maturity, dt, n_steps,
                                               is_call)
             if self._cv:
@@ -1565,7 +1763,7 @@ class StreamingPricer:
         # mandatory here regardless of the price path's generator.
         xla_gen = make_chunk_pathgen(
             s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths, dtype,
-            fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
+            fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn, qmc_dim=config.qmc_dim,
             fgn_impl="matmul", traced_h=True,
             # jvp tangents of paired paths are a valid paired estimator
             # (the pairing lives in the noise; the tangents are w.r.t.
@@ -1576,7 +1774,7 @@ class StreamingPricer:
             antithetic=config.antithetic)
         xla_pilot = make_chunk_pathgen(
             s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths, dtype,
-            fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
+            fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn, qmc_dim=config.qmc_dim,
             fgn_impl="matmul", traced_h=True)
         self._market = (float(s0), float(xi), float(r), float(eta),
                         float(h))
@@ -1649,7 +1847,8 @@ class StreamingPricer:
                 config.chunk_paths,
                 block_paths=_fused_block(config, n_steps),
                 is_call=is_call, fgn_dtype=fgn_dtype,
-                antithetic=config.antithetic)
+                antithetic=config.antithetic,
+                interpret=config.pallas_interpret)
 
             def fused_greek_fit_fn(k):
                 pilot = pilot_gen(shard_mix(k))
@@ -1757,7 +1956,9 @@ class StreamingPricer:
                 self._fused_greek_fit = jax.jit(fused_greek_fns[0])
                 self._fused_greek_stream = jax.jit(fused_greek_fns[1])
         else:
-            replicated_out, summed_out = _shard_map_wrappers(mesh, axis_name)
+            replicated_out, summed_out = _shard_map_wrappers(
+                mesh, axis_name,
+                check_vma=not (pathgen_impl == "pallas" or qmc_fused))
             self._fit = replicated_out(fit_fn, 1)
             self._stream = summed_out(stream_fn, 4)
             self._greek_fit = replicated_out(greek_fit_fn, 1)
@@ -2099,7 +2300,8 @@ class StreamingChainPricer:
             pilot_gen = pathgen_pallas.make_pallas_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
                 block_paths=config.pallas_block_paths, fgn_dtype=fgn_dtype,
-                fgn_form=_resolve_fgn_form(config))
+                fgn_form=_resolve_fgn_form(config),
+                interpret=config.pallas_interpret)
             chain_chunk, _ = pathgen_pallas.make_pallas_priced_chain(
                 s0, xi, h, eta, rho, r, strikes_f, maturity, dt, n_steps,
                 config.chunk_paths, block_paths=config.pallas_block_paths,
@@ -2107,16 +2309,17 @@ class StreamingChainPricer:
                 fgn_form=_resolve_fgn_form(config),
                 policy_form=config.chain_policy_form,
                 antithetic=config.antithetic,
-                sweep_impl=config.chain_sweep_impl)
+                sweep_impl=config.chain_sweep_impl,
+                interpret=config.pallas_interpret)
         else:
             pilot_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn, qmc_dim=config.qmc_dim,
                 fgn_impl=_resolve_fgn_impl(config, n_steps),
                 traced_h=traced_market)
             chunk_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn, qmc_dim=config.qmc_dim,
                 fgn_impl=_resolve_fgn_impl(config, n_steps),
                 traced_h=traced_market,
                 # Noise-level pairing (pilot stays plain, cf.
@@ -2273,7 +2476,8 @@ class StreamingChainPricer:
                 config.chunk_paths, block_paths=config.pallas_block_paths,
                 is_call=is_call, noise_input=True, fgn_dtype=fgn_dtype,
                 fgn_form=q_form, policy_form=config.chain_policy_form,
-                sweep_impl=config.chain_sweep_impl)
+                sweep_impl=config.chain_sweep_impl,
+                interpret=config.pallas_interpret)
             noise_fn = _make_fused_qmc_noise(config, n_steps, q_s_pad,
                                              q_form, dt)
             q_row_fn = (pathgen_pallas.boundary_rows
@@ -2348,7 +2552,7 @@ class StreamingChainPricer:
         elif not bucketed:
             xg_gen = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.chunk_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn, qmc_dim=config.qmc_dim,
                 fgn_impl="matmul", traced_h=True,
                 # Paired jvp Greeks for XLA chain configs (pilot plain);
                 # pallas chains reject antithetic Greeks, so this gen
@@ -2356,7 +2560,7 @@ class StreamingChainPricer:
                 antithetic=config.antithetic)
             xg_pilot = make_chunk_pathgen(
                 s0, xi, h, eta, rho, r, n_steps, dt, config.pilot_paths,
-                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn,
+                dtype, fgn_dtype, config.cumsum_impl, qmc=config.qmc, qmc_fgn=config.qmc_fgn, qmc_dim=config.qmc_dim,
                 fgn_impl="matmul", traced_h=True)
             self._market = (float(s0), float(xi), float(r), float(eta),
                             float(h))
@@ -2417,7 +2621,8 @@ class StreamingChainPricer:
                 block_paths=_fused_block(config, n_steps),
                 is_call=is_call, fgn_dtype=fgn_dtype,
                 antithetic=config.antithetic,
-                sweep_impl=config.chain_sweep_impl)
+                sweep_impl=config.chain_sweep_impl,
+                interpret=config.pallas_interpret)
 
             def fused_greek_stream_fn(k, fits, strikes_, start, count):
                 k = shard_mix(k)
@@ -2470,7 +2675,9 @@ class StreamingChainPricer:
             if fused_greek_stream_fn is not None:
                 self._fused_greek_stream = jax.jit(fused_greek_stream_fn)
         else:
-            replicated_out, summed_out = _shard_map_wrappers(mesh, axis_name)
+            replicated_out, summed_out = _shard_map_wrappers(
+                mesh, axis_name,
+                check_vma=not (pathgen_impl == "pallas" or qmc_fused))
             n_fit_in = 5 if traced_market else (4 if bucketed else 2)
             n_stream_in = 8 if traced_market else (7 if bucketed else 5)
             self._fit = replicated_out(fit_fn, n_fit_in)

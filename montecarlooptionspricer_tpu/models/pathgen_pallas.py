@@ -182,6 +182,27 @@ def _logpaths_from_x(x, w, vd_ref, tri_ref, *, n_steps: int, s_pad: int,
                           log_s0=log_s0)
 
 
+def _euler_inc(x, w, vd_ref, *, n_steps: int, r: float, dt: float):
+    """The VPU half of the nonlinear stage alone: exp + Euler increments,
+    WITHOUT the cumsum matmul — the split point of the staggered two-half
+    schedule (_priced_log_subvals_staggered), which wants each half's
+    MXU cumsum adjacent in program order to the OTHER half's VPU work.
+    Arithmetic identical to _logpaths_from_x up to the cumsum."""
+    sv = jnp.exp(x + vd_ref[:])
+    block, s_pad = sv.shape
+    v = sv * sv
+    inc = (r - 0.5 * v) * dt + sv * (w * math.sqrt(dt))
+    col = jax.lax.broadcasted_iota(jnp.int32, (block, s_pad), 1)
+    return jnp.where(col < n_steps, inc, 0.0)
+
+
+def _cumsum_log(inc, tri_ref, log_s0: float):
+    """The MXU half: cumulative sum as an upper-triangular matmul (cf.
+    _euler_from_sv) from already-masked increments."""
+    return log_s0 + jnp.dot(inc, tri_ref[:],
+                            preferred_element_type=jnp.float32)
+
+
 def _euler_from_sv(sv, w, tri_ref, *, n_steps: int, r: float, dt: float,
                    log_s0: float):
     """Euler accumulation from the sqrt-variance plane (shared tail of
@@ -581,6 +602,51 @@ def _priced_log_subvals(noise, mats, vd_ref, tri_ref, pol_ref, *,
     return val, cv
 
 
+def _priced_log_subvals_staggered(noise_ab, mats, vd_ref, tri_ref, pol_ref,
+                                  *, is_call: bool, strike: float, cv_disc,
+                                  n_steps: int, r: float, dt: float,
+                                  log_s0: float, **_):
+    """Hand-STAGGERED two-half software pipeline of the log-boundary
+    priced body (VERIFY_r04 §4's named lever, r04 verdict item 6): the
+    two halves' stages are interleaved in PROGRAM ORDER so that each
+    half's MXU stage (fGN matmul, cumsum matmul) sits adjacent to the
+    OTHER half's VPU stage (Box-Muller / Euler increments / policy
+    sweep), giving Mosaic's list scheduler locally-visible independent
+    VPU+MXU pairs to overlap — unlike ``interleave``, which emits each
+    sub-chain's five serialized stages back-to-back and asks the
+    scheduler to overlap across whole chains.
+
+    ``noise_ab`` is a pair of THUNKS, one per half, each returning that
+    half's (zr, zi, w) planes when called — so half B's Box-Muller draw
+    lands in program order right after half A's fGN matmul (the VPU/MXU
+    pair that matters most: normals are the largest VPU stage).
+    Arithmetic per half is exactly _priced_log_subvals on the same rows,
+    and the f32 reductions combine as valA + valB — bitwise-identical
+    partial sums to interleave=2's chained loop on the same draws (the
+    hardware A/B's correctness check, tests/test_pallas.py)."""
+    c2 = _mats2(mats)
+    draw_a, draw_b = noise_ab
+    zrA, ziA, wA = draw_a()                                   # VPU A0
+    xA = _fgn_x(zrA, ziA, *c2)                                # MXU A1
+    zrB, ziB, wB = draw_b()                                   # VPU B0 | A1
+    incA = _euler_inc(xA, wA, vd_ref, n_steps=n_steps, r=r,
+                      dt=dt)                                  # VPU A2
+    xB = _fgn_x(zrB, ziB, *c2)                                # MXU B1 | A2
+    lsA = _cumsum_log(incA, tri_ref, log_s0)                  # MXU A3
+    incB = _euler_inc(xB, wB, vd_ref, n_steps=n_steps, r=r,
+                      dt=dt)                                  # VPU B2 | A3
+    valA = _policy_value_log_boundary(lsA, pol_ref, is_call=is_call,
+                                      strike=strike)          # VPU A4
+    lsB = _cumsum_log(incB, tri_ref, log_s0)                  # MXU B3 | A4
+    valB = _policy_value_log_boundary(lsB, pol_ref, is_call=is_call,
+                                      strike=strike)          # VPU B4
+    val = valA + valB
+    cv = (None if cv_disc is None
+          else _cv_log_sum(lsA, cv_disc, n_steps)
+          + _cv_log_sum(lsB, cv_disc, n_steps))
+    return val, cv
+
+
 def _priced_body(noise, *refs, is_call: bool, strike: float, cv_disc,
                  policy_form: str, antithetic: bool = False, **kw):
     """Shared body of the fused priced kernels: paths + policy + store.
@@ -619,7 +685,8 @@ def _priced_body(noise, *refs, is_call: bool, strike: float, cv_disc,
 def _priced_kernel(seed_ref, *refs, block_paths: int, is_call: bool,
                    strike: float, cv_disc=None, fgn_form: str = "spectral",
                    policy_form: str = "quadratic",
-                   antithetic: bool = False, interleave: int = 1, **kw):
+                   antithetic: bool = False, interleave: int = 1,
+                   schedule: str = "chained", **kw):
     """Fully fused kernel: RNG + paths + LSM policy value, emitting ONE
     partial sum per grid block — path data never leaves VMEM.  With
     cv_disc, also emits the martingale-control partial sum so the control
@@ -645,6 +712,18 @@ def _priced_kernel(seed_ref, *refs, block_paths: int, is_call: bool,
                      antithetic=antithetic, **kw)
         return
     *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
+    if schedule == "staggered":
+        # Hand-staggered two-half pipeline (interleave must be 2; maker
+        # validates).  Same PRNG consumption order as the chained loop
+        # below — half A's planes drawn first — so results are bitwise
+        # equal; only the program order of the stages differs.
+        sub = rows // 2
+        draw = lambda: _draw_planes(sub, kw["s_pad"], fgn_form)
+        val, cv = _priced_log_subvals_staggered(
+            (draw, draw), mats, vd_ref, tri_ref, pol_ref,
+            is_call=is_call, strike=strike, cv_disc=cv_disc, **kw)
+        _store_priced_log(out_ref, val, cv)
+        return
     sub = rows // interleave
     val = cv = 0.0
     for _ in range(interleave):
@@ -663,11 +742,12 @@ def _priced_kernel_noise_in(noise_ref, *refs, block_paths: int,
                             fgn_form: str = "spectral",
                             policy_form: str = "quadratic",
                             antithetic: bool = False, interleave: int = 1,
-                            **kw):
+                            schedule: str = "chained", **kw):
     """Test variant of the fused kernel with injected noise planes.
     ``interleave`` consumes disjoint row slices per sub-chain, so each
     sub-chain's arithmetic equals a plain sub-sized block's on the same
-    noise rows."""
+    noise rows; ``schedule="staggered"`` consumes the same two half
+    slices through the staggered body (bitwise-equal sums by design)."""
     if interleave == 1 or policy_form != "log_boundary":
         noise = _noise_planes(noise_ref, fgn_form)
         _priced_body(noise, *refs, is_call=is_call, strike=strike,
@@ -676,6 +756,22 @@ def _priced_kernel_noise_in(noise_ref, *refs, block_paths: int,
         return
     *mats, vd_ref, tri_ref, pol_ref, out_ref = refs
     rows = (block_paths // 2 if antithetic else block_paths)
+    if schedule == "staggered":
+        sub = rows // 2
+
+        def half(t):
+            def thunk():
+                zr, zi, w = _noise_planes(noise_ref, fgn_form)
+                return (zr[t * sub:(t + 1) * sub],
+                        None if zi is None else zi[t * sub:(t + 1) * sub],
+                        w[t * sub:(t + 1) * sub])
+            return thunk
+
+        val, cv = _priced_log_subvals_staggered(
+            (half(0), half(1)), mats, vd_ref, tri_ref, pol_ref,
+            is_call=is_call, strike=strike, cv_disc=cv_disc, **kw)
+        _store_priced_log(out_ref, val, cv)
+        return
     sub = rows // interleave
     val = cv = 0.0
     for t in range(interleave):
@@ -1627,7 +1723,8 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
                              fgn_form: str = "spectral",
                              policy_form: str = "quadratic",
                              antithetic: bool = False,
-                             interleave: int = 1):
+                             interleave: int = 1,
+                             schedule: str = "chained"):
     """Fully fused streaming unit: (seed, policy table) -> chunk payoff
     sum under the fitted exercise policy.  Paths live and die in VMEM;
     HBM traffic is one float per grid block.
@@ -1637,6 +1734,11 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
     can overlap one sub-chain's MXU matmuls with another's VPU work —
     see _priced_kernel.  Estimator-identical; f32 summation order
     differs from interleave=1.
+
+    ``schedule="staggered"`` (requires interleave=2, boundary form, no
+    antithetic) runs the two halves through the hand-staggered software
+    pipeline instead of the chained loop — same draws, bitwise-equal
+    sums, different program order (see _priced_log_subvals_staggered).
 
     policy_form="boundary" evaluates the policy in LOG space (exercise
     intervals pre-logged by log_boundary_rows; one exp per path at the
@@ -1709,12 +1811,20 @@ def make_pallas_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
             raise ValueError(
                 f"interleave={interleave} must split the block's "
                 f"{rows} noise rows into equal 16-aligned sub-blocks")
+    if schedule not in ("chained", "staggered"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if schedule == "staggered" and (interleave != 2 or antithetic
+                                    or not log_boundary):
+        raise ValueError("schedule='staggered' is the two-half pipeline: "
+                         "it requires interleave=2, the boundary policy "
+                         "form, and no antithetic pairing")
     kw = dict(n_steps=n_steps, s_pad=s_pad, xi=float(xi), r=float(r),
               dt=float(dt), log_s0=float(math.log(s0)),
               block_paths=block_paths, is_call=bool(is_call),
               strike=float(strike), fgn_form=fgn_form,
               policy_form="log_boundary" if log_boundary else "quadratic",
-              antithetic=bool(antithetic), interleave=int(interleave))
+              antithetic=bool(antithetic), interleave=int(interleave),
+              schedule=str(schedule))
     if with_cv:
         kw["cv_disc"] = float(math.exp(-r * n_steps * dt))
     body = _priced_kernel_noise_in if noise_input else _priced_kernel

@@ -66,14 +66,21 @@ assert TILE == LANE  # stage 2's output tile is one lane group
 
 
 def max_factored_steps(block_paths: int = 256,
-                       fgn_dtype=jnp.float32) -> int:
+                       fgn_dtype=jnp.float32,
+                       noise_input: bool = False) -> int:
     """Largest n_steps the factored kernels support: the two [block, N2,
     128] f32 stage-1 scratch planes (N2*128 = m2 = next_pow2(n_steps))
-    plus fill-group temporaries must fit the VMEM budget."""
+    plus fill-group temporaries must fit the VMEM budget.  The
+    noise-injection variants (tests; the engine's fused-QMC stream)
+    additionally keep their [3, block, m2] f32 input block resident —
+    charged here so a build at the production edge fails at validation,
+    not inside Mosaic on hardware (same contract as
+    pathgen_pallas_tiled.max_tiled_steps)."""
     del fgn_dtype  # scratch is always f32 (bf16 measured slower, below)
     # 2 f32 planes of block*m2 + ~2 MiB headroom for fill temporaries,
     # pipelined out tiles, and Mosaic's own stack.
-    m2_max = (_VMEM_BUDGET - (2 << 20)) // (2 * 4 * block_paths)
+    per_m2 = (2 + (3 if noise_input else 0)) * 4 * block_paths
+    m2_max = (_VMEM_BUDGET - (2 << 20)) // per_m2
     # Largest pow2 <= m2_max (m2 is always a power of two).
     p = 1
     while p * 2 <= m2_max:
@@ -82,12 +89,13 @@ def max_factored_steps(block_paths: int = 256,
 
 
 def supports(n_steps: int, block_paths: int = 256,
-             fgn_dtype=jnp.float32) -> bool:
+             fgn_dtype=jnp.float32, noise_input: bool = False) -> bool:
     """Steps must span >= 2 lane groups (below that the single-tile kernel
     owns the workload) and the stage-1 scratch must fit VMEM."""
     if n_steps <= LANE:
         return False
-    return _next_pow2(n_steps) <= max_factored_steps(block_paths, fgn_dtype)
+    return _next_pow2(n_steps) <= max_factored_steps(block_paths, fgn_dtype,
+                                                     noise_input)
 
 
 def _consts(s0, xi, h, eta, rho, r, n_steps: int, dt: float, fgn_dtype):
@@ -378,7 +386,7 @@ def _factored_priced_kernel_noise_in(noise_ref, f1r_ref, f1i_ref, pr_ref,
 
 
 def _validate(chunk_paths: int, block_paths: int, n_steps: int, fgn_dtype,
-              antithetic: bool = False):
+              antithetic: bool = False, noise_input: bool = False):
     if chunk_paths % block_paths:
         raise ValueError("chunk_paths must divide by block_paths")
     if block_paths % 16:
@@ -388,11 +396,12 @@ def _validate(chunk_paths: int, block_paths: int, n_steps: int, fgn_dtype,
         raise ValueError("antithetic needs block_paths % 32 == 0 (half "
                          "the rows are drawn, and the Box-Muller row "
                          "slices must stay sublane-aligned)")
-    if not supports(n_steps, block_paths, fgn_dtype):
+    if not supports(n_steps, block_paths, fgn_dtype, noise_input):
         raise ValueError(
             f"n_steps={n_steps} outside the factored kernel's range at "
             f"block_paths={block_paths} (needs LANE < steps, pow2 bucket "
-            f"<= {max_factored_steps(block_paths, fgn_dtype)})")
+            f"<= {max_factored_steps(block_paths, fgn_dtype, noise_input)}"
+            f"{' with injected noise resident' if noise_input else ''})")
 
 
 def _common_specs(m2: int, noise_input: bool, block_paths: int,
@@ -447,7 +456,8 @@ def make_factored_pathgen(s0, xi, h, eta, rho, r, n_steps: int, dt: float,
     partner's tile is -x) — half the Box-Muller draws and half the
     stage-1/stage-2 arithmetic.  Injected noise then carries
     block_paths/2 rows per plane."""
-    _validate(chunk_paths, block_paths, n_steps, fgn_dtype, antithetic)
+    _validate(chunk_paths, block_paths, n_steps, fgn_dtype, antithetic,
+              noise_input)
     noise_rows = block_paths // 2 if antithetic else block_paths
     s_pad, m2, n2, consts, (vd_p, tri, _su), kw = _consts(
         s0, xi, h, eta, rho, r, n_steps, dt, fgn_dtype)
@@ -514,7 +524,8 @@ def make_factored_priced_chunk(s0, xi, h, eta, rho, r, strike, maturity,
     if antithetic and not log_boundary:
         raise ValueError("antithetic requires policy_form='boundary' "
                          "(the log-plane factored body)")
-    _validate(chunk_paths, block_paths, n_steps, fgn_dtype, antithetic)
+    _validate(chunk_paths, block_paths, n_steps, fgn_dtype, antithetic,
+              noise_input)
     noise_rows = block_paths // 2 if antithetic else block_paths
     s_pad, m2, n2, consts, (vd_p, tri, su), kw = _consts(
         s0, xi, h, eta, rho, r, n_steps, dt, fgn_dtype)

@@ -338,6 +338,73 @@ def test_fused_priced_interleave_matches_subblocks(rng, antithetic):
                                rtol=1e-6)
 
 
+def test_fused_priced_staggered_matches_chained(rng):
+    """schedule='staggered' is a pure program-order rewrite of the
+    chained interleave=2 body: same draws per half, same per-half
+    arithmetic, same valA + valB reduction order — so on injected noise
+    the two kernels' (value, CV) sums must be BITWISE equal.  This is
+    the correctness half of the hand-staggered pipeline A/B (VERIFY_r04
+    §4's named lever); the throughput half runs on hardware via
+    BENCH_SCHEDULE=staggered."""
+    from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.2, 1.0, -0.4, 0.04
+    n_steps, chunk, dt = 48, 128, 1 / 252.0
+    strike, maturity, is_call = 97.0, 48 / 252.0, False
+
+    pilot = engine.make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                      1 << 11)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call, 2)
+    rows = pathgen_pallas.log_boundary_rows(
+        pathgen_pallas.boundary_rows(fits, r, strike, maturity, dt,
+                                     n_steps, is_call))
+
+    kw = dict(is_call=is_call, interpret=True, noise_input=True,
+              policy_form="boundary", fgn_form="chol", with_cv=True)
+    chained, s_pad = pathgen_pallas.make_pallas_priced_chunk(
+        s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps, chunk,
+        block_paths=chunk, interleave=2, **kw)
+    staggered, _ = pathgen_pallas.make_pallas_priced_chunk(
+        s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps, chunk,
+        block_paths=chunk, interleave=2, schedule="staggered", **kw)
+
+    noise = jnp.asarray(rng.standard_normal((2, chunk, s_pad)),
+                        jnp.float32)
+    vc, cc = chained(noise, rows)
+    vs, cs = staggered(noise, rows)
+    assert float(vc) == float(vs), (float(vc), float(vs))
+    assert float(cc) == float(cs), (float(cc), float(cs))
+
+
+def test_staggered_config_rejections():
+    """The staggered schedule is exactly the two-half pipeline: anything
+    else (chain counts, quadratic form, antithetic) rejects loudly, at
+    the kernel maker and at StreamConfig construction."""
+    args = (100.0, 0.04, 0.2, 1.0, -0.4, 0.04, 97.0, 48 / 252.0,
+            1 / 252.0, 48, 128)
+    with pytest.raises(ValueError, match="staggered"):
+        pathgen_pallas.make_pallas_priced_chunk(
+            *args, block_paths=64, interpret=True, noise_input=True,
+            policy_form="boundary", interleave=4, schedule="staggered")
+    with pytest.raises(ValueError, match="staggered"):
+        pathgen_pallas.make_pallas_priced_chunk(
+            *args, block_paths=64, interpret=True, noise_input=True,
+            policy_form="boundary", interleave=2, antithetic=True,
+            schedule="staggered")
+    with pytest.raises(ValueError, match="schedule"):
+        pathgen_pallas.make_pallas_priced_chunk(
+            *args, block_paths=64, interpret=True, noise_input=True,
+            policy_form="boundary", interleave=2, schedule="zigzag")
+    with pytest.raises(ValueError, match="staggered"):
+        engine.StreamConfig(n_paths=1 << 10, n_steps=48,
+                            chunk_paths=1 << 10,
+                            pallas_schedule="staggered")
+    cfg = engine.StreamConfig(n_paths=1 << 10, n_steps=48,
+                              chunk_paths=1 << 10, pallas_interleave=2,
+                              pallas_schedule="staggered")
+    assert cfg.pallas_schedule == "staggered"
+
+
 def test_interleave_config_rejections():
     """interleave > 1 exists only in the log-boundary fused body; the
     quadratic form and non-splittable blocks reject loudly."""

@@ -392,3 +392,116 @@ def test_fused_qmc_streaming_price_on_chip():
     assert abs(v_fused - v_plain) < 4 * np.hypot(se_fused, se_plain) + 5e-2
     # The variance win must ride the fused path.
     assert se_fused < se_plain / 1.3, (se_plain, se_fused)
+
+
+def test_fused_qmc_selection_long_horizon():
+    """Past the single-tile step cap, QMC keeps a fused noise-in kernel:
+    the chol slab by default, the factored DFT for spectral configs; past
+    every noise-in budget it falls back (loudly) to the XLA stream
+    (VERDICT r04 item 4)."""
+    from montecarlooptionspricer_tpu.models import (engine,
+                                                    pathgen_pallas_factored,
+                                                    pathgen_pallas_tiled)
+
+    base = dict(n_paths=1 << 12, n_steps=1100, chunk_paths=1 << 11,
+                pilot_paths=1 << 10)
+    mk = lambda **kw: engine.StreamingPricer(
+        100.0, 0.04, 0.2, 1.0, -0.4, 0.04, 102.0,
+        kw.get("n_steps", 1100) / 252, False,
+        engine.StreamConfig(**{**base, **kw}, qmc=True,
+                            pathgen_impl="pallas"))
+
+    p = mk()
+    assert p._qmc_fused and p._qmc_tiled is pathgen_pallas_tiled
+    p_sp = mk(fgn_form="spectral")
+    assert p_sp._qmc_fused and p_sp._qmc_tiled is pathgen_pallas_factored
+    # CV composes on the long-horizon noise-in kernels too.
+    p_cv = mk(control_variate=True)
+    assert p_cv._qmc_fused and p_cv._qmc_tiled is pathgen_pallas_tiled
+    # Past every noise-in VMEM budget: XLA fallback, loudly not-fused.
+    p_far = mk(n_steps=5000)
+    assert not p_far._qmc_fused and p_far._qmc_tiled is None
+
+
+@pytest.mark.slow
+def test_fused_qmc_tiled_noise_planes_price_interpret(rng):
+    """The engine's long-horizon QMC stream, on the CPU interpreter: the
+    SAME _make_fused_qmc_noise planes produce, through the slab noise-in
+    priced kernel, exactly the policy value the XLA generator assigns to
+    those planes — so qmc=True past the single-tile cap prices the same
+    estimator at fused throughput."""
+    from montecarlooptionspricer_tpu.models import (engine, pathgen_pallas,
+                                                    pathgen_pallas_tiled)
+    from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+    from test_pallas import KW, xla_paths_from_noise
+
+    # xla_paths_from_noise bakes the KW market — both sides must use it.
+    s0, xi, h, eta, rho, r = (KW["s0"], KW["xi"], KW["h"], KW["eta"],
+                              KW["rho"], KW["r"])
+    n_steps, chunk, dt = 200, 128, 1 / 252.0
+    strike, maturity, is_call = 97.0, 200 / 252.0, False
+
+    pilot = engine.make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                      1 << 11)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call, 2)
+    rows = pathgen_pallas.policy_rows(fits, r, strike, maturity, dt,
+                                      n_steps, is_call)
+
+    priced, s_pad = pathgen_pallas_tiled.make_tiled_priced_chunk(
+        s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps, chunk,
+        block_paths=64, is_call=is_call, interpret=True, noise_input=True,
+        fgn_form="spectral")
+    cfg = engine.StreamConfig(n_paths=chunk, n_steps=n_steps,
+                              chunk_paths=chunk, qmc=True)
+    noise_fn = engine._make_fused_qmc_noise(cfg, n_steps, s_pad,
+                                            "spectral", dt)
+    noise = noise_fn(jax.random.key(7))
+    got = float(priced(noise, rows))           # chunk SUM, like lsm_policy
+
+    paths = xla_paths_from_noise(np.asarray(noise), n_steps)
+    want, _ = engine.lsm_policy_value(jnp.asarray(paths), fits, r, strike,
+                                      maturity, dt, is_call)
+    np.testing.assert_allclose(got, float(want), rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_fused_qmc_factored_noise_planes_price_interpret(rng):
+    """Factored-DFT analogue: 'factored'-layout QMC planes (m2-wide
+    frequency fGN draws + PCA Brownian) price identically through the
+    factored noise-in priced kernel and the factored noise-in PATHGEN +
+    XLA policy evaluation."""
+    from montecarlooptionspricer_tpu.models import (engine, pathgen_pallas,
+                                                    pathgen_pallas_factored)
+    from montecarlooptionspricer_tpu.models.lsm import lsm_fit
+    from montecarlooptionspricer_tpu.ops.fgn import next_pow2
+
+    s0, xi, h, eta, rho, r = 100.0, 0.04, 0.2, 1.0, -0.4, 0.04
+    n_steps, chunk, dt = 200, 128, 1 / 252.0
+    strike, maturity, is_call = 97.0, 200 / 252.0, False
+    m2 = next_pow2(n_steps)
+
+    pilot = engine.make_chunk_pathgen(s0, xi, h, eta, rho, r, n_steps, dt,
+                                      1 << 11)(jax.random.key(0))
+    _, fits = lsm_fit(pilot, r, strike, maturity, dt, is_call, 2)
+    rows = pathgen_pallas.policy_rows(fits, r, strike, maturity, dt,
+                                      n_steps, is_call)
+
+    cfg = engine.StreamConfig(n_paths=chunk, n_steps=n_steps,
+                              chunk_paths=chunk, qmc=True)
+    noise_fn = engine._make_fused_qmc_noise(cfg, n_steps, m2,
+                                            "factored", dt)
+    noise = noise_fn(jax.random.key(11))
+    assert noise.shape == (3, chunk, m2)
+
+    priced, _ = pathgen_pallas_factored.make_factored_priced_chunk(
+        s0, xi, h, eta, rho, r, strike, maturity, dt, n_steps, chunk,
+        block_paths=64, is_call=is_call, interpret=True, noise_input=True)
+    got = float(priced(noise, rows))           # chunk SUM, like lsm_policy
+
+    gen, _ = pathgen_pallas_factored.make_factored_pathgen(
+        s0, xi, h, eta, rho, r, n_steps, dt, chunk, block_paths=64,
+        interpret=True, noise_input=True)
+    paths = gen(noise)
+    want, _ = engine.lsm_policy_value(paths, fits, r, strike, maturity,
+                                      dt, is_call)
+    np.testing.assert_allclose(got, float(want), rtol=2e-4)
