@@ -222,7 +222,10 @@ def main() -> None:
     t_pilot = min(_timed(lambda: jax.block_until_ready(
         pricer._fit(k_pilot))) for _ in range(3))
     fixed_ms = t_pilot * 1e3 + 2 * rtt_ms
-    predicted = n_paths / (t_stream + fixed_ms / 1e3)
+    # Same numerator as the measured end-to-end line (n_paths + PILOT):
+    # price() streams n_paths on top of the PILOT-path policy fit, and
+    # `throughput` counts both.
+    predicted = (n_paths + PILOT) / (t_stream + fixed_ms / 1e3)
     log(f"session RTT median {rtt_ms:.1f} ms; pilot fit {t_pilot*1e3:.0f} "
         f"ms; fixed-cost model predicts end-to-end "
         f"{predicted:,.0f} paths/s (measured {throughput:,.0f})")
@@ -244,9 +247,10 @@ def main() -> None:
         # excluded) — the 1e8-equivalent rate of the same program.
         "steady_state": round(steady, 1),
         # Self-normalizing context (VERIFY_r05 §5): this session's tunnel
-        # RTT and pilot-fit cost.  end-to-end ~= n_paths / (t_stream +
-        # pilot_ms + 2*rtt_ms); the spread across BENCH_r*.json files is
-        # carried by these two numbers, not the kernel.
+        # RTT and pilot-fit cost.  end-to-end ~= (n_paths + pilot) /
+        # (t_stream + pilot_ms + 2*rtt_ms); the spread across
+        # BENCH_r*.json files is carried by these two numbers, not the
+        # kernel.
         "rtt_ms": round(rtt_ms, 1),
         "pilot_ms": round(t_pilot * 1e3, 1),
         "fixed_cost_predicted": round(predicted, 1),

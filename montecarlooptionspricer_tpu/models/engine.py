@@ -714,13 +714,22 @@ def _make_fused_qmc_noise(config: "StreamConfig", n_steps: int, s_pad: int,
     return noise_fn
 
 
-def _resolve_tiled_module(config: "StreamConfig", n_steps: int, fgn_dtype):
+def _resolve_tiled_module(config: "StreamConfig", n_steps: int, fgn_dtype,
+                          noise_input: bool = False):
     """Long-horizon fused-kernel module for step counts past the
     single-tile VMEM cap, honoring StreamConfig.tiled_impl; None when
     neither kernel's budget covers the horizon (the XLA generator takes
     over).  Both modules expose make_tiled_pathgen /
     make_tiled_priced_chunk with identical seed and policy-table
-    semantics, so callers are agnostic to the algorithm."""
+    semantics, so callers are agnostic to the algorithm.
+
+    ``noise_input=True`` resolves against the NOISE-INPUT VMEM budgets
+    (the fused-QMC stream, r04 verdict item 4): the injected
+    [planes, block, width] f32 stack stays resident per block, lowering
+    the step ceilings (slab chol ~3.7k steps at block 256, factored
+    m2 <= 2048).  The explicit-impl ValueErrors keep their A/B-integrity
+    contract in this mode too: a benchmark labeled 'factored'/'slab'
+    must never silently measure the XLA generator."""
     from . import pathgen_pallas_factored, pathgen_pallas_tiled
 
     impl = config.tiled_impl
@@ -738,10 +747,11 @@ def _resolve_tiled_module(config: "StreamConfig", n_steps: int, fgn_dtype):
     # budget and the spectral-form configurations.
     if (impl == "auto" and form == "chol"
             and pathgen_pallas_tiled.supports(n_steps, block, fgn_dtype,
-                                              form)):
+                                              form,
+                                              noise_input=noise_input)):
         return pathgen_pallas_tiled
     if impl in ("auto", "factored") and pathgen_pallas_factored.supports(
-            n_steps, block, fgn_dtype):
+            n_steps, block, fgn_dtype, noise_input=noise_input):
         if config.fgn_form == "chol":
             # An EXPLICIT chol request cannot ride the factored DFT (its
             # frequency-domain structure has no Cholesky analogue); erroring
@@ -759,45 +769,19 @@ def _resolve_tiled_module(config: "StreamConfig", n_steps: int, fgn_dtype):
         # measure the XLA generator.  "auto" keeps the silent fallback.
         raise ValueError(
             f"tiled_impl='factored' cannot cover n_steps={n_steps} at "
-            f"block {block} (past the kernel's VMEM budget); use "
-            "tiled_impl='auto' for the XLA fallback")
-    if pathgen_pallas_tiled.supports(n_steps, block, fgn_dtype, form):
+            f"block {block}{' with injected noise resident' if noise_input else ''} "
+            f"(past the kernel's VMEM budget); use tiled_impl='auto' for "
+            "the XLA fallback")
+    if pathgen_pallas_tiled.supports(n_steps, block, fgn_dtype, form,
+                                     noise_input=noise_input):
         return pathgen_pallas_tiled
     if impl == "slab":
         raise ValueError(
             f"tiled_impl='slab' cannot cover n_steps={n_steps} at block "
-            f"{block} with fgn_form={form!r} (past the slab VMEM budget); "
-            "use tiled_impl='auto' for the XLA fallback")
-    return None
-
-
-def _resolve_qmc_tiled_module(config: "StreamConfig", n_steps: int,
-                              fgn_dtype):
-    """Long-horizon kernel module able to run the fused-QMC priced
-    stream (r04 verdict item 4): same preference order as
-    _resolve_tiled_module, but against the NOISE-INPUT VMEM budgets —
-    the QMC planes are built in XLA and kept resident per block, which
-    costs the kernels real VMEM ([planes, block, width] f32) and lowers
-    their step ceilings (slab chol ~3.7k steps at block 256, factored
-    m2 <= 2048).  Returns None when no noise-in kernel covers the
-    horizon; the caller then logs the XLA fallback loudly."""
-    from . import pathgen_pallas_factored, pathgen_pallas_tiled
-    from .pathgen_pallas import _round_up
-
-    block = config.pallas_block_paths
-    form = _resolve_fgn_form(config)
-    impl = config.tiled_impl
-    slab_ok = (_round_up(n_steps, pathgen_pallas_tiled.LANE)
-               <= pathgen_pallas_tiled.max_tiled_steps(
-                   block, fgn_dtype, form, noise_input=True))
-    if impl in ("auto", "slab") and form == "chol" and slab_ok:
-        return pathgen_pallas_tiled
-    if impl in ("auto", "factored") and config.fgn_form != "chol" \
-            and pathgen_pallas_factored.supports(n_steps, block, fgn_dtype,
-                                                 noise_input=True):
-        return pathgen_pallas_factored
-    if impl in ("auto", "slab") and slab_ok:
-        return pathgen_pallas_tiled
+            f"{block} with fgn_form={form!r}"
+            f"{' and injected noise resident' if noise_input else ''} "
+            "(past the slab VMEM budget); use tiled_impl='auto' for the "
+            "XLA fallback")
     return None
 
 
@@ -1244,14 +1228,20 @@ def _shard_map_wrappers(mesh, axis_name: str, check_vma: bool = True):
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map
+        # jax >= 0.8 shard_map takes check_vma; only pass it when
+        # disabling the audit, so the default stays whatever jax ships.
+        sm_kw = {} if check_vma else {"check_vma": False}
     except ImportError:  # pragma: no cover - jax < 0.8
+        # The pre-0.8 API spells the replication audit check_rep (and
+        # predates the vma type system entirely).
         from jax.experimental.shard_map import shard_map
+        sm_kw = {} if check_vma else {"check_rep": False}
 
     def replicated_out(fn, n_in: int):
         sm = shard_map(
             lambda *a: jax.tree.map(lambda x: x[None], fn(*a)),
             mesh=mesh, in_specs=(P(),) * n_in,
-            out_specs=P(axis_name), check_vma=check_vma)
+            out_specs=P(axis_name), **sm_kw)
         return jax.jit(
             lambda *a: jax.tree.map(lambda x: x[0], sm(*a)))
 
@@ -1259,7 +1249,7 @@ def _shard_map_wrappers(mesh, axis_name: str, check_vma: bool = True):
         sm = shard_map(
             lambda *a: jax.tree.map(lambda x: x[None], fn(*a)),
             mesh=mesh, in_specs=(P(),) * n_in,
-            out_specs=P(axis_name), check_vma=check_vma)
+            out_specs=P(axis_name), **sm_kw)
         return jax.jit(
             lambda *a: jax.tree.map(lambda x: jnp.sum(x, axis=0),
                                     sm(*a)))
@@ -1321,8 +1311,9 @@ class StreamingPricer:
                                                _resolve_fgn_form(config)):
                     qmc_fused = True
                 elif eligible:
-                    qmc_tiled = _resolve_qmc_tiled_module(config, n_steps,
-                                                          fgn_dtype)
+                    qmc_tiled = _resolve_tiled_module(config, n_steps,
+                                                      fgn_dtype,
+                                                      noise_input=True)
                     qmc_fused = qmc_tiled is not None
                 if not qmc_fused:
                     # LOUD fallback (no silent ~4x throughput downgrade):
@@ -1353,6 +1344,23 @@ class StreamingPricer:
                 tiled = _resolve_tiled_module(config, n_steps, fgn_dtype)
                 if tiled is None:
                     pathgen_impl = "xla"
+        single_tile_fused = ((pathgen_impl == "pallas" and tiled is None)
+                             or (qmc_fused and qmc_tiled is None))
+        if not single_tile_fused and (config.pallas_interleave != 1
+                                      or config.pallas_schedule
+                                      != "chained"):
+            # The interleave/staggered schedules exist only in the
+            # SINGLE-TILE fused priced kernel body; a config that
+            # resolves to a long-horizon tiled kernel or the XLA
+            # generator would silently measure the plain body under an
+            # interleave/staggered label (A/B integrity, cf.
+            # _resolve_tiled_module's explicit-impl errors).
+            raise ValueError(
+                f"pallas_interleave={config.pallas_interleave} / "
+                f"pallas_schedule={config.pallas_schedule!r} require the "
+                f"single-tile fused priced kernel, but n_steps={n_steps} "
+                f"at this config resolves to "
+                f"{'a long-horizon tiled kernel' if (tiled is not None or qmc_tiled is not None) else 'the XLA generator'}")
         if pathgen_impl == "pallas":
             if tiled is not None:
                 tiled_kw = _tiled_maker_kwargs(tiled, config)

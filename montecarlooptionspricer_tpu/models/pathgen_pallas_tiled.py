@@ -79,9 +79,10 @@ def max_tiled_steps(block_paths: int = 256, fgn_dtype=jnp.float32,
 
 
 def supports(n_steps: int, block_paths: int = 256,
-             fgn_dtype=jnp.float32, fgn_form: str = "spectral") -> bool:
-    return _round_up(n_steps, LANE) <= max_tiled_steps(block_paths,
-                                                       fgn_dtype, fgn_form)
+             fgn_dtype=jnp.float32, fgn_form: str = "spectral",
+             noise_input: bool = False) -> bool:
+    return _round_up(n_steps, LANE) <= max_tiled_steps(
+        block_paths, fgn_dtype, fgn_form, noise_input=noise_input)
 
 
 def _consts(s0, xi, h, eta, rho, r, n_steps: int, dt: float, fgn_dtype,

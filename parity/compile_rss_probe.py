@@ -62,11 +62,11 @@ def main() -> int:
             f = make(i, unique)
             f(x).block_until_ready()
             del f
-            if (i + 1) % 10 == 0:
+            if (i + 1) % 10 == 0 or i + 1 == args.iters:
                 gc.collect()
                 marks.append(rss_mb() - base)
         per = (marks[-1] - marks[0]) / max(1, args.iters - 10) \
-            if len(marks) > 1 else marks[-1] / args.iters
+            if len(marks) > 1 else marks[-1] / max(1, args.iters)
         print(f"{label}: +{marks[-1]:.0f} MiB over {args.iters} "
               f"(cum at each 10: {[f'{m:+.0f}' for m in marks]}; "
               f"steady ~{per:.2f} MiB/compile)")
@@ -108,7 +108,7 @@ def main() -> int:
     marks = []
     for i in range(n_d):
         one_pricer(i + 1)
-        if (i + 1) % 5 == 0:
+        if (i + 1) % 5 == 0 or i + 1 == n_d:
             gc.collect()
             marks.append(rss_mb() - base)
     print(f"D same-class pricer compile+price+drop x{n_d}: "
@@ -126,7 +126,7 @@ def main() -> int:
     for i in range(n_d):
         one_pricer(1000 + i)
         jax.clear_caches()
-        if (i + 1) % 5 == 0:
+        if (i + 1) % 5 == 0 or i + 1 == n_d:
             gc.collect()
             marks.append(rss_mb() - base)
     print(f"E same-class + clear_caches x{n_d}: +{marks[-1]:.0f} MiB "
@@ -146,7 +146,7 @@ def main() -> int:
         one_pricer(i)
         gc.collect()
         libc.malloc_trim(0)
-        if (i - 2000 + 1) % 5 == 0:
+        if (i - 2000 + 1) % 5 == 0 or i - 2000 + 1 == n_d:
             marks.append(rss_mb() - base)
     print(f"F same-class + malloc_trim x{n_d}: +{marks[-1]:.0f} MiB "
           f"(cum at each 5: {[f'{m:+.0f}' for m in marks]}; "

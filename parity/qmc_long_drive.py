@@ -14,7 +14,10 @@ of running `qmc=True` at 1e7-path scale:
 Effective speedup at fixed accuracy = (thr_q / thr_ref) * (se_ref/se_q)^2.
 
 Run (TPU):  PYTHONPATH=/root/.axon_site:/root/repo python parity/qmc_long_drive.py
-Smoke (CPU): add --steps 200 --paths 65536
+Smoke (CPU): add --steps 200 --paths 4096 --chunk 1024 --block 64
+(off-TPU the pallas streams run through the TPU-semantics interpreter —
+orders of magnitude slower, so keep smoke shapes tiny; throughput
+numbers are only meaningful on hardware)
 """
 
 from __future__ import annotations
@@ -41,10 +44,14 @@ def main() -> int:
     n_paths = max(chunk, (int(args.paths) // chunk) * chunk)
     dt = 1.0 / 252.0
 
+    on_tpu = jax.devices()[0].platform == "tpu"
+
     def run(label: str, **kw):
+        if not on_tpu and kw.get("pathgen_impl") == "pallas":
+            kw["pallas_interpret"] = True
         cfg = engine.StreamConfig(
             n_paths=n_paths, n_steps=n_steps, chunk_paths=chunk,
-            pilot_paths=1 << 15, dt=dt,
+            pilot_paths=min(1 << 15, max(1 << 10, n_paths // 4)), dt=dt,
             chunks_per_call=min(16, n_paths // chunk),
             pallas_block_paths=args.block, cumsum_impl="matmul",
             fgn_matmul_dtype="bfloat16", **kw)
