@@ -538,3 +538,25 @@ def test_truncated_qmc_dim_still_beats_prng():
     # Untruncated when n_steps <= qmc_dim: the Sobol base is full-width.
     from montecarlooptionspricer_tpu.ops import qmc as qmc_mod
     assert qmc_mod.sobol_base(1 << 12, 96).shape == (1 << 12, 96)
+
+
+def test_fused_qmc_explicit_impl_rejections():
+    """A/B integrity on the QMC noise-in path (review finding, r05): an
+    EXPLICITLY requested long-horizon impl that cannot hold the injected
+    noise resident must raise, never silently measure the XLA
+    generator; and interleave/staggered configs that resolve off the
+    single-tile kernel reject at construction."""
+    from montecarlooptionspricer_tpu.models import engine
+
+    base = dict(n_paths=1 << 12, chunk_paths=1 << 11, pilot_paths=1 << 10,
+                qmc=True, pathgen_impl="pallas")
+    with pytest.raises(ValueError, match="factored"):
+        engine.StreamingPricer(
+            100.0, 0.04, 0.2, 1.0, -0.4, 0.04, 102.0, 5000 / 252, False,
+            engine.StreamConfig(n_steps=5000, tiled_impl="factored",
+                                **base))
+    with pytest.raises(ValueError, match="single-tile"):
+        engine.StreamingPricer(
+            100.0, 0.04, 0.2, 1.0, -0.4, 0.04, 102.0, 1100 / 252, False,
+            engine.StreamConfig(n_steps=1100, pallas_interleave=2,
+                                **base))
