@@ -36,6 +36,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drop ragged/non-numeric rows (PredictionGen "
                         "sentinel-fills malformed inputs verbatim) instead "
                         "of erroring like the reference's std::stof")
+    p.add_argument("--calibrated-intervals", action="store_true",
+                   help="widen intervals with the MDN's own aleatoric "
+                        "variance (sqrt(sigma_epi^2 + sigma_alea^2)): the "
+                        "reference's +-stds interval uses only the "
+                        "MC-dropout spread of the first mixture mean and "
+                        "discards the model's noise estimate, so its "
+                        "empirical 3-sigma coverage is 10-54%% instead of "
+                        "~99.7%% (VERIFY_r05 SS2).  Off by default — "
+                        "reference semantics")
     return p
 
 
@@ -70,6 +79,9 @@ def main(argv=None) -> int:
                                                   args.n_samples))
             mean = draws.mean(axis=0)
             std = draws.std(axis=0)
+            if args.calibrated_intervals:
+                alea = np.asarray(trainer.aleatoric_std(x_test[lo:hi]))
+                std = np.sqrt(std * std + alea * alea)
             lower = mean - args.stds * std
             upper = mean + args.stds * std
             for j in range(hi - lo):
@@ -92,7 +104,9 @@ def main(argv=None) -> int:
     log.info("Total Samples: %d", n)
     log.info("Mean Absolute Error (MAE): %.4f", mae)
     log.info("Root Mean Squared Error (RMSE): %.4f", rmse)
-    log.info("Coverage (%.1f std dev): %.2f%%", args.stds, coverage)
+    log.info("Coverage (%.1f std dev%s): %.2f%%", args.stds,
+             ", calibrated epi+alea" if args.calibrated_intervals else "",
+             coverage)
     log.info("Detailed results saved in '%s'", args.results_csv)
     return 0
 

@@ -120,6 +120,7 @@ class BayesianTrainer:
         self._stop_requested = False
         self._fwd = None
         self._mc = None
+        self._alea = None
 
     # -- optimizer ---------------------------------------------------------
     def _make_tx(self, lr: float):
@@ -362,6 +363,40 @@ class BayesianTrainer:
         var = float(jnp.mean(vals ** 2)) - mean * mean
         std = float(np.sqrt(var)) if var > 0 else 0.0
         return mean, mean - stds * std, mean + stds * std
+
+    def aleatoric_std(self, x):
+        """Per-row ALEATORIC predictive std about the reference's point
+        estimate means[0]: sqrt(mixture variance + (mixture mean -
+        means[0])^2) from ONE eval-mode forward, with the reference's
+        double-softmax mixture weights (BayesianNN.cpp:461).
+
+        The reference's ±3σ interval uses only the MC-dropout spread of
+        means[0] (epistemic) and DISCARDS this term
+        (BayesianNN.cpp:604-622) — which is why its empirical 3σ
+        coverage sits at 10-54% instead of ~99.7% (VERIFY_r05 §2, the
+        parity-preserved quirk).  Adding this in quadrature yields
+        near-nominal, data-scale-stable coverage
+        (parity/nn_calibration.py: 91-99.6% on a known-noise process).
+        Exposed for `mcop-evaluate-nn --calibrated-intervals`; the
+        default evaluation path keeps reference semantics."""
+        if self._alea is None:
+            model = self.model
+            nm = self.config.num_mixtures
+
+            @jax.jit
+            def alea(params, x):
+                out = model.apply({"params": params}, x, train=False)
+                means, logvars, mix_sm = split_mdn(out, nm)
+                w = jax.nn.softmax(mix_sm, axis=-1)   # second softmax
+                var_comp = jnp.exp(jnp.clip(logvars, -10.0, 2.0))
+                mu_mix = jnp.sum(w * means, axis=-1)
+                var_mix = (jnp.sum(w * (var_comp + means ** 2), axis=-1)
+                           - mu_mix ** 2)
+                return jnp.sqrt(jnp.maximum(
+                    var_mix + (mu_mix - means[:, 0]) ** 2, 0.0))
+
+            self._alea = alea
+        return self._alea(self.params, jnp.asarray(x, jnp.float32))
 
     def predict_mc(self, x, n_samples: int = 100, key=None):
         """One jitted call replacing the reference's n_samples-long Python

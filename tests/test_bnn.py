@@ -296,3 +296,70 @@ def test_read_csv_skip_bad_rows(tmp_path):
     q.write_text("a,b,target\nx,y,z\n1.0\n")
     x, y = read_csv(str(q), ["a", "b"], "target", skip_bad_rows=True)
     assert x.shape == (0, 2) and y.shape == (0,)
+
+
+def test_aleatoric_std_matches_numpy_recipe(rng):
+    """trainer.aleatoric_std == the parity/nn_calibration.py recipe
+    computed in NumPy from the same eval-mode forward: double-softmax
+    mixture weights, clipped component variances, mixture variance plus
+    the offset of the reference's means[0] point estimate from the
+    mixture mean (BayesianNN.cpp:461, 604-622)."""
+    tr = make_trainer()
+    x, _ = synth_data(rng, 32)
+    got = np.asarray(tr.aleatoric_std(x), np.float64)
+
+    out = np.asarray(tr._forward(tr.params, jnp.asarray(x)), np.float64)
+    means, logvars, mix_sm = (np.asarray(a, np.float64) for a in
+                              split_mdn(jnp.asarray(out, jnp.float32)))
+    e = np.exp(mix_sm - mix_sm.max(axis=-1, keepdims=True))
+    w = e / e.sum(axis=-1, keepdims=True)
+    var_comp = np.exp(np.clip(logvars, -10, 2))
+    mu_mix = (w * means).sum(axis=-1)
+    var_mix = (w * (var_comp + means ** 2)).sum(axis=-1) - mu_mix ** 2
+    want = np.sqrt(np.maximum(var_mix + (mu_mix - means[:, 0]) ** 2, 0.0))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+    assert got.shape == (32,) and np.all(np.isfinite(got))
+
+
+def test_calibrated_intervals_widen_coverage(rng, tmp_path):
+    """mcop-evaluate-nn --calibrated-intervals: on a process with known
+    irreducible noise, the calibrated (epi+alea) coverage must be at
+    least the reference-semantics coverage, intervals strictly wider
+    wherever sigma_alea > 0 (VERIFY_r05 SS2's finding as a product
+    surface)."""
+    import csv
+    from montecarlooptionspricer_tpu.cli import evaluate_nn
+    from montecarlooptionspricer_tpu.config import INPUT_COLUMNS, TARGET_COLUMN
+
+    tr = make_trainer()
+    x, y = synth_data(rng, 512)
+    y = y + rng.normal(scale=2.0, size=y.shape).astype(np.float32)
+    tr.train_model(x[:384], y[:384], num_epochs=8, batch_size=128,
+                   checkpoint_path="")
+    model_file = str(tmp_path / "model.npz")
+    tr.save_model(model_file)
+
+    test_csv = str(tmp_path / "test.csv")
+    with open(test_csv, "w", newline="") as f:
+        wcsv = csv.writer(f)
+        wcsv.writerow(list(INPUT_COLUMNS) + [TARGET_COLUMN])
+        for i in range(384, 512):
+            wcsv.writerow(list(x[i]) + [y[i]])
+
+    covs = {}
+    for flag in (False, True):
+        res = str(tmp_path / f"res_{flag}.csv")
+        argv = ["--test-csv", test_csv, "--model-file", model_file,
+                "--results-csv", res, "--n-samples", "25"]
+        if flag:
+            argv.append("--calibrated-intervals")
+        assert evaluate_nn.main(argv) == 0
+        rows = list(csv.DictReader(open(res)))
+        covs[flag] = np.mean([float(r["InsideInterval"]) for r in rows])
+        if flag:
+            widths = [float(r["Upper"]) - float(r["Lower"]) for r in rows]
+            assert all(w >= b - 1e-9 for w, b in zip(widths, base_widths))
+        else:
+            base_widths = [float(r["Upper"]) - float(r["Lower"])
+                           for r in rows]
+    assert covs[True] >= covs[False]
