@@ -1,6 +1,6 @@
 #!/bin/bash
-# Round-5 TPU work queue: waits for the axon tunnel, then runs the
-# queued hardware measurements in order, logging everything.
+# Round-5 TPU work queue v2: probes the tunnel before EVERY step and
+# retries each step up to 3 times across outages.
 set -u
 LOG=/tmp/hw_queue_r05.log
 cd /root/repo
@@ -8,39 +8,50 @@ export PYTHONPATH=/root/.axon_site:/root/repo
 
 log() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
 
-log "queue start; probing tunnel..."
-for i in $(seq 1 360); do
-  if timeout 120 python - <<'EOF' >/dev/null 2>&1
+probe() {  # block until the tunnel answers a trivial program
+  for i in $(seq 1 600); do
+    if timeout 90 python - <<'EOF' >/dev/null 2>&1
 import jax, jax.numpy as jnp, numpy as np
 np.asarray(jax.jit(lambda a: a*2+1)(jnp.ones(8)))
 EOF
-  then
-    log "tunnel up after probe $i"
-    break
-  fi
-  log "probe $i: tunnel down"
-  sleep 60
-done
+    then log "tunnel up (probe $i)"; return 0; fi
+    sleep 45
+  done
+  return 1
+}
 
-log "=== 1. fused-QMC long-horizon drive (1825 steps) ==="
-timeout 3600 python parity/qmc_long_drive.py >> "$LOG" 2>&1
-log "qmc_long_drive rc=$?"
+step() {  # step <name> <timeout> <cmd...>
+  local name=$1 to=$2; shift 2
+  for attempt in 1 2 3; do
+    probe || { log "$name: tunnel never came back"; return 1; }
+    log "=== $name (attempt $attempt) ==="
+    timeout "$to" "$@" >> "$LOG" 2>&1
+    local rc=$?
+    log "$name rc=$rc"
+    [ $rc -eq 0 ] && return 0
+  done
+  return 1
+}
 
-log "=== 2. bench.py baseline (self-normalizing RTT fields) ==="
-timeout 2400 python bench.py > /tmp/bench_r05_base.json 2>>"$LOG"
-log "bench base rc=$?"
-tail -1 /tmp/bench_r05_base.json >> "$LOG"
+step "1. fused-QMC long-horizon drive" 3600 python parity/qmc_long_drive.py
 
-log "=== 3. staggered schedule A/B ==="
-BENCH_INTERLEAVE=2 timeout 2400 python bench.py > /tmp/bench_r05_il2.json 2>>"$LOG"
-log "bench interleave=2 chained rc=$?"
-tail -1 /tmp/bench_r05_il2.json >> "$LOG"
-BENCH_INTERLEAVE=2 BENCH_SCHEDULE=staggered timeout 2400 python bench.py > /tmp/bench_r05_stag.json 2>>"$LOG"
-log "bench interleave=2 staggered rc=$?"
-tail -1 /tmp/bench_r05_stag.json >> "$LOG"
+bench_step() {  # bench_step <label> <outfile> [env...]
+  local label=$1 out=$2; shift 2
+  for attempt in 1 2 3; do
+    probe || return 1
+    log "=== bench $label (attempt $attempt) ==="
+    env "$@" timeout 2400 python bench.py > "$out" 2>>"$LOG"
+    local rc=$?
+    log "bench $label rc=$rc"
+    if [ $rc -eq 0 ]; then tail -1 "$out" >> "$LOG"; return 0; fi
+  done
+  return 1
+}
 
-log "=== 4. on-chip QMC tests (fused single-tile variance win at truncated set) ==="
-MCOP_TPU_TESTS=1 timeout 3600 python -m pytest tests/test_qmc.py -q >> "$LOG" 2>&1
-log "tpu qmc tests rc=$?"
+bench_step baseline /tmp/bench_r05_base.json X=1
+bench_step interleave2-chained /tmp/bench_r05_il2.json BENCH_INTERLEAVE=2
+bench_step staggered /tmp/bench_r05_stag.json BENCH_INTERLEAVE=2 BENCH_SCHEDULE=staggered
+
+step "4. on-chip QMC tests" 3600 env MCOP_TPU_TESTS=1 python -m pytest tests/test_qmc.py -q
 
 log "queue done"
