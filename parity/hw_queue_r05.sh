@@ -52,6 +52,10 @@ bench_step baseline /tmp/bench_r05_base.json X=1
 bench_step interleave2-chained /tmp/bench_r05_il2.json BENCH_INTERLEAVE=2
 bench_step staggered /tmp/bench_r05_stag.json BENCH_INTERLEAVE=2 BENCH_SCHEDULE=staggered
 
-step "4. on-chip QMC tests" 3600 env MCOP_TPU_TESTS=1 python -m pytest tests/test_qmc.py -q
+# interpret-mode tests are excluded on TPU: pallas interpret lowers to
+# per-grid-step io_callbacks — each a ~25 ms tunnel round-trip, so one
+# kernel takes hours through the remote backend.  They are CPU-tier
+# tests (green in the fast tier); the on-chip tier runs the real kernels.
+step "4. on-chip QMC tests" 3600 env MCOP_TPU_TESTS=1 python -m pytest tests/test_qmc.py -q -k "not interpret"
 
 log "queue done"
