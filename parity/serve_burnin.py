@@ -302,19 +302,25 @@ def main() -> int:
                   f"{ev_peak:.0f} / {budget:.0f} MiB |")
             assert ev_peak <= budget, (ev_peak, budget, n_ev_comp)
             if s1 and s2:
-                # Per-SWEEP budget at the same 32 MiB/compile: retention
-                # is per-COMPILE, not per-new-class.  The earlier
-                # "allocator reuse: sweep2 <= sweep1/2" model was wrong
-                # on TPU (measured +574/+305 on the 10k burn-in):
-                # parity/compile_rss_probe.py loops D-F show every
-                # big-program compile retains ~6 MiB (probe class) to
-                # ~20-24 MiB (the burn-in's bucket-256 classes) of host
-                # RSS that neither gc, jax.clear_caches(), nor
-                # malloc_trim(0) releases — live PJRT/plugin-side
-                # memory scaling with program size, zero for tiny
-                # programs and zero per execute.  Recompiles of evicted
-                # classes pay it again, so each sweep's growth is
-                # bounded by its own compile count.
+                # Per-sweep growth is printed for observability but only
+                # the PHASE-TOTAL budget above is asserted.  Two earlier
+                # per-sweep models both failed honest re-runs:
+                #   * "allocator reuse: sweep2 <= sweep1/2" — wrong on
+                #     TPU; retention is per-compile (compile_rss_probe
+                #     loops D-F: ~6-24 MiB of PJRT/plugin-side host RSS
+                #     per big-program compile that gc/clear_caches/
+                #     malloc_trim never release), so sweeps don't decay.
+                #   * flat "32 MiB x that sweep's constructions" — wrong
+                #     on the r05 re-run (+574 MiB over 15): the 9
+                #     main-phase classes are still LRU-resident when the
+                #     eviction phase starts, so sweep 1 deterministically
+                #     constructs only the 15 classes the main phase never
+                #     touched — which are exactly the LARGEST (steps-256,
+                #     strip-16/32/64 buckets).  Retention scales with
+                #     program size; 32 MiB holds on the 24-class MIX
+                #     (sweep 2 thrashes all 24: measured ~12 MiB avg),
+                #     not on the big-class-only subset (~38 MiB avg).
+                # The probe-supported claim is the phase total.
                 n_s1 = sum(1 for r in rows
                            if str(r.get("id", "")).startswith("ev-0-")
                            and r.get("compiled"))
@@ -322,10 +328,8 @@ def main() -> int:
                 g1 = max(s1) - base_main
                 g2 = max(s2) - max(s1)
                 print(f"| RSS eviction growth sweep1 / sweep2 | "
-                      f"{g1:+.0f} / {g2:+.0f} MiB (budgets "
-                      f"{n_s1}x32 / {n_s2}x32) |")
-                assert g1 <= 32.0 * max(1, n_s1), (g1, n_s1)
-                assert g2 <= 32.0 * max(1, n_s2), (g2, n_s2)
+                      f"{g1:+.0f} / {g2:+.0f} MiB "
+                      f"({n_s1} / {n_s2} constructions) |")
         print(f"| RSS peak | {peak:.0f} MiB |")
 
     if ev_rows:
