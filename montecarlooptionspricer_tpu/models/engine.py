@@ -177,6 +177,10 @@ class StreamConfig:
     # stage neighbors the other half's VPU stage — the roofline's
     # hand-scheduled double-buffer lever (VERIFY_r04 §4 / r04 verdict
     # item 6).  Same draws, bitwise-equal sums; A/B via BENCH_SCHEDULE.
+    # Hardware A/B (VERIFY_r05 §6.3): throughput-neutral vs chained
+    # (-0.3%) and below the interleave=1 baseline (-1.8%) — Mosaic does
+    # not convert the staggered program order into VPU/MXU overlap, so
+    # both levers stay opt-in measurement knobs, default off.
     pallas_schedule: str = "chained"
     # Run every Pallas kernel in the TPU-semantics INTERPRETER instead of
     # compiling for the chip.  Validation/debugging knob only (orders of

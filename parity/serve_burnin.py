@@ -102,6 +102,34 @@ def build_eviction_requests():
     return reqs
 
 
+def build_recovery_requests(n: int = 600):
+    """Post-eviction recovery phase (r04 verdict item 7): after the
+    24-class cycle has churned the LRU (evicting the 9 main-phase
+    classes), re-issue main-phase-class quotes and require the server to
+    settle back to warm behavior: at most 9 re-admission constructions
+    (no greeks here, so no lazy second program), zero errors, warm
+    latency at main-phase level, RSS bounded by the re-admission
+    compiles."""
+    reqs = []
+    for i in range(n):
+        k = [2, 3, 5][i % 3]
+        steps = [24, 48, 100][(i // 3) % 3]
+        reqs.append(json.dumps({
+            "id": f"rec-{i}",
+            "strikes": [92.0 + 3 * j + (i % 13) * 0.5 for j in range(k)],
+            "put": True, "steps": steps,
+            "maturity": steps / 252.0 * (1.0 + 0.001 * (i % 7)),
+            "paths": [1024, 2048, 4096][i % 3],
+            "hurst": 0.08 + 0.02 * (i % 12),
+            "s0": 100.0 + 0.25 * (i % 11) - 1.25,
+            "xi": 0.04 + 0.002 * (i % 5),
+            "eta": 1.2 + 0.1 * (i % 4),
+            "r": 0.04 + 0.001 * (i % 3),
+            "seed": i,
+        }))
+    return reqs
+
+
 def rss_mb(pid: int) -> float:
     try:
         with open(f"/proc/{pid}/status") as f:
@@ -123,7 +151,8 @@ def main() -> int:
 
     reqs, n_bad = build_requests(args.requests)
     ev_reqs = build_eviction_requests() if args.evict else []
-    payload = "\n".join(reqs + ev_reqs) + "\n"
+    rec_reqs = build_recovery_requests() if args.evict else []
+    payload = "\n".join(reqs + ev_reqs + rec_reqs) + "\n"
 
     t0 = time.time()
     proc = subprocess.Popen(
@@ -190,7 +219,9 @@ def main() -> int:
 
     rows = [json.loads(line) for line in out.strip().splitlines()]
     n_main = args.requests + n_bad
-    main_rows, ev_rows = rows[:n_main], rows[n_main:]
+    main_rows = rows[:n_main]
+    ev_rows = rows[n_main:n_main + len(ev_reqs)]
+    rec_rows = rows[n_main + len(ev_reqs):]
     assert len(main_rows) == n_main, (len(main_rows), n_main)
 
     errors = [r for r in main_rows if "error" in r]
@@ -221,12 +252,15 @@ def main() -> int:
           f"classes + 9 lazy greeks programs) |")
     assert len(compiled) <= 18, [r["id"] for r in compiled]
 
+    main_warm_p50 = None
     for label, cls in (("price", [r for r in ok_rows if "delta" not in r]),
                        ("greeks", [r for r in ok_rows if "delta" in r])):
         lat = sorted(r["elapsed_s"] for r in cls if not r["compiled"])
         if lat:
             def pct(p, lat=lat):
                 return lat[min(len(lat) - 1, int(p * len(lat)))]
+            if label == "price":
+                main_warm_p50 = pct(.5)
             print(f"| {label} warm p50 / p95 / p99 / max | "
                   f"{pct(.5)*1e3:.0f} / {pct(.95)*1e3:.0f} / "
                   f"{pct(.99)*1e3:.0f} / {lat[-1]*1e3:.0f} ms "
@@ -243,13 +277,17 @@ def main() -> int:
     #   * the MAIN phase (fixed 9-class working set) must be flat —
     #     second-half max <= 1.15x first-half max within the phase;
     #   * the EVICTION phase may grow by an argued per-compile budget
-    #     (compile arenas + executables), and its SECOND sweep — mostly
-    #     recompiles of just-evicted classes — must show the allocator
-    #     reuse the probe measured: growth <= half of sweep 1's.
+    #     (compile arenas + executables) — the phase-total bound; see
+    #     the per-sweep note below for why only the total is asserted;
+    #   * the RECOVERY phase (main classes re-served after churn) must
+    #     settle back to warm latency and only grow RSS by its own
+    #     re-admission compiles.
     t_evict = min((t for t, ln in stamped if '"id": "ev-' in ln),
                   default=None)
     t_sweep2 = min((t for t, ln in stamped if '"id": "ev-1-' in ln),
                    default=None)
+    t_rec = min((t for t, ln in stamped if '"id": "rec-' in ln),
+                default=None)
     # Warm boundary: the moment the LAST main-phase compile's response
     # arrived.  Compile arenas are legitimate RSS growth; flatness is a
     # STEADY-STATE property, so it is asserted over the all-warm region
@@ -258,7 +296,8 @@ def main() -> int:
     # ~30 requests).
     t_warm = max((t for t, ln in stamped
                   if '"compiled": true' in ln
-                  and '"id": "ev-' not in ln), default=0.0)
+                  and '"id": "ev-' not in ln
+                  and '"id": "rec-' not in ln), default=0.0)
     if rss_samples:
         main_s = [(t, v) for t, v in rss_samples
                   if v and t > t_warm
@@ -275,6 +314,12 @@ def main() -> int:
         # Flatness over the warm region: the second half must stay
         # within 15% of the first.  Needs enough samples to mean
         # anything — a sanity run with single-digit warm samples skips.
+        # On a full-size run an empty warm region means the phase
+        # windowing itself broke (run d lost this assertion silently
+        # when recovery-phase compiles pushed t_warm past t_evict) —
+        # fail loudly instead of skipping.
+        if args.requests >= 1000:
+            assert len(main_s) >= 20, (len(main_s), t_warm, t_evict)
         if first and len(main_s) >= 20:
             assert second <= first * 1.15, (first, second)
             print("| RSS main-phase flatness (warm 2nd half <= 1.15x "
@@ -284,7 +329,8 @@ def main() -> int:
                   if v and t >= t_evict and (t_sweep2 is None
                                              or t < t_sweep2)]
             s2 = [v for t, v in rss_samples
-                  if v and t_sweep2 is not None and t >= t_sweep2]
+                  if v and t_sweep2 is not None and t >= t_sweep2
+                  and (t_rec is None or t < t_rec)]
             ev_peak = max(s1 + s2, default=0.0)
             n_ev_comp = sum(1 for r in rows
                             if str(r.get("id", "")).startswith("ev-")
@@ -340,6 +386,39 @@ def main() -> int:
               f"rows, 0 errors, {len(ev_comp)} compiles (>= 24: evicted "
               f"classes recompile on return) |")
         assert len(ev_comp) >= 24
+
+    if rec_rows:
+        # Post-eviction recovery (r04 verdict item 7): the 24-class cycle
+        # evicted the 9 main-phase classes; re-serving them must settle
+        # back to warm behavior.
+        rec_err = [r for r in rec_rows if "error" in r]
+        rec_comp = [r for r in rec_rows if r.get("compiled")]
+        assert not rec_err, rec_err[:3]
+        # At most one re-admission construction per main-phase class (no
+        # greeks quotes here, so no lazy second program).
+        assert len(rec_comp) <= 9, [r["id"] for r in rec_comp]
+        rec_lat = sorted(r["elapsed_s"] for r in rec_rows
+                         if not r.get("compiled"))
+        rec_p50 = rec_lat[len(rec_lat) // 2] if rec_lat else 0.0
+        print(f"| recovery phase: {len(rec_rows)} main-class quotes "
+              f"post-eviction | 0 errors, {len(rec_comp)} re-admission "
+              f"compiles (<= 9), warm p50 {rec_p50*1e3:.0f} ms |")
+        # Warm latency back at main-phase level (2x headroom for tunnel
+        # RTT drift across the ~25-minute run).
+        if main_warm_p50 and rec_lat:
+            assert rec_p50 <= 2.0 * main_warm_p50, (rec_p50, main_warm_p50)
+        # RSS: the recovery region may grow past the eviction-phase peak
+        # only by its own re-admission compiles.
+        if rss_samples and t_rec is not None:
+            rec_s = [v for t, v in rss_samples if v and t >= t_rec]
+            ev_peak_all = max((v for t, v in rss_samples
+                               if v and t < t_rec), default=0.0)
+            if rec_s:
+                rec_budget = ev_peak_all + 32.0 * max(1, len(rec_comp))
+                print(f"| recovery RSS max / budget (eviction peak + "
+                      f"{len(rec_comp)}x32) | {max(rec_s):.0f} / "
+                      f"{rec_budget:.0f} MiB |")
+                assert max(rec_s) <= rec_budget, (max(rec_s), rec_budget)
 
     print(f"| total wall | {wall:.1f} s ({n_main / wall:.1f} quotes/s) |")
     print("BURNIN: all assertions passed")
