@@ -56,6 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "/ rho / vega_h")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--chunk-paths", type=int, default=1 << 17)
+    p.add_argument("--pilot-paths", type=int, default=0,
+                   help="LSM pilot policy-fit path count (0 = auto: "
+                        "min(65536, chunk)).  The reported stderr is "
+                        "conditional on the fitted exercise policy; at "
+                        "long horizons the pilot's policy-fit noise "
+                        "dominates total price variation past ~1e6 "
+                        "stream paths (measured ~0.016 sd at 1825 steps "
+                        "on the default pilot, VERIFY_r05 §6.5) — scale "
+                        "this before --paths when chasing tight "
+                        "absolute prices")
     p.add_argument("--pathgen", choices=("pallas", "xla"), default="pallas",
                    help="fused TPU kernel or portable XLA generator")
     p.add_argument("--control-variate", action="store_true")
@@ -167,7 +177,8 @@ def main(argv=None) -> int:
     try:
         cfg = engine.StreamConfig(
             n_paths=n_paths, n_steps=n_steps, chunk_paths=chunk,
-            pilot_paths=min(1 << 16, chunk), chunks_per_call=64,
+            pilot_paths=(args.pilot_paths or min(1 << 16, chunk)),
+            chunks_per_call=64,
             pathgen_impl=pathgen, cumsum_impl="matmul",
             control_variate=args.control_variate, qmc=args.qmc,
             qmc_fgn=args.qmc_fgn, antithetic=args.antithetic)
@@ -461,7 +472,11 @@ def serve(args, mkt) -> int:
             else:
                 cfg = engine.StreamConfig(
                     n_paths=chunk, n_steps=bucket, chunk_paths=chunk,
-                    pilot_paths=min(1 << 16, chunk), chunks_per_call=64,
+                    # Server-level knob, never per-request (a per-request
+                    # pilot size would multiply the shape-class space).
+                    pilot_paths=(args.pilot_paths
+                                 or min(1 << 16, chunk)),
+                    chunks_per_call=64,
                     pathgen_impl=pathgen, cumsum_impl="matmul",
                     qmc=args.qmc, qmc_fgn=args.qmc_fgn,
                     # Server-level estimator choice (never per-request —

@@ -119,6 +119,32 @@ def test_price_cli_single_and_chain(capsys):
     assert -1.0 <= out["delta"] <= 0.0 and out["vega_xi"] > 0
 
 
+def test_price_cli_pilot_paths_knob(capsys):
+    """--pilot-paths sizes the LSM policy fit (VERIFY_r05 §6.5: at long
+    horizons policy-fit noise dominates the reported conditional stderr,
+    so the knob must reach the engine).  Two pilot sizes at the same
+    seed fit different policies -> different attained lower bounds;
+    the same pilot size twice is bitwise-reproducible."""
+    import json
+
+    from montecarlooptionspricer_tpu.cli import price as price_cli
+
+    base = ["--s0", "100", "--strike", "102", "--put",
+            "--maturity", "0.12", "--steps", "24",
+            "--paths", "4096", "--chunk-paths", "2048"]
+
+    def run(extra):
+        assert price_cli.main(base + extra) == 0
+        return json.loads(capsys.readouterr().out.strip())["price"]
+
+    p_small = run(["--pilot-paths", "512"])
+    p_small2 = run(["--pilot-paths", "512"])
+    p_big = run(["--pilot-paths", "2048"])
+    assert p_small == p_small2          # determinism at fixed pilot
+    assert p_small != p_big             # the knob reaches the policy fit
+    assert abs(p_small - p_big) < 1.0   # ... but both are sane prices
+
+
 def test_price_cli_argument_validation(capsys):
     from montecarlooptionspricer_tpu.cli import price as price_cli
 
