@@ -867,7 +867,13 @@ def test_xla_pathgen_antithetic_pairing():
     v = xi * jnp.exp(eta * x_hat - 0.5 * eta * eta * t[:n_steps] ** (2 * h))
     inc = (r - 0.5 * v) * dt + jnp.sqrt(jnp.maximum(0.0, v)) * dw
     want = s0 * np.exp(np.cumsum(np.asarray(inc, np.float64), axis=1))
-    np.testing.assert_allclose(got[half:, 1:], want, rtol=2e-5)
+    # The oracle cumsums in float64 on host; the generator's
+    # cumsum_impl="matmul" runs on the MXU on TPU, whose f32 matmul
+    # accumulation differs from host f64 by ~2e-4 relative after the
+    # exp (measured max 2.1e-4 on v5e) — the pairing itself is exact
+    # (the [:half] assertion above runs identical programs both sides).
+    rtol = 5e-4 if jax.devices()[0].platform == "tpu" else 2e-5
+    np.testing.assert_allclose(got[half:, 1:], want, rtol=rtol)
     np.testing.assert_allclose(got[half:, 0], s0)
 
 
